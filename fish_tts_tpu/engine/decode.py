@@ -1,0 +1,327 @@
+"""The DualAR decode engine: jitted prefill + chunked on-device decode.
+
+This replaces the reference's Python token loop + per-step host sync
+(/root/reference/fish_tts/models/inference.py:158-276) with:
+
+- ``prefill``: one jitted whole-prompt forward over a bucketized (padded)
+  prompt that writes the KV cache and samples the first frame — the analog of
+  the reference's prefill call into ``decode_one_token_ar`` with the full
+  prompt (inference.py:353-363).
+- ``decode_chunk``: a ``lax.scan`` over N frames entirely on device.  Each
+  scan step is the analog of the reference's compiled ``decode_one_token_ar``
+  (inference.py:83-155): slow forward -> sample semantic token -> fresh fast
+  KV cache -> fast position 0 write (output discarded) -> scan over residual
+  codebooks with top-p sampling.  EOS is tracked with an on-device ``done``
+  flag; the host reads it once per chunk instead of once per token
+  (the reference syncs every step at inference.py:210).
+
+Replicated reference quirks (SURVEY §7):
+- slow-token repetition penalty indexes the first *column* of the 16-frame
+  window (``previous_tokens[:, 0]``, inference.py:110) — with our circular
+  window buffer that column is slot ``i % 16``, which is exactly the
+  about-to-be-overwritten oldest entry (or zero-padding for i<16);
+- fast forward at codebook position 0 discards its output (inference.py:121-122);
+- the first (prefill-sampled) frame is *not* recorded in the penalty window
+  (the reference allocates ``previous_tokens`` inside ``decode_n_tokens``,
+  inference.py:175-179, after the prefill frame was produced);
+- ``a = semantic_token - semantic_begin_id`` clamped at 0 (inference.py:123-124).
+
+State is a plain pytree so the whole engine jits and shards transparently.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fish_tts_tpu.config import DualARConfig
+from fish_tts_tpu.engine.sampling import sample
+from fish_tts_tpu.models import dual_ar
+from fish_tts_tpu.models.dual_ar import Params, TokenIds
+
+_NEG_INF = float(np.finfo(np.float32).min)
+
+WINDOW = 16  # repetition-penalty window (reference inference.py:187)
+
+State = dict[str, Any]
+
+
+def init_state(
+    params: Params,
+    cfg: DualARConfig,
+    batch: int,
+    max_seq_len: int | None = None,
+) -> State:
+    """Fresh decode state: zero KV cache, zero penalty window, step 0."""
+    dtype = params["embeddings"].dtype
+    return {
+        "kv": dual_ar.init_kv_cache(cfg, batch, max_seq_len, dtype),
+        "frame": jnp.zeros((batch, 1 + cfg.num_codebooks), jnp.int32),
+        "pos": jnp.zeros((batch,), jnp.int32),
+        "prev": jnp.zeros((batch, 1 + cfg.num_codebooks, WINDOW), jnp.int32),
+        "step": jnp.zeros((), jnp.int32),
+        "done": jnp.zeros((batch,), jnp.bool_),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Frame sampling (shared by prefill and decode): slow logits -> full frame
+# ---------------------------------------------------------------------------
+
+
+def _sample_frame(
+    params: Params,
+    cfg: DualARConfig,
+    ids: TokenIds,
+    rope: Params,
+    key: jax.Array,
+    hidden_last: jnp.ndarray,  # (B, 1, D) un-normed hidden at the sampled position
+    logits: jnp.ndarray,  # (B, V)
+    temperature: jnp.ndarray,
+    top_p: jnp.ndarray,
+    repetition_penalty: jnp.ndarray,
+    prev: jnp.ndarray | None,  # (B, 1+K, W) circular window, or None (prefill)
+    step: jnp.ndarray | None,  # scalar step index (for the column quirk)
+    top_k: int,
+) -> jnp.ndarray:
+    """Sample one full (1+K)-row frame (reference decode_one_token_ar,
+    inference.py:83-155).  Returns (B, 1+K) int32."""
+    B = logits.shape[0]
+    k_slow, k_fast = jax.random.split(key)
+
+    # Slow/semantic token — window quirk: previous_tokens[:, 0] is the first
+    # window *column* = circular slot (step % W) (inference.py:110).
+    prev_col = None
+    if prev is not None:
+        prev_col = jax.lax.dynamic_index_in_dim(
+            prev, step % WINDOW, axis=2, keepdims=False
+        )  # (B, 1+K)
+    token = sample(
+        k_slow, logits, temperature, top_p, repetition_penalty,
+        prev_idx=prev_col, top_k=top_k,
+    )  # (B,)
+
+    # Fast transformer: fresh cache each frame (= reference's zeroing,
+    # inference.py:116-119); position 0 consumes the slow hidden state and its
+    # output is discarded (inference.py:121-122).
+    h_fast = dual_ar.project_fast_in(params, hidden_last).astype(
+        params["fast_embeddings"].dtype
+    )
+    cache = dual_ar.new_fast_cache(params, cfg, B)
+    _, cache = dual_ar.fast_step(params, cfg, rope, h_fast, jnp.int32(0), cache)
+
+    a = jnp.maximum(token - ids.semantic_begin, 0)  # (B,) inference.py:123-124
+    emb = params["fast_embeddings"][a][:, None]  # (B, 1, Df)
+
+    def fast_body(carry, inp):
+        emb, cache, k = carry
+        cb_idx, sub = inp
+        logits_cb, cache = dual_ar.fast_step(params, cfg, rope, emb, cb_idx, cache)
+        short = logits_cb[:, -1, : cfg.residual_codebook_size]  # inference.py:134
+        prev_row = None
+        if prev is not None:
+            prev_row = jax.lax.dynamic_index_in_dim(
+                prev, cb_idx + 1, axis=1, keepdims=False
+            )  # (B, W) — inference.py:141-145
+        code = sample(
+            sub, short, temperature, top_p, repetition_penalty,
+            prev_idx=prev_row, top_k=0,
+        )
+        emb = params["fast_embeddings"][code][:, None]
+        return (emb, cache, k), code
+
+    cb_indices = jnp.arange(1, cfg.num_codebooks, dtype=jnp.int32)
+    subkeys = jax.random.split(k_fast, cfg.num_codebooks - 1)
+    (_, _, _), res_codes = jax.lax.scan(
+        fast_body, (emb, cache, k_fast), (cb_indices, subkeys)
+    )  # res_codes: (K-1, B)
+
+    frame = jnp.concatenate(
+        [token[None], a[None], res_codes], axis=0
+    )  # (1+K, B)
+    return jnp.swapaxes(frame, 0, 1).astype(jnp.int32)  # (B, 1+K)
+
+
+# ---------------------------------------------------------------------------
+# Prefill
+# ---------------------------------------------------------------------------
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "ids", "top_k"),
+    donate_argnames=("state",),
+)
+def prefill(
+    params: Params,
+    rope: Params,
+    state: State,
+    prompt: jnp.ndarray,  # (B, 1+K, Tb) right-padded to bucket length
+    lengths: jnp.ndarray,  # (B,) real prompt lengths
+    key: jax.Array,
+    temperature: jnp.ndarray,
+    top_p: jnp.ndarray,
+    repetition_penalty: jnp.ndarray,
+    *,
+    cfg: DualARConfig,
+    ids: TokenIds,
+    top_k: int = 0,
+) -> tuple[State, jnp.ndarray]:
+    """Whole-prompt forward at positions ``state.pos + [0, Tb)`` + first frame.
+
+    Padding is safe by construction: causal masking means the last *real*
+    position never attends to padding on its right, and stale padded KV slots
+    are overwritten by decode steps before any query can reach them.
+
+    Returns (state, first_frame (B, 1+K)).  No repetition penalty on the first
+    frame (the reference prefill passes previous_tokens=None,
+    inference.py:353-363).
+    """
+    B, _, Tb = prompt.shape
+    S = state["kv"]["k"].shape[3]
+    offset = state["pos"]  # (B,)
+
+    positions = offset[:, None] + jnp.arange(Tb, dtype=jnp.int32)[None]  # (B, Tb)
+    k_pos = jnp.arange(S, dtype=jnp.int32)
+    bias = jnp.where(
+        k_pos[None, None, None, :] <= positions[:, None, :, None], 0.0, _NEG_INF
+    ).astype(jnp.float32)  # (B, 1, Tb, S)
+
+    hidden, kv = dual_ar.slow_forward(
+        params, cfg, ids, rope, prompt, positions, state["kv"], bias
+    )
+    # Hidden at the last real position (reference slices to the last position
+    # before the LM head, llama.py:443-444; ours is lengths-1 due to padding).
+    last_idx = (lengths - 1)[:, None, None]  # (B,1,1)
+    hidden_last = jnp.take_along_axis(hidden, last_idx, axis=1)  # (B,1,D)
+    logits = dual_ar.lm_logits(params, cfg, hidden_last)[:, -1]  # (B, V)
+
+    frame = _sample_frame(
+        params, cfg, ids, rope, key, hidden_last, logits,
+        temperature, top_p, repetition_penalty,
+        prev=None, step=None, top_k=top_k,
+    )
+
+    new_state = {
+        "kv": kv,
+        "frame": frame,
+        "pos": offset + lengths,  # next write position
+        "prev": state["prev"],
+        "step": state["step"],
+        "done": state["done"] | (frame[:, 0] == ids.im_end),
+    }
+    return new_state, frame
+
+
+# ---------------------------------------------------------------------------
+# Decode
+# ---------------------------------------------------------------------------
+
+
+def _decode_one(
+    params: Params,
+    cfg: DualARConfig,
+    ids: TokenIds,
+    rope: Params,
+    state: State,
+    key: jax.Array,
+    temperature: jnp.ndarray,
+    top_p: jnp.ndarray,
+    repetition_penalty: jnp.ndarray,
+    top_k: int,
+) -> tuple[State, jnp.ndarray, jnp.ndarray]:
+    """One decode step.  Returns (state, frame (B, 1+K), emitted (B,))."""
+    B = state["frame"].shape[0]
+    S = state["kv"]["k"].shape[3]
+    pos = state["pos"]  # (B,)
+
+    inp = state["frame"][:, :, None]  # (B, 1+K, 1)
+    positions = pos[:, None]  # (B, 1)
+    k_pos = jnp.arange(S, dtype=jnp.int32)
+    bias = jnp.where(
+        k_pos[None, None, None, :] <= pos[:, None, None, None], 0.0, _NEG_INF
+    ).astype(jnp.float32)  # (B, 1, 1, S)
+
+    hidden, kv = dual_ar.slow_forward(
+        params, cfg, ids, rope, inp, positions, state["kv"], bias
+    )
+    logits = dual_ar.lm_logits(params, cfg, hidden)[:, -1]  # (B, V)
+
+    frame = _sample_frame(
+        params, cfg, ids, rope, key, hidden, logits,
+        temperature, top_p, repetition_penalty,
+        prev=state["prev"], step=state["step"], top_k=top_k,
+    )
+
+    was_done = state["done"]
+    emitted = ~was_done
+    done = was_done | (frame[:, 0] == ids.im_end)
+
+    # Record the frame in the circular window at slot (step % W)
+    # (reference writes previous_tokens[:, i:i+1], inference.py:208).
+    slot = state["step"] % WINDOW
+    prev = jax.lax.dynamic_update_slice_in_dim(
+        state["prev"], frame[:, :, None], slot, axis=2
+    )
+
+    # Streams already done: hold position (their KV slot gets overwritten
+    # harmlessly); live streams advance, clamped to the cache end.
+    new_pos = jnp.where(was_done, pos, jnp.minimum(pos + 1, S - 1))
+    new_frame = jnp.where(was_done[:, None], state["frame"], frame)
+
+    new_state = {
+        "kv": kv,
+        "frame": new_frame,
+        "pos": new_pos,
+        "prev": prev,
+        "step": state["step"] + 1,
+        "done": done,
+    }
+    return new_state, frame, emitted
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "ids", "num_frames", "top_k"),
+    donate_argnames=("state",),
+)
+def decode_chunk(
+    params: Params,
+    rope: Params,
+    state: State,
+    key: jax.Array,
+    temperature: jnp.ndarray,
+    top_p: jnp.ndarray,
+    repetition_penalty: jnp.ndarray,
+    *,
+    cfg: DualARConfig,
+    ids: TokenIds,
+    num_frames: int,
+    top_k: int = 0,
+) -> tuple[State, jnp.ndarray, jnp.ndarray]:
+    """Decode ``num_frames`` frames in one device call via ``lax.scan``.
+
+    Returns (state, frames (B, num_frames, 1+K), emitted (B, num_frames)).
+    ``emitted[b, t]`` is False for frames generated after stream ``b`` hit
+    EOS (those are repeats of the final frame and must be dropped by the
+    caller).  The EOS frame itself is emitted — batch vs streaming callers
+    decide whether to strip it (reference strips it in batch mode via
+    ``[:-1]`` at inference.py:839 but streams it at inference.py:271-274).
+    """
+    keys = jax.random.split(key, num_frames)
+
+    def body(carry, k):
+        st = carry
+        st, frame, emitted = _decode_one(
+            params, cfg, ids, rope, st, k,
+            temperature, top_p, repetition_penalty, top_k,
+        )
+        return st, (frame, emitted)
+
+    state, (frames, emitted) = jax.lax.scan(body, state, keys)
+    # (T, B, ...) -> (B, T, ...)
+    return state, jnp.swapaxes(frames, 0, 1), jnp.swapaxes(emitted, 0, 1)

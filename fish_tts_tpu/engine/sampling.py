@@ -1,0 +1,121 @@
+"""On-device sampling: repetition penalty + top-p + Gumbel-max.
+
+Re-designs the reference sampler (/root/reference/fish_tts/models/inference.py:24-80)
+for TPU:
+
+- The reference sorts the *full* vocab (155k logits) every step
+  (inference.py:48).  Here the default path takes ``lax.top_k(k=1024)`` and
+  normalizes with a full-vocab ``logsumexp`` so cumulative probabilities are
+  exactly the full-softmax values; the result is bit-identical to a full sort
+  whenever the nucleus fits inside the top-k (with TTS's peaked distributions
+  and top_p<=0.95, always).  ``top_k=0`` selects the exact full-sort path.
+- The reference's exponential-race multinomial (inference.py:24-27) is an
+  argmax-Gumbel trick; we sample with ``jax.random.gumbel`` directly —
+  identical distribution, no host sync.
+
+Replicated quirks (documented in SURVEY §7):
+- repetition penalty divides positive / multiplies negative scores
+  (inference.py:42-44),
+- the "keep at least one" rule keeps only the single top logit
+  (inference.py:53),
+- the penalty window may contain zero-padding early in decode; penalizing
+  token id 0 in that case is reference behavior (inference.py:187-191).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+
+def apply_repetition_penalty(
+    logits: jnp.ndarray,  # (B, V) float
+    prev_idx: jnp.ndarray,  # (B, W) int32 token indices
+    penalty: jnp.ndarray,  # scalar
+) -> jnp.ndarray:
+    """Penalize previously-emitted tokens (reference inference.py:39-45).
+
+    Duplicate indices resolve to the same penalized value, so scatter order
+    does not matter.
+    """
+    score = jnp.take_along_axis(logits, prev_idx, axis=-1)
+    penalized = jnp.where(score < 0, score * penalty, score / penalty)
+    b_idx = jnp.arange(logits.shape[0])[:, None]
+    return logits.at[b_idx, prev_idx].set(penalized)
+
+
+def top_p_gumbel_sample(
+    key: jax.Array,
+    logits: jnp.ndarray,  # (B, V) float
+    temperature: jnp.ndarray,  # scalar
+    top_p: jnp.ndarray,  # scalar
+    top_k: int = 0,
+) -> jnp.ndarray:
+    """Nucleus sampling; returns (B,) int32 token ids.
+
+    Follows the reference ordering exactly (inference.py:47-61): top-p mask is
+    computed on *unscaled* logits; temperature is applied after masking.
+    """
+    logits = logits.astype(jnp.float32)
+    V = logits.shape[-1]
+    if top_k and top_k < V:
+        z = jax.nn.logsumexp(logits, axis=-1, keepdims=True)  # full-vocab normalizer
+        vals, idx = jax.lax.top_k(logits, top_k)  # sorted desc
+    else:
+        vals, idx = jax.lax.top_k(logits, V)
+        z = jax.nn.logsumexp(vals, axis=-1, keepdims=True)
+
+    probs = jnp.exp(vals - z)
+    cum = jnp.cumsum(probs, axis=-1)
+    remove = cum > top_p
+    remove = remove.at[..., 0].set(False)  # keep at least the argmax
+    masked = jnp.where(remove, _NEG_INF, vals)
+
+    scaled = masked / jnp.clip(temperature, 1e-5)
+    g = jax.random.gumbel(key, scaled.shape, jnp.float32)
+    choice = jnp.argmax(scaled + g, axis=-1)  # (B,)
+    return jnp.take_along_axis(idx, choice[:, None], axis=-1)[:, 0].astype(jnp.int32)
+
+
+def sample(
+    key: jax.Array,
+    logits: jnp.ndarray,  # (B, V)
+    temperature: jnp.ndarray,
+    top_p: jnp.ndarray,
+    repetition_penalty: jnp.ndarray,
+    prev_idx: jnp.ndarray | None = None,  # (B, W) or None
+    top_k: int = 0,
+) -> jnp.ndarray:
+    """Full sampling step (reference ``sample``, inference.py:64-80)."""
+    if prev_idx is not None:
+        logits = apply_repetition_penalty(
+            logits.astype(jnp.float32), prev_idx, repetition_penalty
+        )
+    return top_p_gumbel_sample(key, logits, temperature, top_p, top_k=top_k)
+
+
+def logits_to_probs_exact(
+    logits: jnp.ndarray,  # (V,)
+    temperature: jnp.ndarray,
+    top_p: jnp.ndarray,
+    repetition_penalty: jnp.ndarray,
+    prev_idx: jnp.ndarray | None = None,  # (W,)
+) -> jnp.ndarray:
+    """Reference-parity probability computation for testing
+    (inference.py:30-61): returns the post-top-p softmax distribution."""
+    logits = logits.astype(jnp.float32)
+    if prev_idx is not None:
+        score = logits[prev_idx]
+        penalized = jnp.where(score < 0, score * repetition_penalty, score / repetition_penalty)
+        logits = logits.at[prev_idx].set(penalized)
+    order = jnp.argsort(-logits)
+    sorted_logits = logits[order]
+    cum = jnp.cumsum(jax.nn.softmax(sorted_logits), axis=-1)
+    remove_sorted = cum > top_p
+    remove_sorted = remove_sorted.at[0].set(False)
+    remove = jnp.zeros_like(remove_sorted).at[order].set(remove_sorted)
+    logits = jnp.where(remove, _NEG_INF, logits)
+    logits = logits / jnp.clip(temperature, 1e-5)
+    return jax.nn.softmax(logits)

@@ -1,0 +1,88 @@
+"""Audio I/O: WAV read/write, resampling, PCM conversion.
+
+Behavior-compatible with the reference's stdlib-wave helpers
+(/root/reference/fish_tts/synthesizer.py:613-648): 16-bit mono WAV, float32
+in [-1, 1], resample to 44.1 kHz on read.  Resampling uses scipy when
+available and falls back to numpy FFT resampling (same algorithm as
+``scipy.signal.resample``) so the library has no hard scipy dependency.
+"""
+
+from __future__ import annotations
+
+import io
+import wave
+
+import numpy as np
+
+DEFAULT_SAMPLE_RATE = 44100
+
+
+def _fft_resample(x: np.ndarray, num: int) -> np.ndarray:
+    """Fourier-method resampling equivalent to ``scipy.signal.resample``."""
+    n = len(x)
+    X = np.fft.rfft(x)
+    new_len = num // 2 + 1
+    if new_len <= len(X):
+        Y = X[:new_len].copy()
+    else:
+        Y = np.zeros(new_len, dtype=X.dtype)
+        Y[: len(X)] = X
+    y = np.fft.irfft(Y, num)
+    return (y * (num / n)).astype(np.float32)
+
+
+def resample(audio: np.ndarray, sr_in: int, sr_out: int = DEFAULT_SAMPLE_RATE) -> np.ndarray:
+    if sr_in == sr_out:
+        return audio.astype(np.float32)
+    num = int(len(audio) * sr_out / sr_in)
+    try:
+        from scipy import signal
+
+        return signal.resample(audio, num).astype(np.float32)
+    except ImportError:
+        return _fft_resample(audio.astype(np.float64), num)
+
+
+def read_wav(audio_bytes: bytes, target_sr: int = DEFAULT_SAMPLE_RATE) -> np.ndarray:
+    """WAV bytes -> float32 mono array at ``target_sr``
+    (reference _read_wav, synthesizer.py:613-631)."""
+    with wave.open(io.BytesIO(audio_bytes), "rb") as wf:
+        sample_rate = wf.getframerate()
+        n_channels = wf.getnchannels()
+        sampwidth = wf.getsampwidth()
+        data = wf.readframes(wf.getnframes())
+
+    if sampwidth == 2:
+        audio = np.frombuffer(data, dtype=np.int16).astype(np.float32) / 32768.0
+    elif sampwidth == 4:
+        audio = np.frombuffer(data, dtype=np.int32).astype(np.float32) / 2147483648.0
+    elif sampwidth == 1:
+        audio = (np.frombuffer(data, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise ValueError(f"Unsupported sample width: {sampwidth}")
+
+    if n_channels > 1:
+        audio = audio.reshape(-1, n_channels).mean(axis=1)
+
+    return resample(audio, sample_rate, target_sr)
+
+
+def to_wav_bytes(audio: np.ndarray, sample_rate: int = DEFAULT_SAMPLE_RATE) -> bytes:
+    """float audio -> 16-bit mono WAV bytes (reference _to_wav_bytes,
+    synthesizer.py:633-648)."""
+    audio = np.clip(np.asarray(audio, dtype=np.float32), -1.0, 1.0)
+    audio_int16 = (audio * 32767).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(audio_int16.tobytes())
+    return buf.getvalue()
+
+
+def to_pcm_bytes(audio: np.ndarray) -> bytes:
+    """float audio -> raw int16 PCM bytes (reference _decode_to_pcm,
+    synthesizer.py:591-595 — note: no clipping there; we replicate)."""
+    audio_int16 = (np.asarray(audio, dtype=np.float32) * 32767).astype(np.int16)
+    return audio_int16.tobytes()

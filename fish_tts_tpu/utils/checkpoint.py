@@ -1,0 +1,418 @@
+"""Checkpoint conversion and native storage.
+
+One-time converters from the reference's torch pickles to our pytrees:
+
+- ``convert_lm_state_dict``: ``model.pth`` -> DualAR params, replicating the
+  reference load transforms (/root/reference/fish_tts/models/llama.py:477-498):
+  optional ``state_dict`` unwrap, ``model.`` prefix strip, ``audio_*`` key
+  drop, legacy ``wq/wk/wv -> wqkv`` fusion (llama.py:222-227), non-strict.
+- ``convert_vocoder_state_dict``: ``codec.pth`` -> codec params, replicating
+  the ``generator.`` prefix strip (synthesizer.py:277-284) and folding torch
+  weight-norm parametrizations (both the legacy ``weight_g/weight_v`` naming
+  and the new ``parametrizations.weight.original0/1``) into plain kernels.
+- ``save_params``/``load_params``: native storage as safetensors with
+  ``/``-joined pytree paths — no torch needed at inference time.
+
+Torch linear weights are ``(out, in)``; ours are ``(in, out)`` so matmuls hit
+the MXU without transposes — every linear is transposed here, convs keep
+torch layout ``(O, I, K)`` / ``(I, O, K)``.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Callable, Mapping
+
+import numpy as np
+
+from fish_tts_tpu.config import DualARConfig, VocoderConfig
+
+Params = dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Generic helpers
+# ---------------------------------------------------------------------------
+
+
+def _to_np(t) -> np.ndarray:
+    if hasattr(t, "detach"):
+        t = t.detach()
+        if t.dtype.__str__() == "torch.bfloat16":
+            t = t.float()
+        return t.cpu().numpy()
+    return np.asarray(t)
+
+
+def _fold_wn_np(v: np.ndarray, g: np.ndarray) -> np.ndarray:
+    norm = np.sqrt((v.astype(np.float64) ** 2).sum(axis=tuple(range(1, v.ndim)), keepdims=True))
+    return (g.astype(np.float64) * v / norm).astype(np.float32)
+
+
+class _SD:
+    """State-dict view with weight-norm-aware conv/linear accessors."""
+
+    def __init__(self, sd: Mapping[str, Any]):
+        self.sd = {k: v for k, v in sd.items()}
+        self.used: set[str] = set()
+
+    def has(self, key: str) -> bool:
+        return key in self.sd
+
+    def get(self, key: str) -> np.ndarray:
+        self.used.add(key)
+        return _to_np(self.sd[key])
+
+    def conv(self, prefix: str) -> dict[str, np.ndarray]:
+        """Conv kernel+bias at ``prefix`` with weight norm folded."""
+        for gk, vk in (
+            (f"{prefix}.parametrizations.weight.original0", f"{prefix}.parametrizations.weight.original1"),
+            (f"{prefix}.weight_g", f"{prefix}.weight_v"),
+        ):
+            if self.has(gk):
+                w = _fold_wn_np(self.get(vk), self.get(gk))
+                break
+        else:
+            w = self.get(f"{prefix}.weight")
+        out = {"w": w}
+        if self.has(f"{prefix}.bias"):
+            out["b"] = self.get(f"{prefix}.bias")
+        return out
+
+    def linear(self, prefix: str, bias: bool | None = None) -> dict[str, np.ndarray]:
+        """Linear at ``prefix``, transposed to (in, out)."""
+        out = {"w": np.ascontiguousarray(self.get(f"{prefix}.weight").T)}
+        if bias is None:
+            bias = self.has(f"{prefix}.bias")
+        if bias:
+            out["b"] = self.get(f"{prefix}.bias")
+        return out
+
+    def weight_t(self, key: str) -> np.ndarray:
+        return np.ascontiguousarray(self.get(key).T)
+
+
+# ---------------------------------------------------------------------------
+# LM conversion
+# ---------------------------------------------------------------------------
+
+
+def _normalize_lm_keys(raw: Mapping[str, Any]) -> dict[str, Any]:
+    """Reference-equivalent key cleanup (llama.py:484-496)."""
+    sd = dict(raw)
+    if "state_dict" in sd:
+        sd = dict(sd["state_dict"])
+    if next(iter(sd)).startswith("model."):
+        sd = {k.replace("model.", "", 1): v for k, v in sd.items()}
+    return {k: v for k, v in sd.items() if "audio_" not in k}
+
+
+def _fuse_wqkv(sd: dict[str, Any]) -> dict[str, Any]:
+    """Legacy checkpoints store wq/wk/wv separately (llama.py:222-227)."""
+    import numpy as _np
+
+    out = dict(sd)
+    prefixes = {
+        k[: -len("wq.weight")] for k in sd if k.endswith("wq.weight")
+    }
+    for p in prefixes:
+        wq, wk, wv = (_to_np(out.pop(p + f"w{n}.weight")) for n in "qkv")
+        out[p + "wqkv.weight"] = _np.concatenate([wq, wk, wv], axis=0)
+    return out
+
+
+def _stack_layers(
+    sd: _SD, n_layers: int, prefix: str, cfg_has_qk_norm: bool, qkv_bias: bool, o_bias: bool
+) -> Params:
+    """Per-layer torch keys -> stacked (L, ...) arrays for lax.scan."""
+
+    def stacked(fn: Callable[[int], np.ndarray]) -> np.ndarray:
+        return np.stack([fn(i) for i in range(n_layers)], axis=0)
+
+    p: Params = {
+        "wqkv": stacked(lambda i: sd.weight_t(f"{prefix}.{i}.attention.wqkv.weight")),
+        "wo": stacked(lambda i: sd.weight_t(f"{prefix}.{i}.attention.wo.weight")),
+        "w1": stacked(lambda i: sd.weight_t(f"{prefix}.{i}.feed_forward.w1.weight")),
+        "w3": stacked(lambda i: sd.weight_t(f"{prefix}.{i}.feed_forward.w3.weight")),
+        "w2": stacked(lambda i: sd.weight_t(f"{prefix}.{i}.feed_forward.w2.weight")),
+        "attention_norm": stacked(lambda i: sd.get(f"{prefix}.{i}.attention_norm.weight")),
+        "ffn_norm": stacked(lambda i: sd.get(f"{prefix}.{i}.ffn_norm.weight")),
+    }
+    if qkv_bias:
+        p["wqkv_b"] = stacked(lambda i: sd.get(f"{prefix}.{i}.attention.wqkv.bias"))
+    if o_bias:
+        p["wo_b"] = stacked(lambda i: sd.get(f"{prefix}.{i}.attention.wo.bias"))
+    if cfg_has_qk_norm:
+        p["q_norm"] = stacked(lambda i: sd.get(f"{prefix}.{i}.attention.q_norm.weight"))
+        p["k_norm"] = stacked(lambda i: sd.get(f"{prefix}.{i}.attention.k_norm.weight"))
+    return p
+
+
+def convert_lm_state_dict(raw: Mapping[str, Any], cfg: DualARConfig) -> Params:
+    """torch ``model.pth`` state dict -> DualAR params pytree (numpy leaves)."""
+    sd = _SD(_fuse_wqkv(_normalize_lm_keys(raw)))
+
+    params: Params = {
+        "embeddings": sd.get("embeddings.weight"),
+        "codebook_embeddings": sd.get("codebook_embeddings.weight"),
+        "layers": _stack_layers(
+            sd, cfg.n_layer, "layers",
+            cfg.attention_qk_norm, cfg.attention_qkv_bias, cfg.attention_o_bias,
+        ),
+        "norm": sd.get("norm.weight"),
+        "fast_embeddings": sd.get("fast_embeddings.weight"),
+        "fast_layers": _stack_layers(
+            sd, cfg.n_fast_layer, "fast_layers",
+            cfg.fast_attention_qk_norm, cfg.fast_attention_qkv_bias,
+            cfg.fast_attention_o_bias,
+        ),
+        "fast_norm": sd.get("fast_norm.weight"),
+        "fast_output": sd.weight_t("fast_output.weight"),
+    }
+    if not cfg.tie_word_embeddings:
+        params["output"] = sd.weight_t("output.weight")
+    if cfg.fast_dim != cfg.dim and sd.has("fast_project_in.weight"):
+        params["fast_project_in"] = sd.linear("fast_project_in")
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Vocoder conversion
+# ---------------------------------------------------------------------------
+
+
+def _wlt_from_sd(sd: _SD, prefix: str, n_layers: int) -> Params:
+    def stacked(fmt: str) -> np.ndarray:
+        return np.stack([sd.get(fmt.format(i=i)) for i in range(n_layers)], axis=0)
+
+    def stacked_t(fmt: str) -> np.ndarray:
+        return np.stack(
+            [np.ascontiguousarray(sd.get(fmt.format(i=i)).T) for i in range(n_layers)],
+            axis=0,
+        )
+
+    p: Params = {
+        "layers": {
+            "wqkv": stacked_t(prefix + ".layers.{i}.attention.wqkv.weight"),
+            "wo": stacked_t(prefix + ".layers.{i}.attention.wo.weight"),
+            "w1": stacked_t(prefix + ".layers.{i}.feed_forward.w1.weight"),
+            "w3": stacked_t(prefix + ".layers.{i}.feed_forward.w3.weight"),
+            "w2": stacked_t(prefix + ".layers.{i}.feed_forward.w2.weight"),
+            "attention_norm": stacked(prefix + ".layers.{i}.attention_norm.weight"),
+            "ffn_norm": stacked(prefix + ".layers.{i}.ffn_norm.weight"),
+            "attn_scale": stacked(prefix + ".layers.{i}.attention_layer_scale.gamma"),
+            "ffn_scale": stacked(prefix + ".layers.{i}.ffn_layer_scale.gamma"),
+        },
+        "norm": sd.get(f"{prefix}.norm.weight"),
+    }
+    if sd.has(f"{prefix}.input_proj.weight"):
+        p["input_proj"] = sd.linear(f"{prefix}.input_proj")
+        p["output_proj"] = sd.linear(f"{prefix}.output_proj")
+    return p
+
+
+def _residual_unit_from_sd(sd: _SD, prefix: str) -> Params:
+    return {
+        "snake1": sd.get(f"{prefix}.block.0.alpha"),
+        "conv1": sd.conv(f"{prefix}.block.1.conv")
+        if sd.has(f"{prefix}.block.1.conv.bias")
+        else sd.conv(f"{prefix}.block.1"),
+        "snake2": sd.get(f"{prefix}.block.2.alpha"),
+        "conv2": sd.conv(f"{prefix}.block.3.conv")
+        if sd.has(f"{prefix}.block.3.conv.bias")
+        else sd.conv(f"{prefix}.block.3"),
+    }
+
+
+def _convnext_from_sd(sd: _SD, prefix: str) -> Params:
+    return {
+        "dwconv": sd.conv(f"{prefix}.dwconv.conv"),
+        "norm_w": sd.get(f"{prefix}.norm.weight"),
+        "norm_b": sd.get(f"{prefix}.norm.bias"),
+        "pw1": sd.linear(f"{prefix}.pwconv1"),
+        "pw2": sd.linear(f"{prefix}.pwconv2"),
+        "gamma": sd.get(f"{prefix}.gamma"),
+    }
+
+
+def _vq_from_sd(sd: _SD, prefix: str) -> Params:
+    return {
+        "in_proj": sd.conv(f"{prefix}.in_proj"),
+        "out_proj": sd.conv(f"{prefix}.out_proj"),
+        "codebook": sd.get(f"{prefix}.codebook.weight"),
+    }
+
+
+def convert_vocoder_state_dict(raw: Mapping[str, Any], cfg: VocoderConfig) -> Params:
+    """torch ``codec.pth`` state dict -> codec params pytree (numpy leaves)."""
+    sd_raw = dict(raw)
+    if "state_dict" in sd_raw:
+        sd_raw = dict(sd_raw["state_dict"])
+    if any("generator" in k for k in sd_raw):
+        sd_raw = {
+            k.replace("generator.", ""): v
+            for k, v in sd_raw.items()
+            if "generator." in k
+        }
+    sd = _SD(sd_raw)
+
+    # --- encoder: Sequential indices (vocoder.py:542-575):
+    #   0 stem conv, 1..N blocks, N+1 Snake, N+2 final conv
+    n_stages = len(cfg.encoder_rates)
+    enc: Params = {"stem": sd.conv("encoder.block.0.conv"), "blocks": []}
+    for b in range(n_stages):
+        base = f"encoder.block.{b + 1}.block"
+        block: Params = {
+            "units": [
+                _residual_unit_from_sd(sd, f"{base}.{u}") for u in range(3)
+            ],
+            "snake": sd.get(f"{base}.3.alpha"),
+            "down": sd.conv(f"{base}.4.conv"),
+        }
+        n_t = cfg.encoder_transformer_layers[b]
+        if n_t > 0:
+            block["wlt"] = _wlt_from_sd(sd, f"{base}.5", n_t)
+        enc["blocks"].append(block)
+    enc["final_snake"] = sd.get(f"encoder.block.{n_stages + 1}.alpha")
+    enc["final_conv"] = sd.conv(f"encoder.block.{n_stages + 2}.conv")
+
+    # --- quantizer (vocoder.py:683-814)
+    tq_layers = cfg.quantizer_transformer.n_layer
+    quant: Params = {
+        "downsample": [
+            {
+                "conv": sd.conv(f"quantizer.downsample.{i}.0.conv"),
+                "convnext": _convnext_from_sd(sd, f"quantizer.downsample.{i}.1"),
+            }
+            for i in range(len(cfg.downsample_factor))
+        ],
+        "pre": _wlt_from_sd(sd, "quantizer.pre_module", tq_layers),
+        "post": _wlt_from_sd(sd, "quantizer.post_module", tq_layers),
+        "semantic": _vq_from_sd(sd, "quantizer.semantic_quantizer.quantizers.0"),
+        "residual": [
+            _vq_from_sd(sd, f"quantizer.quantizer.quantizers.{i}")
+            for i in range(cfg.n_residual_codebooks)
+        ],
+        "upsample": [
+            {
+                "tconv": sd.conv(f"quantizer.upsample.{i}.0.conv"),
+                "convnext": _convnext_from_sd(sd, f"quantizer.upsample.{i}.1"),
+            }
+            for i in range(len(cfg.downsample_factor))
+        ],
+    }
+
+    # --- decoder: Sequential indices (vocoder.py:605-640):
+    #   0 stem, 1..N blocks, N+1 Snake, N+2 conv, N+3 Tanh
+    n_dec = len(cfg.decoder_rates)
+    dec: Params = {"stem": sd.conv("decoder.model.0.conv"), "blocks": []}
+    for b in range(n_dec):
+        base = f"decoder.model.{b + 1}.block"
+        dec["blocks"].append(
+            {
+                "snake": sd.get(f"{base}.0.alpha"),
+                "up": sd.conv(f"{base}.1.conv"),
+                "units": [
+                    _residual_unit_from_sd(sd, f"{base}.{u}") for u in range(2, 5)
+                ],
+            }
+        )
+    dec["final_snake"] = sd.get(f"decoder.model.{n_dec + 1}.alpha")
+    dec["final_conv"] = sd.conv(f"decoder.model.{n_dec + 2}.conv")
+
+    return {"encoder": enc, "quantizer": quant, "decoder": dec}
+
+
+# ---------------------------------------------------------------------------
+# Native storage (safetensors, torch-free at load time)
+# ---------------------------------------------------------------------------
+
+
+def flatten_params(params: Params, prefix: str = "") -> dict[str, np.ndarray]:
+    flat: dict[str, np.ndarray] = {}
+    if isinstance(params, dict):
+        for k, v in params.items():
+            flat.update(flatten_params(v, f"{prefix}{k}/"))
+    elif isinstance(params, (list, tuple)):
+        for i, v in enumerate(params):
+            flat.update(flatten_params(v, f"{prefix}{i}/"))
+    else:
+        flat[prefix[:-1]] = np.asarray(params)
+    return flat
+
+
+def unflatten_params(flat: Mapping[str, np.ndarray]) -> Params:
+    root: Params = {}
+    for key, val in flat.items():
+        parts = key.split("/")
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = val
+
+    def listify(node):
+        if not isinstance(node, dict):
+            return node
+        keys = list(node.keys())
+        if keys and all(k.isdigit() for k in keys):
+            return [listify(node[str(i)]) for i in range(len(keys))]
+        return {k: listify(v) for k, v in node.items()}
+
+    return listify(root)
+
+
+def save_params(path: str | Path, params: Params) -> None:
+    from safetensors.numpy import save_file
+
+    flat = flatten_params(params)
+    save_file({k: np.ascontiguousarray(v) for k, v in flat.items()}, str(path))
+
+
+def load_params(path: str | Path) -> Params:
+    from safetensors.numpy import load_file
+
+    return unflatten_params(load_file(str(path)))
+
+
+# ---------------------------------------------------------------------------
+# Torch pickle loading (conversion time only)
+# ---------------------------------------------------------------------------
+
+
+def load_torch_pickle(path: str | Path) -> Mapping[str, Any]:
+    import torch
+
+    return torch.load(str(path), map_location="cpu", mmap=True, weights_only=True)
+
+
+def convert_checkpoint_dir(
+    model_dir: str | Path, out_dir: str | Path, cfg: DualARConfig | None = None,
+    vocoder_cfg: VocoderConfig | None = None,
+) -> None:
+    """Convert a reference checkpoint dir (config.json + model.pth +
+    codec.pth + tokenizer.tiktoken) into our native format."""
+    import shutil
+
+    model_dir, out_dir = Path(model_dir), Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    if cfg is None:
+        cfg = DualARConfig.from_json(model_dir)
+    if vocoder_cfg is None:
+        vocoder_cfg = VocoderConfig()
+
+    lm = convert_lm_state_dict(load_torch_pickle(model_dir / "model.pth"), cfg)
+    save_params(out_dir / "lm.safetensors", lm)
+
+    codec_path = model_dir / "codec.pth"
+    if codec_path.exists():
+        import torch
+
+        raw = torch.load(str(codec_path), map_location="cpu", weights_only=False)
+        voc = convert_vocoder_state_dict(raw, vocoder_cfg)
+        save_params(out_dir / "vocoder.safetensors", voc)
+
+    for name in ("config.json", "tokenizer.tiktoken", "special_tokens.json"):
+        src = model_dir / name
+        if src.exists():
+            shutil.copy(src, out_dir / name)

@@ -1,0 +1,93 @@
+"""Prompt-assembly tests: golden (1+K, T) matrices per the reference
+algorithm (inference.py:467-640, 779-795)."""
+
+import numpy as np
+
+from fish_tts_tpu.models.prompt import ContentSequence, TextPart, VQPart, build_prompt
+
+K = 4  # num_codebooks of TINY_CONFIG
+
+
+def test_plain_text_prompt(tiny_tokenizer):
+    tk = tiny_tokenizer
+    enc = build_prompt(tk, "hi", num_codebooks=K)
+    v = enc.values
+    assert v.shape[0] == K + 1
+    # layout: <|interleave|> <|speaker:0|> ...text...
+    assert v[0, 0] == tk.get_token_id("<|interleave|>")
+    # speaker tag is not a special token; it byte-encodes like the reference.
+    assert list(v[0, 1:]) == tk.encode("<|speaker:0|>") + tk.encode("hi")
+    # no VQ rows set
+    assert (v[1:] == 0).all()
+    assert not enc.vq_mask.any()
+
+
+def test_prompt_with_reference(tiny_tokenizer):
+    tk = tiny_tokenizer
+    codes = np.arange(K * 3).reshape(K, 3) % 8  # (K, 3)
+    enc = build_prompt(
+        tk, "x", num_codebooks=K, prompt_texts=["ref"], prompt_codes=[codes]
+    )
+    v = enc.values
+    T = v.shape[1]
+
+    # Find the VQ span via the mask
+    assert enc.vq_mask.sum() == 3
+    vq_cols = np.where(enc.vq_mask)[0]
+    # Row 0 at VQ positions = semantic_begin + code row 0 (inference.py:631-633)
+    np.testing.assert_array_equal(
+        v[0, vq_cols], codes[0] + tk.semantic_begin_id
+    )
+    # Rows 1..K at VQ positions hold all K code rows (inference.py:634)
+    np.testing.assert_array_equal(v[1:, vq_cols], codes)
+
+    # im_end closes the reference block (append add_end=True)
+    im_end = tk.get_token_id("<|im_end|>")
+    assert v[0, vq_cols[-1] + 1] == im_end
+    # structure: interleave, speaker, "ref", codes, im_end, speaker, "x"
+    assert v[0, 0] == tk.get_token_id("<|interleave|>")
+
+
+def test_vq_rows_zero_outside_mask(tiny_tokenizer):
+    tk = tiny_tokenizer
+    codes = np.ones((K, 5), dtype=np.int64)
+    enc = build_prompt(
+        tk, "abc", num_codebooks=K, prompt_texts=["r"], prompt_codes=[codes]
+    )
+    v = enc.values
+    outside = ~enc.vq_mask
+    assert (v[1:, outside] == 0).all()
+
+
+def test_modality_token_not_duplicated(tiny_tokenizer):
+    tk = tiny_tokenizer
+    seq = ContentSequence(
+        parts=[TextPart(text="<|interleave|>already")], modality="interleave"
+    )
+    assert isinstance(seq.parts[0], TextPart)
+    assert seq.parts[0].text.startswith("<|interleave|>")
+    assert len([p for p in seq.parts if isinstance(p, TextPart) and p.text and p.text.startswith("<|interleave|>")]) == 1
+
+
+def test_vq_part_shape_validation(tiny_tokenizer):
+    import pytest
+
+    seq = ContentSequence(modality="interleave")
+    seq.append([VQPart(codes=np.zeros((K + 1, 4)))])
+    with pytest.raises(ValueError):
+        seq.encode_for_inference(tiny_tokenizer, num_codebooks=K)
+
+
+def test_multiple_references_concatenate(tiny_tokenizer):
+    tk = tiny_tokenizer
+    c1 = np.full((K, 2), 1)
+    c2 = np.full((K, 3), 2)
+    enc = build_prompt(
+        tk, "t", num_codebooks=K,
+        prompt_texts=["a", "b"], prompt_codes=[c1, c2],
+    )
+    assert enc.vq_mask.sum() == 5
+    vq_cols = np.where(enc.vq_mask)[0]
+    np.testing.assert_array_equal(
+        enc.values[1:, vq_cols], np.concatenate([c1, c2], axis=1)
+    )

@@ -1,0 +1,110 @@
+"""Sampler tests: top-p semantics, repetition penalty, distribution checks
+(reference contract: inference.py:24-80)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fish_tts_tpu.engine.sampling import (
+    apply_repetition_penalty,
+    logits_to_probs_exact,
+    sample,
+    top_p_gumbel_sample,
+)
+
+
+def test_repetition_penalty_signs():
+    logits = jnp.array([[2.0, -2.0, 1.0, 0.5]])
+    prev = jnp.array([[0, 1]])
+    out = apply_repetition_penalty(logits, prev, jnp.float32(2.0))
+    # positive scores divided, negative multiplied (inference.py:42-44)
+    np.testing.assert_allclose(out[0, 0], 1.0)
+    np.testing.assert_allclose(out[0, 1], -4.0)
+    np.testing.assert_allclose(out[0, 2], 1.0)
+
+
+def test_repetition_penalty_duplicate_indices_deterministic():
+    logits = jnp.array([[3.0, 1.0]])
+    prev = jnp.array([[0, 0, 0]])
+    out = apply_repetition_penalty(logits, prev, jnp.float32(1.5))
+    np.testing.assert_allclose(out[0, 0], 2.0)
+
+
+def test_top_p_keeps_only_nucleus():
+    # One dominant logit: top_p=0.5 must always return it.
+    logits = jnp.array([[10.0, 0.0, 0.0, 0.0]])
+    for seed in range(20):
+        tok = top_p_gumbel_sample(
+            jax.random.PRNGKey(seed), logits, jnp.float32(1.0), jnp.float32(0.5)
+        )
+        assert int(tok[0]) == 0
+
+
+def test_top_p_one_keeps_everything():
+    logits = jnp.zeros((1, 8))
+    seen = set()
+    for seed in range(200):
+        tok = top_p_gumbel_sample(
+            jax.random.PRNGKey(seed), logits, jnp.float32(1.0), jnp.float32(1.0)
+        )
+        seen.add(int(tok[0]))
+    assert len(seen) == 8  # uniform sampling reaches all tokens
+
+
+def test_top_k_truncation_matches_full_sort():
+    """With the nucleus inside top-k, the truncated path samples the same
+    distribution as the exact full-sort path."""
+    key = jax.random.PRNGKey(0)
+    logits = jax.random.normal(key, (1, 512)) * 3.0
+    for seed in range(50):
+        k = jax.random.PRNGKey(1000 + seed)
+        exact = top_p_gumbel_sample(k, logits, jnp.float32(0.7), jnp.float32(0.8), top_k=0)
+        trunc = top_p_gumbel_sample(k, logits, jnp.float32(0.7), jnp.float32(0.8), top_k=64)
+        assert int(exact[0]) == int(trunc[0])
+
+
+def test_sampled_distribution_matches_exact_probs():
+    """Empirical frequencies track logits_to_probs_exact."""
+    logits_1d = jnp.array([2.0, 1.0, 0.0, -1.0, -30.0])
+    probs = np.asarray(
+        logits_to_probs_exact(
+            logits_1d, jnp.float32(0.9), jnp.float32(0.95), jnp.float32(1.0)
+        )
+    )
+    counts = np.zeros(5)
+    n = 3000
+    keys = jax.random.split(jax.random.PRNGKey(42), n)
+    sample_fn = jax.jit(
+        lambda k: top_p_gumbel_sample(
+            k, logits_1d[None], jnp.float32(0.9), jnp.float32(0.95)
+        )
+    )
+    for k in keys:
+        counts[int(sample_fn(k)[0])] += 1
+    freqs = counts / n
+    np.testing.assert_allclose(freqs, probs, atol=0.03)
+
+
+def test_sample_with_window_penalty():
+    logits = jnp.array([[5.0, 4.9, 0.0, 0.0]])
+    prev = jnp.array([[0, 0]])
+    # Penalizing token 0 hard should flip the argmax to token 1.
+    tok = sample(
+        jax.random.PRNGKey(0), logits, jnp.float32(0.1), jnp.float32(0.1),
+        jnp.float32(1.9), prev_idx=prev,
+    )
+    assert int(tok[0]) == 1
+
+
+def test_exact_probs_nucleus_boundary():
+    """Token exactly crossing top_p is removed; first survivor stays."""
+    logits = jnp.array([0.0, 0.0, 0.0, 0.0])
+    probs = np.asarray(
+        logits_to_probs_exact(
+            logits, jnp.float32(1.0), jnp.float32(0.5), jnp.float32(1.0)
+        )
+    )
+    # uniform 0.25 each; cumsum 0.25, 0.5, 0.75, 1.0; remove where cum > 0.5
+    assert np.count_nonzero(probs) == 2
+    np.testing.assert_allclose(probs[probs > 0], 0.5)
