@@ -1,0 +1,306 @@
+"""Generation orchestration: the TPU analog of the reference's
+``generate_long`` (/root/reference/fish_tts/models/inference.py:741-846).
+
+``GenerationEngine`` owns the jitted prefill/decode functions plus their
+static configs and drives them from the host:
+
+- prompt matrices are right-padded to the smallest configured bucket so the
+  number of compiled prefill variants is bounded (the reference instead eats
+  an Inductor recompile per shape),
+- decode runs in fixed-size chunks (first ``first_chunk`` frames, then
+  ``decode_chunk``) — these are exactly the reference's streaming flush
+  thresholds (synthesizer.py:497-498: min_first_chunk=10, chunk_tokens=20),
+  so streaming consumers get one vocoder chunk per device call,
+- EOS is checked on the host once per chunk (vs every token at
+  inference.py:210),
+- ``set_prefix``/``clear_prefix`` implement voice-profile KV-prefix reuse:
+  the reference re-encodes and re-prefills the full reference prompt on every
+  synthesize call (inference.py:779-795); here the reference blocks are
+  prefilled once and later calls only prefill the target-text suffix at the
+  stored offset.
+
+Sampling parameter validation matches generate_long (inference.py:763-765),
+and the prompt-length guard matches inference.py:794-795.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+from typing import Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fish_tts_tpu.config import DualARConfig, EngineConfig
+from fish_tts_tpu.engine import decode as decode_mod
+from fish_tts_tpu.models.dual_ar import Params, TokenIds, make_rope_tables
+from fish_tts_tpu.models.prompt import build_prompt, ContentSequence, TextPart
+from fish_tts_tpu.models.tokenizer import FishTokenizer
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class GenerateResponse:
+    """Mirror of the reference GenerateResponse (inference.py:417-421)."""
+
+    action: str  # "sample" | "next"
+    codes: np.ndarray | None = None  # (num_codebooks, n) — vocoder rows only
+    text: str | None = None
+
+
+def _pick_bucket(buckets: tuple[int, ...], n: int, cap: int) -> int:
+    for b in buckets:
+        if b >= n and b <= cap:
+            return b
+    if n <= cap:
+        return cap
+    raise ValueError(f"Prompt length {n} exceeds maximum {cap}")
+
+
+class GenerationEngine:
+    """Host-side driver for the jitted DualAR decode pipeline."""
+
+    def __init__(
+        self,
+        params: Params,
+        cfg: DualARConfig,
+        tokenizer: FishTokenizer,
+        engine_cfg: EngineConfig | None = None,
+        seed: int = 0,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.engine_cfg = engine_cfg or EngineConfig()
+        self.ids = TokenIds(
+            semantic_begin=tokenizer.semantic_begin_id,
+            semantic_end=tokenizer.semantic_end_id,
+            im_end=tokenizer.im_end_id,
+        )
+        self.rope = make_rope_tables(cfg)
+        self._key = jax.random.PRNGKey(seed)
+        # Prefix (voice-profile) cache: state snapshot after prefilling the
+        # reference blocks, shared across synthesize calls.
+        self._prefix_state: decode_mod.State | None = None
+
+    # -- rng ---------------------------------------------------------------
+
+    def _next_key(self) -> jax.Array:
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def reseed(self, seed: int) -> None:
+        self._key = jax.random.PRNGKey(seed)
+
+    # -- prefix (voice profile) caching ------------------------------------
+
+    def set_prefix(
+        self, prompt_texts: list[str], prompt_codes: list[np.ndarray]
+    ) -> None:
+        """Prefill the reference blocks once; later calls start from here.
+
+        The prefix is the prompt up to (but not including) the final
+        ``[speaker, target-text]`` block of the reference layout
+        (inference.py:779-789).
+        """
+        if not prompt_texts:
+            self._prefix_state = None
+            return
+        seq = ContentSequence(modality="interleave")
+        from fish_tts_tpu.models.prompt import VQPart
+
+        for t, c in zip(prompt_texts, prompt_codes):
+            seq.append([TextPart(text=t), VQPart(codes=c)], add_end=True, speaker=0)
+        enc = seq.encode_for_inference(self.tokenizer, self.cfg.num_codebooks)
+
+        state = decode_mod.init_state(self.params, self.cfg, batch=1)
+        state = self._prefill_padded(state, enc.values, sample=False)
+        # The frame sampled off the prefix end is meaningless — reset the
+        # per-call fields so only the KV cache and position survive.
+        state["done"] = jnp.zeros_like(state["done"])
+        state["frame"] = jnp.zeros_like(state["frame"])
+        state["step"] = jnp.zeros_like(state["step"])
+        self._prefix_state = state
+        logger.info(
+            "Cached KV prefix of %d tokens for %d reference(s)",
+            enc.values.shape[1], len(prompt_texts),
+        )
+
+    def clear_prefix(self) -> None:
+        self._prefix_state = None
+
+    @property
+    def has_prefix(self) -> bool:
+        return self._prefix_state is not None
+
+    def _fork_prefix(self) -> decode_mod.State:
+        """Copy the cached prefix state so donation can't consume it."""
+        return jax.tree_util.tree_map(jnp.copy, self._prefix_state)
+
+    # -- prefill helper ----------------------------------------------------
+
+    def _prefill_padded(
+        self,
+        state: decode_mod.State,
+        values: np.ndarray,  # (1+K, T)
+        temperature: float = 0.7,
+        top_p: float = 0.8,
+        repetition_penalty: float = 1.1,
+        sample: bool = True,
+    ):
+        """Pad to a bucket and run jitted prefill.  Returns the new state (and
+        the first frame when ``sample``)."""
+        T = values.shape[1]
+        if T == 0:
+            raise ValueError("Empty prompt")
+        cap = self.cfg.max_seq_len - 1
+        bucket = _pick_bucket(self.engine_cfg.prompt_buckets, T, cap)
+        padded = np.zeros((1, values.shape[0], bucket), np.int32)
+        padded[0, :, :T] = values
+
+        state, first = decode_mod.prefill(
+            self.params, self.rope, state,
+            jnp.asarray(padded), jnp.asarray([T], jnp.int32),
+            self._next_key(),
+            jnp.float32(temperature), jnp.float32(top_p),
+            jnp.float32(repetition_penalty),
+            cfg=self.cfg, ids=self.ids, top_k=self.engine_cfg.sample_top_k,
+        )
+        if sample:
+            return state, first
+        return state
+
+    # -- main entry --------------------------------------------------------
+
+    def generate_long(
+        self,
+        text: str,
+        *,
+        max_new_tokens: int = 0,
+        top_p: float = 0.8,
+        repetition_penalty: float = 1.1,
+        temperature: float = 0.8,
+        prompt_text: list[str] | None = None,
+        prompt_tokens: list[np.ndarray] | None = None,
+        streaming: bool = False,
+        use_prefix_cache: bool = True,
+    ) -> Iterator[GenerateResponse]:
+        """Generate vocoder codes for ``text`` (reference generate_long,
+        inference.py:741-846).
+
+        Yields ``GenerateResponse(action="sample", codes=...)`` chunks then a
+        final ``action="next"``.  In batch mode a single "sample" carries all
+        codes with the final frame stripped (inference.py:839); in streaming
+        mode every chunk is yielded including the EOS frame
+        (inference.py:271-274).
+        """
+        assert 0 < top_p <= 1, "top_p must be in (0, 1]"
+        assert 0 < repetition_penalty < 2, "repetition_penalty must be in (0, 2)"
+        assert 0 < temperature < 2, "temperature must be in (0, 2)"
+
+        prompt_text = prompt_text or []
+        prompt_tokens = prompt_tokens or []
+
+        cfg = self.cfg
+        ecfg = self.engine_cfg
+        max_length = cfg.max_seq_len
+
+        use_cached_prefix = (
+            use_prefix_cache and self._prefix_state is not None and not prompt_text
+        )
+
+        if use_cached_prefix:
+            # Only the target-text suffix needs encoding + prefilling.
+            seq = ContentSequence(modality=None)
+            seq.append([TextPart(text=text)], add_end=False, speaker=0)
+            enc = seq.encode_for_inference(self.tokenizer, cfg.num_codebooks)
+            state = self._fork_prefix()
+            prompt_len = int(state["pos"][0]) + enc.values.shape[1]
+        else:
+            enc = build_prompt(
+                self.tokenizer, text, cfg.num_codebooks,
+                prompt_texts=prompt_text, prompt_codes=prompt_tokens,
+            )
+            state = decode_mod.init_state(self.params, cfg, batch=1)
+            prompt_len = enc.values.shape[1]
+
+        # Reserve room for generation (reference hard-codes 2048,
+        # inference.py:794-795 — identical here for the real 4096-ctx config;
+        # scaled down for small test configs where 2048 > max_seq_len).
+        reserve = min(2048, max_length // 2)
+        if prompt_len > max_length - reserve:
+            raise ValueError(
+                f"Prompt is too long: {prompt_len} > {max_length - reserve}"
+            )
+
+        if max_new_tokens:
+            max_new = min(max_new_tokens, max_length - prompt_len)
+        else:
+            max_new = max_length - prompt_len
+
+        state, first = self._prefill_padded(
+            state, enc.values, temperature, top_p, repetition_penalty
+        )
+        t_dev = jnp.float32(temperature)
+        p_dev = jnp.float32(top_p)
+        r_dev = jnp.float32(repetition_penalty)
+
+        first_np = np.asarray(first)  # (1, 1+K)
+        produced = 1
+        done = bool(np.asarray(state["done"])[0])
+
+        if streaming:
+            # Yield the prefill frame immediately (reference yields
+            # first_token before the decode loop, inference.py:720-721).
+            codes0 = np.maximum(first_np[0, 1:], 0)[:, None]
+            yield GenerateResponse(
+                action="sample", codes=codes0.astype(np.int64), text=text
+            )
+
+        collected: list[np.ndarray] = [first_np[:, None, :]]  # (1, n, 1+K)
+
+        first_chunk = True
+        while produced < max_new and not done:
+            n = ecfg.first_chunk - 1 if first_chunk else ecfg.decode_chunk
+            n = max(1, min(n, ecfg.decode_chunk))
+            first_chunk = False
+            state, frames, emitted = decode_mod.decode_chunk(
+                self.params, self.rope, state, self._next_key(),
+                t_dev, p_dev, r_dev,
+                cfg=cfg, ids=self.ids, num_frames=n,
+                top_k=ecfg.sample_top_k,
+            )
+            frames_np = np.asarray(frames)  # (1, n, 1+K)
+            emitted_np = np.asarray(emitted)[0]  # (n,)
+            done = bool(np.asarray(state["done"])[0])
+
+            valid = frames_np[:, emitted_np]  # (1, m, 1+K)
+            # Cap at the token budget.
+            room = max_new - produced
+            if valid.shape[1] > room:
+                valid = valid[:, :room]
+            produced += valid.shape[1]
+
+            if valid.shape[1]:
+                collected.append(valid)
+                if streaming:
+                    codes = np.maximum(valid[0, :, 1:], 0)  # clamp, inference.py:817-818
+                    yield GenerateResponse(
+                        action="sample", codes=codes.T.astype(np.int64), text=text
+                    )
+
+        if not streaming:
+            all_frames = np.concatenate(collected, axis=1)[0]  # (n, 1+K)
+            # Batch mode strips the final frame (EOS or not — reference quirk,
+            # inference.py:839) and the prompt is naturally absent.
+            codes = all_frames[:-1, 1:].T if all_frames.shape[0] > 1 else all_frames[:0, 1:].T
+            codes = np.maximum(codes, 0)
+            assert (codes >= 0).all()
+            yield GenerateResponse(
+                action="sample", codes=codes.astype(np.int64), text=text
+            )
+
+        yield GenerateResponse(action="next")

@@ -1,0 +1,129 @@
+"""Sharding rules: map the DualAR params/state pytrees onto the (dp, tp) mesh.
+
+GSPMD-style design: we *annotate* every weight and cache array with a
+``NamedSharding`` and let XLA's SPMD partitioner insert the collectives.
+Layout (standard Megatron-style TP, per the scaling-book recipe):
+
+- attention: ``wqkv`` column-parallel over heads (last dim), ``wo``
+  row-parallel (first non-layer dim) — one psum per attention block;
+- FFN: ``w1``/``w3`` column-parallel over the hidden dim, ``w2``
+  row-parallel — one psum per FFN;
+- tied embedding / LM head: vocab-sharded (the top-k sampling reduction runs
+  over the sharded vocab axis; XLA lowers it to a per-shard top-k + an
+  all-gather of k candidates per shard);
+- KV caches: sharded over the KV-head axis (tp) and the batch axis (dp);
+- codebook/fast embeddings and norms: replicated (small, gather-heavy).
+
+The fast transformer uses the same rules as the slow one.  ``tp`` must divide
+``n_local_heads`` (GQA KV heads) and the FFN hidden dim.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from fish_tts_tpu.config import DualARConfig
+
+Params = dict[str, Any]
+
+
+def _layer_stack_specs(qk_norm: bool, qkv_bias: bool, o_bias: bool) -> Params:
+    """PartitionSpecs for one stacked transformer block-set.
+    Leading axis is the layer axis (never sharded)."""
+    specs: Params = {
+        "wqkv": P(None, None, "tp"),
+        "wo": P(None, "tp", None),
+        "w1": P(None, None, "tp"),
+        "w3": P(None, None, "tp"),
+        "w2": P(None, "tp", None),
+        "attention_norm": P(None, None),
+        "ffn_norm": P(None, None),
+    }
+    if qkv_bias:
+        specs["wqkv_b"] = P(None, "tp")
+    if o_bias:
+        specs["wo_b"] = P(None, None)
+    if qk_norm:
+        specs["q_norm"] = P(None, None)
+        specs["k_norm"] = P(None, None)
+    return specs
+
+
+def param_specs(cfg: DualARConfig) -> Params:
+    """PartitionSpec pytree matching ``dual_ar.init_params`` structure."""
+    specs: Params = {
+        "embeddings": P("tp", None),  # vocab-sharded tied head
+        "codebook_embeddings": P(None, None),
+        "layers": _layer_stack_specs(
+            cfg.attention_qk_norm, cfg.attention_qkv_bias, cfg.attention_o_bias
+        ),
+        "norm": P(None),
+        "fast_embeddings": P(None, None),
+        "fast_layers": _layer_stack_specs(
+            cfg.fast_attention_qk_norm,
+            cfg.fast_attention_qkv_bias,
+            cfg.fast_attention_o_bias,
+        ),
+        "fast_norm": P(None),
+        "fast_output": P(None, "tp"),
+    }
+    if not cfg.tie_word_embeddings:
+        specs["output"] = P(None, "tp")
+    if cfg.fast_dim != cfg.dim:
+        specs["fast_project_in"] = {"w": P(None, None), "b": P(None)}
+    return specs
+
+
+def state_specs() -> Params:
+    """PartitionSpecs for the decode-state pytree (engine/decode.py):
+    KV cache (L, B, Hkv, S, Dh) sharded over (dp batch, tp KV heads)."""
+    kv = P(None, "dp", "tp", None, None)
+    return {
+        "kv": {"k": kv, "v": kv},
+        "frame": P("dp", None),
+        "pos": P("dp"),
+        "prev": P("dp", None, None),
+        "step": P(),
+        "done": P("dp"),
+    }
+
+
+def rope_specs() -> Params:
+    return {"slow": P(None, None, None), "fast": P(None, None, None)}
+
+
+def _put(tree: Params, specs: Params, mesh: Mesh) -> Params:
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), tree, specs
+    )
+
+
+def shard_params(params: Params, cfg: DualARConfig, mesh: Mesh) -> Params:
+    """Place LM params on the mesh with TP shardings."""
+    tp = mesh.shape["tp"]
+    if cfg.n_local_heads % tp != 0:
+        raise ValueError(
+            f"tp={tp} must divide n_local_heads={cfg.n_local_heads}"
+        )
+    if cfg.intermediate_size % tp != 0:
+        raise ValueError(
+            f"tp={tp} must divide intermediate_size={cfg.intermediate_size}"
+        )
+    return _put(params, param_specs(cfg), mesh)
+
+
+def shard_state(state: Params, mesh: Mesh) -> Params:
+    return _put(state, state_specs(), mesh)
+
+
+def shard_rope(rope: Params, mesh: Mesh) -> Params:
+    return _put(rope, rope_specs(), mesh)
+
+
+def replicate(tree: Params, mesh: Mesh) -> Params:
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree
+    )

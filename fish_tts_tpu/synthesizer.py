@@ -1,0 +1,536 @@
+"""fish-tts-tpu synthesizer: the public API layer.
+
+API-compatible with the reference ``FishTTS``
+(/root/reference/fish_tts/synthesizer.py): ``get_instance``/``reset_instance``
+singleton, ``VoiceProfile`` with bit-compatible ``.npy`` save/load,
+``synthesize``/``synthesize_stream``, ``encode_reference``, and the
+``set/add/clear/get_references`` prefill cache — with the TPU-native upgrades:
+
+- references set via ``set_references`` are prefilled into a **reusable KV
+  prefix** on device; the reference re-encodes and re-prefills the whole
+  reference prompt on every call (inference.py:779-795), we do it once.
+- ``synthesize_stream`` pipelines LM decode and vocoder decode through JAX
+  **async dispatch** instead of the reference's thread + bounded queues
+  (synthesizer.py:508-527): the vocoder call for chunk *k* is enqueued on the
+  device before the host blocks on chunk *k+1*'s tokens, so the device queue
+  stays full without any host threading.
+- compilation is bucketized (prompt lengths, chunk sizes, vocoder lengths) so
+  warmup compiles a small closed set of programs — the analog of the
+  reference's Inductor disk cache bootstrap (synthesizer.py:24-38) is
+  ``utils/compile_cache.py``'s persistent XLA cache.
+"""
+
+from __future__ import annotations
+
+import logging
+import threading
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Iterator, Literal
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+# Singleton instance (reference synthesizer.py:42-44)
+_instance: "FishTTS | None" = None
+_instance_lock = threading.Lock()
+
+# Vocoder length buckets for chunked/batch decode (frames).
+_VOCODER_BUCKETS = (10, 20, 40, 80, 160, 320, 640, 1280, 2048)
+
+
+@dataclass
+class VoiceProfile:
+    """Voice profile containing encoded reference audio codes.
+
+    Bit-compatible with the reference profile format
+    (synthesizer.py:47-65): ``codes`` is ``(num_codebooks, seq_len)`` int64,
+    row 0 the semantic codebook; ``.npy`` round-trips unchanged (the shipped
+    ``gura_voice.npy`` loads directly).
+    """
+
+    codes: np.ndarray
+    text: str = ""
+    name: str = ""
+
+    def save(self, path: str | Path) -> None:
+        np.save(path, self.codes)
+
+    @classmethod
+    def load(cls, path: str | Path, text: str = "", name: str = "") -> "VoiceProfile":
+        codes = np.load(path)
+        if not name:
+            name = Path(path).stem
+        return cls(codes=codes, text=text, name=name)
+
+
+@dataclass
+class _PrefillCache:
+    """Reference store consulted when ``references=None``
+    (reference synthesizer.py:68-74)."""
+
+    prompt_text: list[str] = field(default_factory=list)
+    prompt_tokens: list[np.ndarray] = field(default_factory=list)
+    profiles: list[VoiceProfile] = field(default_factory=list)
+
+
+class FishTTS:
+    """TTS synthesizer: DualAR transformer + DAC vocoder on TPU.
+
+    Example:
+        synth = FishTTS(model_dir="/path/to/openaudio-s1-mini")
+        audio = synth.synthesize("Hello world!")
+
+        profile = synth.encode_reference(wav_bytes, "reference text")
+        audio = synth.synthesize("Nice to meet you", references=[profile])
+    """
+
+    def __init__(
+        self,
+        model_dir: str | Path | None = None,
+        device: Literal["tpu", "cpu", "cuda"] = "tpu",
+        precision: Literal["bf16", "fp16", "fp32"] = "bf16",
+        warmup: bool = True,
+        *,
+        _testing_bundle=None,
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        from fish_tts_tpu.utils.compile_cache import setup_compile_cache
+
+        setup_compile_cache()
+
+        self.device = device
+        self._precision = precision
+        self._is_warmed_up = False
+        self._prefill_cache = _PrefillCache()
+        self._prefill_lock = threading.Lock()
+
+        if precision == "bf16":
+            self._dtype = jnp.bfloat16
+        elif precision == "fp16":
+            self._dtype = jnp.float16
+        else:
+            self._dtype = jnp.float32
+
+        if device == "cpu":
+            jax.config.update("jax_platforms", "cpu")
+
+        if _testing_bundle is not None:
+            # Hermetic path: (cfg, params, tokenizer, vocoder_cfg, vocoder_params)
+            (self._cfg, params, self._tokenizer,
+             self._vocoder_cfg, self._vocoder_params) = _testing_bundle
+        else:
+            self._model_dir = self._ensure_model(model_dir)
+            (self._cfg, params, self._tokenizer,
+             self._vocoder_cfg, self._vocoder_params) = self._load_models()
+
+        from fish_tts_tpu.engine.generate import GenerationEngine
+        from fish_tts_tpu.models.dual_ar import cast_params
+
+        params = cast_params(params, self._dtype)
+        if self._vocoder_params is not None:
+            from fish_tts_tpu.models.dual_ar import cast_params as _cp
+
+            self._vocoder_params = _cp(self._vocoder_params, self._dtype)
+
+        self._engine = GenerationEngine(params, self._cfg, self._tokenizer)
+        self._vocoder_jit_cache: dict[int, object] = {}
+        self._encode_jit = None
+
+        if warmup:
+            self._run_warmup()
+
+    # ------------------------------------------------------------------
+    # Loading
+    # ------------------------------------------------------------------
+
+    def _ensure_model(self, model_dir: str | Path | None) -> Path:
+        """Locate model files (reference synthesizer.py:140-157)."""
+        if model_dir is not None:
+            return Path(model_dir)
+        cache_dir = Path.home() / ".cache" / "fish-tts-tpu" / "models"
+        repo_id = "fishaudio/openaudio-s1-mini"
+        local = cache_dir / repo_id.replace("/", "--")
+        if local.exists():
+            return local
+        try:
+            from huggingface_hub import snapshot_download
+
+            logger.info("Downloading model from %s", repo_id)
+            return Path(
+                snapshot_download(repo_id=repo_id, local_dir=str(local))
+            )
+        except Exception as e:  # pragma: no cover - network-dependent
+            raise RuntimeError(
+                f"Model not found locally and download failed ({e}). "
+                f"Pass model_dir= pointing at a checkpoint directory."
+            ) from e
+
+    def _load_models(self):
+        """Load LM + tokenizer + vocoder from a checkpoint dir.
+
+        Accepts either our native format (lm.safetensors/vocoder.safetensors)
+        or the reference torch pickles (model.pth/codec.pth), converting the
+        latter on the fly (key transforms per llama.py:477-498 and
+        synthesizer.py:272-284).
+        """
+        from fish_tts_tpu.config import DualARConfig, VocoderConfig
+        from fish_tts_tpu.models.tokenizer import FishTokenizer
+        from fish_tts_tpu.utils import checkpoint as ckpt
+
+        d = self._model_dir
+        t0 = time.perf_counter()
+        cfg = DualARConfig.from_json(d)
+        tokenizer = FishTokenizer.from_pretrained(d)
+
+        if (d / "lm.safetensors").exists():
+            params = ckpt.load_params(d / "lm.safetensors")
+        elif (d / "model.pth").exists():
+            params = ckpt.convert_lm_state_dict(
+                ckpt.load_torch_pickle(d / "model.pth"), cfg
+            )
+        else:
+            raise FileNotFoundError(f"No LM weights in {d}")
+        logger.info("Transformer loaded in %.1fs", time.perf_counter() - t0)
+
+        vocoder_cfg = VocoderConfig()
+        vocoder_params = None
+        if (d / "vocoder.safetensors").exists():
+            vocoder_params = ckpt.load_params(d / "vocoder.safetensors")
+        elif (d / "codec.pth").exists():
+            import torch
+
+            raw = torch.load(
+                str(d / "codec.pth"), map_location="cpu", weights_only=False
+            )
+            vocoder_params = ckpt.convert_vocoder_state_dict(raw, vocoder_cfg)
+        else:
+            logger.warning("codec weights not found, vocoder not loaded")
+
+        return cfg, params, tokenizer, vocoder_cfg, vocoder_params
+
+    # ------------------------------------------------------------------
+    # Warmup (reference synthesizer.py:295-323)
+    # ------------------------------------------------------------------
+
+    def _run_warmup(self) -> None:
+        logger.info("Running warmup (first run triggers XLA compilation)...")
+        t0 = time.perf_counter()
+        try:
+            for response in self._engine.generate_long(
+                "Hello.", max_new_tokens=50, temperature=0.7, top_p=0.8,
+                repetition_penalty=1.1,
+            ):
+                if response.action == "next":
+                    break
+            if self._vocoder_params is not None:
+                for bucket in (_VOCODER_BUCKETS[0], _VOCODER_BUCKETS[1]):
+                    dummy = np.zeros(
+                        (self._vocoder_cfg.num_codebooks, bucket), np.int64
+                    )
+                    self._decode_codes(dummy)
+            self._is_warmed_up = True
+            logger.info(
+                "Warmup complete in %.1fs (compilation cached)",
+                time.perf_counter() - t0,
+            )
+        except Exception as e:
+            logger.warning("Warmup failed: %s", e)
+
+    # ------------------------------------------------------------------
+    # Reference management (reference synthesizer.py:363-429)
+    # ------------------------------------------------------------------
+
+    def set_references(self, profiles: list[VoiceProfile]) -> None:
+        """Set voice profiles; prefills them into a reusable device KV prefix."""
+        with self._prefill_lock:
+            self._prefill_cache = _PrefillCache(
+                prompt_text=[p.text for p in profiles],
+                prompt_tokens=[np.asarray(p.codes) for p in profiles],
+                profiles=list(profiles),
+            )
+            self._engine.set_prefix(
+                self._prefill_cache.prompt_text, self._prefill_cache.prompt_tokens
+            )
+            logger.info("Set %d reference(s)", len(profiles))
+
+    def add_reference(self, profile: VoiceProfile) -> None:
+        with self._prefill_lock:
+            self._prefill_cache.profiles.append(profile)
+            self._prefill_cache.prompt_text.append(profile.text)
+            self._prefill_cache.prompt_tokens.append(np.asarray(profile.codes))
+            self._engine.set_prefix(
+                self._prefill_cache.prompt_text, self._prefill_cache.prompt_tokens
+            )
+            logger.info(
+                "Added reference '%s', total: %d",
+                profile.name, len(self._prefill_cache.profiles),
+            )
+
+    def clear_references(self) -> None:
+        with self._prefill_lock:
+            self._prefill_cache = _PrefillCache()
+            self._engine.clear_prefix()
+            logger.info("Cleared all references")
+
+    def get_references(self) -> list[VoiceProfile]:
+        with self._prefill_lock:
+            return list(self._prefill_cache.profiles)
+
+    @property
+    def num_references(self) -> int:
+        return len(self._prefill_cache.profiles)
+
+    def _get_prompt_data(
+        self, references: list[VoiceProfile] | None
+    ) -> tuple[list[str], list[np.ndarray], bool]:
+        """(texts, codes, use_cached_prefix) — cached prefix only applies when
+        the caller did not pass explicit references."""
+        if references is not None:
+            return (
+                [p.text for p in references],
+                [np.asarray(p.codes) for p in references],
+                False,
+            )
+        with self._prefill_lock:
+            if self._engine.has_prefix:
+                return [], [], True
+            return (
+                list(self._prefill_cache.prompt_text),
+                list(self._prefill_cache.prompt_tokens),
+                False,
+            )
+
+    # ------------------------------------------------------------------
+    # Synthesis (reference synthesizer.py:431-584)
+    # ------------------------------------------------------------------
+
+    def synthesize(
+        self,
+        text: str,
+        references: list[VoiceProfile] | None = None,
+        temperature: float = 0.7,
+        top_p: float = 0.8,
+        repetition_penalty: float = 1.1,
+        max_tokens: int = 2048,
+    ) -> bytes:
+        """Synthesize speech from text.  Returns WAV bytes."""
+        prompt_text, prompt_tokens, use_prefix = self._get_prompt_data(references)
+
+        codes_list = []
+        for response in self._engine.generate_long(
+            text,
+            max_new_tokens=max_tokens,
+            temperature=temperature,
+            top_p=top_p,
+            repetition_penalty=repetition_penalty,
+            prompt_text=prompt_text,
+            prompt_tokens=prompt_tokens,
+            use_prefix_cache=use_prefix,
+        ):
+            if response.action == "sample":
+                codes_list.append(response.codes)
+            elif response.action == "next":
+                break
+
+        if not codes_list or sum(c.shape[1] for c in codes_list) == 0:
+            raise RuntimeError("No audio generated")
+
+        codes = np.concatenate(codes_list, axis=1)
+        return self._decode_to_wav(codes)
+
+    def synthesize_stream(
+        self,
+        text: str,
+        references: list[VoiceProfile] | None = None,
+        chunk_tokens: int = 20,
+        min_first_chunk: int = 10,
+        **kwargs,
+    ) -> Iterator[bytes]:
+        """Streaming synthesis with async-dispatch pipelining.
+
+        Yields raw int16 PCM chunks (44.1 kHz mono).  Chunk thresholds match
+        the reference (synthesizer.py:497-498): first flush at
+        ``min_first_chunk`` tokens, then every ``chunk_tokens``.
+
+        Pipelining: each flushed chunk's vocoder decode is *dispatched* to the
+        device immediately but only *forced* after the next LM chunk has been
+        requested — the device works on the vocoder chunk while the host sets
+        up the next decode step, replacing the reference's decoder thread
+        (synthesizer.py:513-527).
+        """
+        prompt_text, prompt_tokens, use_prefix = self._get_prompt_data(references)
+
+        buffer: list[np.ndarray] = []
+        total = 0
+        is_first = True
+        in_flight = None  # device array of the previous chunk's audio
+
+        def flush(buffer):
+            codes = np.concatenate(buffer, axis=1)
+            return self._decode_codes_async(codes)
+
+        for response in self._engine.generate_long(
+            text,
+            max_new_tokens=kwargs.get("max_tokens", 2048),
+            temperature=kwargs.get("temperature", 0.7),
+            top_p=kwargs.get("top_p", 0.8),
+            repetition_penalty=kwargs.get("repetition_penalty", 1.1),
+            prompt_text=prompt_text,
+            prompt_tokens=prompt_tokens,
+            streaming=True,
+            use_prefix_cache=use_prefix,
+        ):
+            if response.action == "sample":
+                buffer.append(response.codes)
+                total += response.codes.shape[1]
+                threshold = min_first_chunk if is_first else chunk_tokens
+                if total >= threshold:
+                    if in_flight is not None:
+                        yield self._force_pcm(*in_flight)
+                    in_flight = flush(buffer)
+                    buffer = []
+                    total = 0
+                    is_first = False
+            elif response.action == "next":
+                if buffer:
+                    if in_flight is not None:
+                        yield self._force_pcm(*in_flight)
+                    in_flight = flush(buffer)
+                break
+
+        if in_flight is not None:
+            yield self._force_pcm(*in_flight)
+
+    # ------------------------------------------------------------------
+    # Vocoder plumbing
+    # ------------------------------------------------------------------
+
+    def _vocoder_decode_fn(self, bucket: int):
+        """Jitted vocoder decode for a given frame-count bucket."""
+        if bucket not in self._vocoder_jit_cache:
+            import jax
+
+            from fish_tts_tpu.models import vocoder as voc
+
+            cfg = self._vocoder_cfg
+            params = self._vocoder_params
+
+            self._vocoder_jit_cache[bucket] = jax.jit(
+                lambda c: voc.dac_decode(params, cfg, c)
+            )
+        return self._vocoder_jit_cache[bucket]
+
+    def _decode_codes_async(self, codes: np.ndarray):
+        """Dispatch vocoder decode without blocking.  Returns (device_audio,
+        n_frames) to be forced later."""
+        import jax.numpy as jnp
+
+        if self._vocoder_params is None:
+            raise RuntimeError("Vocoder not loaded")
+        n = codes.shape[-1]
+        bucket = next((b for b in _VOCODER_BUCKETS if b >= n), n)
+        padded = np.zeros((1, codes.shape[0], bucket), np.int32)
+        padded[0, :, :n] = codes
+        audio = self._vocoder_decode_fn(bucket)(jnp.asarray(padded))
+        return audio, n
+
+    def _force_pcm(self, audio, n_frames: int) -> bytes:
+        from fish_tts_tpu.utils.audio import to_pcm_bytes
+
+        arr = np.asarray(audio, dtype=np.float32)[0, 0]
+        arr = arr[: n_frames * self._vocoder_cfg.frame_length]
+        return to_pcm_bytes(arr)
+
+    def _decode_codes(self, codes: np.ndarray) -> np.ndarray:
+        """codes (K, n) -> float32 audio (reference _decode_codes,
+        synthesizer.py:597-611)."""
+        audio, n = self._decode_codes_async(codes)
+        arr = np.asarray(audio, dtype=np.float32)[0, 0]
+        return arr[: n * self._vocoder_cfg.frame_length]
+
+    def _decode_to_wav(self, codes: np.ndarray) -> bytes:
+        from fish_tts_tpu.utils.audio import to_wav_bytes
+
+        return to_wav_bytes(self._decode_codes(codes))
+
+    def _decode_to_pcm(self, codes: np.ndarray) -> bytes:
+        from fish_tts_tpu.utils.audio import to_pcm_bytes
+
+        return to_pcm_bytes(self._decode_codes(codes))
+
+    # ------------------------------------------------------------------
+    # Reference encoding (reference synthesizer.py:325-357)
+    # ------------------------------------------------------------------
+
+    def encode_reference(self, audio_bytes: bytes, text: str) -> VoiceProfile:
+        """Encode reference WAV audio into a voice profile."""
+        import jax
+        import jax.numpy as jnp
+
+        from fish_tts_tpu.models import vocoder as voc
+        from fish_tts_tpu.utils.audio import read_wav
+
+        if self._vocoder_params is None:
+            raise RuntimeError("Vocoder not loaded")
+
+        audio = read_wav(audio_bytes)
+        if self._encode_jit is None:
+            params, cfg = self._vocoder_params, self._vocoder_cfg
+            self._encode_jit = jax.jit(
+                lambda a: voc.dac_encode(params, cfg, a)
+            )
+        # Pad audio to a frame multiple on the host so the jitted encode sees
+        # a bounded set of shapes (frame buckets).
+        fl = self._vocoder_cfg.frame_length
+        n_frames = max(1, -(-len(audio) // fl))
+        bucket = next((b for b in _VOCODER_BUCKETS if b >= n_frames), n_frames)
+        padded = np.zeros((1, 1, bucket * fl), np.float32)
+        padded[0, 0, : len(audio)] = audio
+        indices = self._encode_jit(jnp.asarray(padded))
+        codes = np.asarray(indices)[0, :, :n_frames].astype(np.int64)
+        return VoiceProfile(codes=codes, text=text)
+
+    # ------------------------------------------------------------------
+
+    @property
+    def sample_rate(self) -> int:
+        return 44100
+
+    @property
+    def precision(self) -> str:
+        return self._precision
+
+
+def get_instance(
+    model_dir: str | Path | None = None,
+    device: Literal["tpu", "cpu", "cuda"] = "tpu",
+    precision: Literal["bf16", "fp16", "fp32"] = "bf16",
+    warmup: bool = True,
+) -> FishTTS:
+    """Get or create the singleton FishTTS instance (reference
+    synthesizer.py:661-710: double-checked lock, one model per process)."""
+    global _instance
+    if _instance is not None:
+        return _instance
+    with _instance_lock:
+        if _instance is not None:
+            return _instance
+        logger.info("Creating singleton FishTTS instance...")
+        _instance = FishTTS(
+            model_dir=model_dir, device=device, precision=precision, warmup=warmup
+        )
+        return _instance
+
+
+def reset_instance() -> None:
+    """Reset the singleton instance (reference synthesizer.py:713-719)."""
+    global _instance
+    with _instance_lock:
+        if _instance is not None:
+            logger.info("Resetting singleton FishTTS instance")
+            _instance = None

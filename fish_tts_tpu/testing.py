@@ -1,0 +1,49 @@
+"""Hermetic test fixtures: a fully functional tiny FishTTS with random
+weights and a byte-level tokenizer — no checkpoints, no network, CPU-sized.
+
+Used by tests/ and by bench.py's --tiny mode.  The tiny config keeps every
+architectural feature of the real model (DualAR fast loop, GRVQ vocoder,
+window-limited transformers) at 1/1000 the size.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+
+
+def make_tiny_bundle(seed: int = 0, dtype=jnp.float32):
+    """(cfg, params, tokenizer, vocoder_cfg, vocoder_params) for FishTTS."""
+    from fish_tts_tpu.config import TINY_CONFIG, TINY_VOCODER_CONFIG
+    from fish_tts_tpu.models import dual_ar, vocoder
+    from fish_tts_tpu.models.tokenizer import (
+        FishTokenizer,
+        tiny_special_tokens,
+        write_tiny_vocab,
+    )
+
+    d = Path(tempfile.mkdtemp(prefix="fish_tts_tiny_"))
+    write_tiny_vocab(d / "tokenizer.tiktoken")
+    cfg = TINY_CONFIG
+    tokenizer = FishTokenizer(
+        d / "tokenizer.tiktoken", tiny_special_tokens(cfg.codebook_size)
+    )
+    params = dual_ar.init_params(jax.random.PRNGKey(seed), cfg, dtype=dtype)
+    vcfg = TINY_VOCODER_CONFIG
+    vparams = vocoder.init_vocoder_params(jax.random.PRNGKey(seed + 1), vcfg, dtype=dtype)
+    return cfg, params, tokenizer, vcfg, vparams
+
+
+def make_tiny_tts(seed: int = 0, warmup: bool = False):
+    """A ready FishTTS running the tiny config on the current platform."""
+    from fish_tts_tpu.synthesizer import FishTTS
+
+    return FishTTS(
+        device="cpu" if jax.default_backend() == "cpu" else "tpu",
+        precision="fp32",
+        warmup=warmup,
+        _testing_bundle=make_tiny_bundle(seed),
+    )

@@ -1,0 +1,99 @@
+"""Profiling and metrics: per-phase timers, throughput/RTF/TTFA counters.
+
+Replaces the reference's manual ``time.perf_counter`` +
+``torch.cuda.synchronize`` spans (scripts/benchmark.py:114-171) with a small
+timer registry plus optional ``jax.profiler`` traces.  Metrics are engine
+first-class: the synthesizer records prefill / decode / vocoder spans on
+every call.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from collections import defaultdict
+from dataclasses import dataclass, field
+
+AUDIO_TOKENS_PER_SEC = 44100 / 2048  # reference vocoder.py:854,871-872
+
+
+@dataclass
+class PhaseStats:
+    total_s: float = 0.0
+    count: int = 0
+
+    @property
+    def mean_s(self) -> float:
+        return self.total_s / self.count if self.count else 0.0
+
+
+@dataclass
+class Metrics:
+    """Per-process metrics registry."""
+
+    phases: dict[str, PhaseStats] = field(
+        default_factory=lambda: defaultdict(PhaseStats)
+    )
+    tokens_generated: int = 0
+    audio_seconds: float = 0.0
+
+    @contextlib.contextmanager
+    def span(self, name: str, block_on=None):
+        """Time a phase; pass ``block_on`` (a jax array/pytree) to include
+        device completion via block_until_ready."""
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            if block_on is not None:
+                import jax
+
+                jax.block_until_ready(block_on)
+            st = self.phases[name]
+            st.total_s += time.perf_counter() - t0
+            st.count += 1
+
+    def record_tokens(self, n: int) -> None:
+        self.tokens_generated += n
+        self.audio_seconds += n / AUDIO_TOKENS_PER_SEC
+
+    @property
+    def tokens_per_sec(self) -> float:
+        d = self.phases.get("decode")
+        return self.tokens_generated / d.total_s if d and d.total_s else 0.0
+
+    @property
+    def rtf(self) -> float:
+        """Real-time factor over all timed phases (lower is better)."""
+        total = sum(p.total_s for p in self.phases.values())
+        return total / self.audio_seconds if self.audio_seconds else 0.0
+
+    def summary(self) -> dict:
+        return {
+            "tokens": self.tokens_generated,
+            "audio_s": round(self.audio_seconds, 2),
+            "tokens_per_sec": round(self.tokens_per_sec, 1),
+            "rtf": round(self.rtf, 4),
+            "phases": {
+                k: {"total_s": round(v.total_s, 3), "count": v.count,
+                    "mean_ms": round(v.mean_s * 1e3, 2)}
+                for k, v in self.phases.items()
+            },
+        }
+
+    def reset(self) -> None:
+        self.phases.clear()
+        self.tokens_generated = 0
+        self.audio_seconds = 0.0
+
+
+@contextlib.contextmanager
+def device_trace(log_dir: str):
+    """jax.profiler trace context (view with TensorBoard / xprof)."""
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()

@@ -1,0 +1,25 @@
+#!/usr/bin/env python3
+"""Convert a reference checkpoint directory (config.json + model.pth +
+codec.pth + tokenizer.tiktoken) to fish-tts-tpu native format
+(lm.safetensors + vocoder.safetensors, torch-free at load time).
+
+Usage: python scripts/convert_checkpoint.py <model_dir> <out_dir>
+"""
+
+import argparse
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("model_dir")
+    ap.add_argument("out_dir")
+    args = ap.parse_args()
+
+    from fish_tts_tpu.utils.checkpoint import convert_checkpoint_dir
+
+    convert_checkpoint_dir(args.model_dir, args.out_dir)
+    print(f"Converted {args.model_dir} -> {args.out_dir}")
+
+
+if __name__ == "__main__":
+    main()

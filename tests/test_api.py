@@ -1,0 +1,158 @@
+"""Public-API tests: FishTTS, VoiceProfile, singleton, streaming thresholds.
+
+These mirror the behaviors the reference's (broken) test scripts intended to
+cover (SURVEY §4): singleton identity, reference management counts, VoiceProfile
+round-trip, streaming chunking — done hermetically on the tiny model.
+"""
+
+import numpy as np
+import pytest
+
+import fish_tts_tpu
+from fish_tts_tpu import FishTTS, VoiceProfile
+from fish_tts_tpu.testing import make_tiny_tts
+
+
+@pytest.fixture(scope="module")
+def tts():
+    return make_tiny_tts()
+
+
+def test_voice_profile_npy_roundtrip(tmp_path):
+    codes = np.random.randint(0, 48, (4, 30)).astype(np.int64)
+    p = VoiceProfile(codes=codes, text="hello", name="test")
+    path = tmp_path / "voice.npy"
+    p.save(path)
+    loaded = VoiceProfile.load(path, text="hello")
+    np.testing.assert_array_equal(loaded.codes, codes)
+    assert loaded.codes.dtype == np.int64
+    assert loaded.name == "voice"  # stem default (reference synthesizer.py:63)
+
+
+def test_gura_profile_loads():
+    """The reference's shipped voice profile loads bit-identically."""
+    p = VoiceProfile.load("/root/reference/gura_voice.npy", text="x")
+    assert p.codes.shape == (10, 661)
+    assert p.codes.dtype == np.int64
+    assert 0 <= p.codes[0].min() and p.codes[0].max() < 4096
+    assert p.codes[1:].max() < 1024
+
+
+def test_synthesize_returns_wav(tts):
+    wav = tts.synthesize("Hello world", max_tokens=24)
+    assert wav[:4] == b"RIFF"
+    assert wav[8:12] == b"WAVE"
+    # 44.1 kHz mono 16-bit
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(wav)) as wf:
+        assert wf.getframerate() == 44100
+        assert wf.getnchannels() == 1
+        assert wf.getsampwidth() == 2
+        # sample count = frames * frame_length
+        assert wf.getnframes() % tts._vocoder_cfg.frame_length == 0
+
+
+def test_synthesize_with_references(tts):
+    codes = np.random.randint(0, 24, (tts._cfg.num_codebooks, 12)).astype(np.int64)
+    codes[0] = np.random.randint(0, 48, 12)
+    prof = VoiceProfile(codes=codes, text="ref text")
+    wav = tts.synthesize("cloned", references=[prof], max_tokens=16)
+    assert wav[:4] == b"RIFF"
+
+
+def test_reference_management(tts):
+    tts.clear_references()
+    assert tts.num_references == 0
+    codes = np.random.randint(0, 24, (tts._cfg.num_codebooks, 8)).astype(np.int64)
+    p1 = VoiceProfile(codes=codes, text="a", name="p1")
+    p2 = VoiceProfile(codes=codes, text="b", name="p2")
+    tts.set_references([p1])
+    assert tts.num_references == 1
+    assert tts._engine.has_prefix
+    tts.add_reference(p2)
+    assert tts.num_references == 2
+    assert [p.name for p in tts.get_references()] == ["p1", "p2"]
+    tts.clear_references()
+    assert tts.num_references == 0
+    assert not tts._engine.has_prefix
+
+
+def test_prefix_cache_used_in_synthesize(tts):
+    codes = np.random.randint(0, 24, (tts._cfg.num_codebooks, 8)).astype(np.int64)
+    tts.set_references([VoiceProfile(codes=codes, text="ref")])
+    wav = tts.synthesize("with prefix", max_tokens=16)
+    assert wav[:4] == b"RIFF"
+    tts.clear_references()
+
+
+def test_streaming_yields_pcm_chunks(tts):
+    chunks = list(tts.synthesize_stream("stream me", max_tokens=32))
+    assert len(chunks) >= 1
+    fl = tts._vocoder_cfg.frame_length
+    # Each chunk is int16 PCM of whole frames; first chunk >= min_first_chunk
+    # frames unless generation ended first.
+    sizes = [len(c) // 2 for c in chunks]
+    assert all(s % fl == 0 for s in sizes)
+    total_frames = sum(s // fl for s in sizes)
+    assert total_frames >= 1
+    # Streaming includes the EOS frame (reference quirk): streaming total can
+    # exceed batch mode's (which strips the final frame).
+
+
+def test_streaming_first_chunk_threshold(tts):
+    chunks = list(
+        tts.synthesize_stream("threshold test", max_tokens=40, min_first_chunk=10)
+    )
+    fl = tts._vocoder_cfg.frame_length
+    if len(chunks) >= 2:  # generation long enough to flush twice
+        first_frames = len(chunks[0]) // 2 // fl
+        assert first_frames >= 10
+
+
+def test_singleton_identity(monkeypatch):
+    import fish_tts_tpu.synthesizer as synth_mod
+
+    synth_mod.reset_instance()
+    created = []
+    real_init = synth_mod.FishTTS.__init__
+
+    def fake_init(self, *a, **k):
+        from fish_tts_tpu.testing import make_tiny_bundle
+
+        k["_testing_bundle"] = make_tiny_bundle()
+        k["warmup"] = False
+        created.append(1)
+        real_init(self, *a, **k)
+
+    monkeypatch.setattr(synth_mod.FishTTS, "__init__", fake_init)
+    a = synth_mod.get_instance()
+    b = synth_mod.get_instance()
+    assert a is b
+    assert len(created) == 1
+    synth_mod.reset_instance()
+    c = synth_mod.get_instance()
+    assert c is not a
+    synth_mod.reset_instance()
+
+
+def test_encode_reference_roundtrip(tts):
+    """WAV in -> VoiceProfile with (num_codebooks, n_frames) codes."""
+    from fish_tts_tpu.utils.audio import to_wav_bytes
+
+    fl = tts._vocoder_cfg.frame_length
+    audio = np.sin(np.linspace(0, 440 * 2 * np.pi, 3 * fl)).astype(np.float32) * 0.5
+    wav = to_wav_bytes(audio)
+    prof = tts.encode_reference(wav, "test transcript")
+    assert prof.codes.shape == (tts._vocoder_cfg.num_codebooks, 3)
+    assert prof.codes.dtype == np.int64
+    assert prof.text == "test transcript"
+    assert prof.codes[0].max() < tts._vocoder_cfg.semantic_codebook_size
+    assert prof.codes[1:].max() < tts._vocoder_cfg.residual_codebook_size
+
+
+def test_public_exports():
+    assert set(fish_tts_tpu.__all__) == {
+        "FishTTS", "VoiceProfile", "get_instance", "reset_instance"
+    }
