@@ -229,6 +229,7 @@ class EngineConfig:
     decode_chunk: int = 20
     first_chunk: int = 10
     sample_top_k: int = 1024
+    approx_top_k: bool = True
     rep_penalty_window: int = 16
     max_new_tokens: int = 2048
     # Parallelism

@@ -87,6 +87,7 @@ def _sample_frame(
     prev: jnp.ndarray | None,  # (B, 1+K, W) circular window, or None (prefill)
     step: jnp.ndarray | None,  # scalar step index (for the column quirk)
     top_k: int,
+    approx: bool = False,
 ) -> jnp.ndarray:
     """Sample one full (1+K)-row frame (reference decode_one_token_ar,
     inference.py:83-155).  Returns (B, 1+K) int32."""
@@ -102,7 +103,7 @@ def _sample_frame(
         )  # (B, 1+K)
     token = sample(
         k_slow, logits, temperature, top_p, repetition_penalty,
-        prev_idx=prev_col, top_k=top_k,
+        prev_idx=prev_col, top_k=top_k, approx=approx,
     )  # (B,)
 
     # Fast transformer: fresh cache each frame (= reference's zeroing,
@@ -114,7 +115,11 @@ def _sample_frame(
     cache = dual_ar.new_fast_cache(params, cfg, B)
     _, cache = dual_ar.fast_step(params, cfg, rope, h_fast, jnp.int32(0), cache)
 
-    a = jnp.maximum(token - ids.semantic_begin, 0)  # (B,) inference.py:123-124
+    # a = token - semantic_begin, clamped at 0 (inference.py:123-124).  The
+    # upper clamp has no effect with the real vocab layout (semantic tokens
+    # are the last special block, so token <= semantic_end always); it guards
+    # small test vocabs where ids above semantic_end exist.
+    a = jnp.clip(token - ids.semantic_begin, 0, cfg.codebook_size - 1)  # (B,)
     emb = params["fast_embeddings"][a][:, None]  # (B, 1, Df)
 
     def fast_body(carry, inp):
@@ -153,7 +158,7 @@ def _sample_frame(
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "ids", "top_k"),
+    static_argnames=("cfg", "ids", "top_k", "approx"),
     donate_argnames=("state",),
 )
 def prefill(
@@ -170,6 +175,7 @@ def prefill(
     cfg: DualARConfig,
     ids: TokenIds,
     top_k: int = 0,
+    approx: bool = False,
 ) -> tuple[State, jnp.ndarray]:
     """Whole-prompt forward at positions ``state.pos + [0, Tb)`` + first frame.
 
@@ -186,13 +192,21 @@ def prefill(
     offset = state["pos"]  # (B,)
 
     positions = offset[:, None] + jnp.arange(Tb, dtype=jnp.int32)[None]  # (B, Tb)
+    # Cache is valid strictly below the write offset (prefix-reuse rows);
+    # the block itself is causally masked among its own T tokens.
     k_pos = jnp.arange(S, dtype=jnp.int32)
-    bias = jnp.where(
-        k_pos[None, None, None, :] <= positions[:, None, :, None], 0.0, _NEG_INF
-    ).astype(jnp.float32)  # (B, 1, Tb, S)
+    cache_bias = jnp.where(
+        k_pos[None, None, None, :] < offset[:, None, None, None], 0.0, _NEG_INF
+    ).astype(jnp.float32)  # (B, 1, 1->Tb, S)
+    cache_bias = jnp.broadcast_to(cache_bias, (B, 1, Tb, S))
+    t_idx = jnp.arange(Tb, dtype=jnp.int32)
+    block_bias = jnp.where(
+        t_idx[None, :] <= t_idx[:, None], 0.0, _NEG_INF
+    )[None, None].astype(jnp.float32)  # (1, 1, Tb, Tb)
 
     hidden, kv = dual_ar.slow_forward(
-        params, cfg, ids, rope, prompt, positions, state["kv"], bias
+        params, cfg, ids, rope, prompt, positions, state["kv"],
+        cache_bias, block_bias,
     )
     # Hidden at the last real position (reference slices to the last position
     # before the LM head, llama.py:443-444; ours is lengths-1 due to padding).
@@ -203,7 +217,7 @@ def prefill(
     frame = _sample_frame(
         params, cfg, ids, rope, key, hidden_last, logits,
         temperature, top_p, repetition_penalty,
-        prev=None, step=None, top_k=top_k,
+        prev=None, step=None, top_k=top_k, approx=approx,
     )
 
     new_state = {
@@ -233,6 +247,7 @@ def _decode_one(
     top_p: jnp.ndarray,
     repetition_penalty: jnp.ndarray,
     top_k: int,
+    approx: bool = False,
 ) -> tuple[State, jnp.ndarray, jnp.ndarray]:
     """One decode step.  Returns (state, frame (B, 1+K), emitted (B,))."""
     B = state["frame"].shape[0]
@@ -241,20 +256,23 @@ def _decode_one(
 
     inp = state["frame"][:, :, None]  # (B, 1+K, 1)
     positions = pos[:, None]  # (B, 1)
+    # Cache valid strictly below pos; the current token is the block self-key.
     k_pos = jnp.arange(S, dtype=jnp.int32)
-    bias = jnp.where(
-        k_pos[None, None, None, :] <= pos[:, None, None, None], 0.0, _NEG_INF
+    cache_bias = jnp.where(
+        k_pos[None, None, None, :] < pos[:, None, None, None], 0.0, _NEG_INF
     ).astype(jnp.float32)  # (B, 1, 1, S)
+    block_bias = jnp.zeros((1, 1, 1, 1), jnp.float32)
 
     hidden, kv = dual_ar.slow_forward(
-        params, cfg, ids, rope, inp, positions, state["kv"], bias
+        params, cfg, ids, rope, inp, positions, state["kv"],
+        cache_bias, block_bias,
     )
     logits = dual_ar.lm_logits(params, cfg, hidden)[:, -1]  # (B, V)
 
     frame = _sample_frame(
         params, cfg, ids, rope, key, hidden, logits,
         temperature, top_p, repetition_penalty,
-        prev=state["prev"], step=state["step"], top_k=top_k,
+        prev=state["prev"], step=state["step"], top_k=top_k, approx=approx,
     )
 
     was_done = state["done"]
@@ -286,7 +304,7 @@ def _decode_one(
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "ids", "num_frames", "top_k"),
+    static_argnames=("cfg", "ids", "num_frames", "top_k", "approx"),
     donate_argnames=("state",),
 )
 def decode_chunk(
@@ -302,6 +320,7 @@ def decode_chunk(
     ids: TokenIds,
     num_frames: int,
     top_k: int = 0,
+    approx: bool = False,
 ) -> tuple[State, jnp.ndarray, jnp.ndarray]:
     """Decode ``num_frames`` frames in one device call via ``lax.scan``.
 
@@ -318,7 +337,7 @@ def decode_chunk(
         st = carry
         st, frame, emitted = _decode_one(
             params, cfg, ids, rope, st, k,
-            temperature, top_p, repetition_penalty, top_k,
+            temperature, top_p, repetition_penalty, top_k, approx,
         )
         return st, (frame, emitted)
 

@@ -168,6 +168,7 @@ class GenerationEngine:
             jnp.float32(temperature), jnp.float32(top_p),
             jnp.float32(repetition_penalty),
             cfg=self.cfg, ids=self.ids, top_k=self.engine_cfg.sample_top_k,
+            approx=self.engine_cfg.approx_top_k,
         )
         if sample:
             return state, first
@@ -271,7 +272,7 @@ class GenerationEngine:
                 self.params, self.rope, state, self._next_key(),
                 t_dev, p_dev, r_dev,
                 cfg=cfg, ids=self.ids, num_frames=n,
-                top_k=ecfg.sample_top_k,
+                top_k=ecfg.sample_top_k, approx=ecfg.approx_top_k,
             )
             frames_np = np.asarray(frames)  # (1, n, 1+K)
             emitted_np = np.asarray(emitted)[0]  # (n,)
@@ -304,3 +305,91 @@ class GenerationEngine:
             )
 
         yield GenerateResponse(action="next")
+
+    # -- batched serving ---------------------------------------------------
+
+    def generate_batch(
+        self,
+        texts: list[str],
+        *,
+        max_new_tokens: int = 0,
+        top_p: float = 0.8,
+        repetition_penalty: float = 1.1,
+        temperature: float = 0.8,
+        prompt_text: list[str] | None = None,
+        prompt_tokens: list[np.ndarray] | None = None,
+    ) -> list[np.ndarray]:
+        """Decode several utterances in one batched device program
+        (green-field vs the reference, which hard-codes batch 1 at
+        inference.py:314, 676).  All streams share the sampling params and the
+        same voice references; each stream stops at its own EOS.
+
+        Returns one ``(num_codebooks, n_b)`` code array per text, with the
+        final frame stripped as in single-utterance batch mode.
+        """
+        assert 0 < top_p <= 1 and 0 < repetition_penalty < 2 and 0 < temperature < 2
+        if not texts:
+            return []
+        cfg, ecfg = self.cfg, self.engine_cfg
+        prompt_text = prompt_text or []
+        prompt_tokens = prompt_tokens or []
+
+        encs = [
+            build_prompt(
+                self.tokenizer, t, cfg.num_codebooks,
+                prompt_texts=prompt_text, prompt_codes=prompt_tokens,
+            )
+            for t in texts
+        ]
+        B = len(texts)
+        lengths = np.array([e.values.shape[1] for e in encs], np.int32)
+        cap = cfg.max_seq_len - 1
+        bucket = _pick_bucket(ecfg.prompt_buckets, int(lengths.max()), cap)
+        prompt = np.zeros((B, 1 + cfg.num_codebooks, bucket), np.int32)
+        for b, e in enumerate(encs):
+            prompt[b, :, : e.values.shape[1]] = e.values
+
+        reserve = min(2048, cfg.max_seq_len // 2)
+        if lengths.max() > cfg.max_seq_len - reserve:
+            raise ValueError(f"Prompt is too long: {lengths.max()}")
+
+        if max_new_tokens:
+            max_new = min(max_new_tokens, cfg.max_seq_len - int(lengths.max()))
+        else:
+            max_new = cfg.max_seq_len - int(lengths.max())
+
+        state = decode_mod.init_state(self.params, cfg, batch=B)
+        state, first = decode_mod.prefill(
+            self.params, self.rope, state,
+            jnp.asarray(prompt), jnp.asarray(lengths),
+            self._next_key(),
+            jnp.float32(temperature), jnp.float32(top_p),
+            jnp.float32(repetition_penalty),
+            cfg=cfg, ids=self.ids, top_k=ecfg.sample_top_k,
+            approx=ecfg.approx_top_k,
+        )
+
+        frames_all = [np.asarray(first)[:, None, :]]  # list of (B, n, 1+K)
+        emitted_all = [np.ones((B, 1), bool)]
+        produced = 1
+        while produced < max_new and not bool(np.asarray(state["done"]).all()):
+            state, frames, emitted = decode_mod.decode_chunk(
+                self.params, self.rope, state, self._next_key(),
+                jnp.float32(temperature), jnp.float32(top_p),
+                jnp.float32(repetition_penalty),
+                cfg=cfg, ids=self.ids, num_frames=ecfg.decode_chunk,
+                top_k=ecfg.sample_top_k, approx=ecfg.approx_top_k,
+            )
+            n = min(ecfg.decode_chunk, max_new - produced)
+            frames_all.append(np.asarray(frames)[:, :n])
+            emitted_all.append(np.asarray(emitted)[:, :n])
+            produced += n
+
+        frames = np.concatenate(frames_all, axis=1)  # (B, N, 1+K)
+        emitted = np.concatenate(emitted_all, axis=1)  # (B, N)
+        out = []
+        for b in range(B):
+            fb = frames[b, emitted[b]]  # (n_b, 1+K)
+            codes = fb[:-1, 1:].T if fb.shape[0] > 1 else fb[:0, 1:].T
+            out.append(np.maximum(codes, 0).astype(np.int64))
+        return out

@@ -39,7 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from fish_tts_tpu.config import DualARConfig
-from fish_tts_tpu.ops.attention import gqa_attention
+from fish_tts_tpu.ops.attention import gqa_attention, gqa_attention_two_part
 from fish_tts_tpu.ops.norms import rms_norm, swiglu
 from fish_tts_tpu.ops.rope import apply_rotary_emb, precompute_freqs_cis
 
@@ -202,32 +202,35 @@ def _block_body(
     x: jnp.ndarray,
     cfg: DualARConfig,
     freqs: jnp.ndarray,
-    bias: jnp.ndarray,
+    block_bias: jnp.ndarray,
     k_cache: jnp.ndarray | None,
     v_cache: jnp.ndarray | None,
-    positions: jnp.ndarray | None,
+    cache_bias: jnp.ndarray | None,
 ):
     """One pre-norm transformer block (reference llama.py:312-331).
 
-    If ``k_cache``/``v_cache`` (B, Hkv, S, Dh) are given, new K/V are scattered
-    in at ``positions`` (B, T) and attention runs over the full cache length;
-    otherwise attention runs over the current block only.
-    Returns (x, new_k_cache, new_v_cache).
+    Cached attention is split into two key sets so the cache is *read-only*
+    here (the caller scatters the new rows in afterwards — avoiding a full
+    cache copy through the layer scan's stacked outputs every step):
+
+    - the cache (B, Hkv, S, Dh) under ``cache_bias`` (must mask positions not
+      yet written, i.e. ``k_pos < write offset``, strictly),
+    - the current block's own K/V (B, Hkv, T, Dh) under ``block_bias``
+      (causal within the block).
+
+    Softmax runs jointly over both key sets (exact attention).
+    Returns (x, new_k (B, Hkv, T, Dh), new_v).
     """
     h = rms_norm(x, lp["attention_norm"], cfg.norm_eps)
     q, k, v = _attn_qkv(lp, h, cfg, freqs)
 
     if k_cache is not None:
-        B = x.shape[0]
-        b_idx = jnp.arange(B)[:, None]
-        # scatter (B, Hkv, T, Dh) into (B, Hkv, S, Dh) at positions (B, T)
-        k_cache = k_cache.at[b_idx, :, positions].set(jnp.swapaxes(k, 1, 2))
-        v_cache = v_cache.at[b_idx, :, positions].set(jnp.swapaxes(v, 1, 2))
-        k_full, v_full = k_cache, v_cache
+        attn = gqa_attention_two_part(
+            q, k_cache, v_cache, cache_bias, k, v, block_bias
+        )
     else:
-        k_full, v_full = k, v
+        attn = gqa_attention(q, k, v, block_bias)
 
-    attn = gqa_attention(q, k_full, v_full, bias)
     B, H, T, Dh = attn.shape
     attn = jnp.swapaxes(attn, 1, 2).reshape(B, T, H * Dh)
     o = attn @ lp["wo"]
@@ -235,7 +238,7 @@ def _block_body(
         o = o + lp["wo_b"]
     x = x + o
     x = x + swiglu(rms_norm(x, lp["ffn_norm"], cfg.norm_eps), lp["w1"], lp["w3"], lp["w2"])
-    return x, k_cache, v_cache
+    return x, k, v
 
 
 def transformer_stack(
@@ -246,8 +249,16 @@ def transformer_stack(
     bias: jnp.ndarray,
     kv_cache: Params | None,
     positions: jnp.ndarray | None,
+    cache_bias: jnp.ndarray | None = None,
+    unroll: int = 1,
 ):
     """Run all layers via ``lax.scan`` over the stacked layer axis.
+
+    With a cache: the scan reads cache slices per layer and emits only the
+    new (B, Hkv, T, Dh) rows; a single scatter after the scan writes all
+    layers' rows into the (donated) cache in place.  This keeps per-step HBM
+    traffic at [read cache] + [write T rows] instead of [read + rewrite the
+    entire cache] (235 MB/frame at S1-mini shapes).
 
     Returns (x, new_kv_cache).
     """
@@ -257,16 +268,29 @@ def transformer_stack(
             y, _, _ = _block_body(lp, carry, cfg, freqs, bias, None, None, None)
             return y, None
 
-        x, _ = jax.lax.scan(body, x, stack_params)
+        x, _ = jax.lax.scan(body, x, stack_params, unroll=unroll)
         return x, None
 
     def body(carry, inputs):
         lp, kc, vc = inputs
-        y, kc, vc = _block_body(lp, carry, cfg, freqs, bias, kc, vc, positions)
-        return y, (kc, vc)
+        y, new_k, new_v = _block_body(
+            lp, carry, cfg, freqs, bias, kc, vc, cache_bias
+        )
+        return y, (new_k, new_v)
 
-    x, (ks, vs) = jax.lax.scan(body, x, (stack_params, kv_cache["k"], kv_cache["v"]))
-    return x, {"k": ks, "v": vs}
+    x, (new_ks, new_vs) = jax.lax.scan(
+        body, x, (stack_params, kv_cache["k"], kv_cache["v"]), unroll=unroll
+    )
+    # new_ks: (L, B, Hkv, T, Dh) -> scatter into (L, B, Hkv, S, Dh) at
+    # positions (B, T).  Advanced indices (b, positions) with slices between
+    # move to the front: target view (B, T, L, Hkv, Dh).
+    B = x.shape[0]
+    b_idx = jnp.arange(B)[:, None]
+    rows_k = jnp.transpose(new_ks, (1, 3, 0, 2, 4))  # (B, T, L, Hkv, Dh)
+    rows_v = jnp.transpose(new_vs, (1, 3, 0, 2, 4))
+    k_out = kv_cache["k"].at[:, b_idx, :, positions].set(rows_k)
+    v_out = kv_cache["v"].at[:, b_idx, :, positions].set(rows_v)
+    return x, {"k": k_out, "v": v_out}
 
 
 # ---------------------------------------------------------------------------
@@ -308,7 +332,8 @@ def slow_forward(
     inp: jnp.ndarray,  # (B, 1+K, T)
     positions: jnp.ndarray,  # (B, T) absolute positions
     kv_cache: Params,
-    attn_len_bias: jnp.ndarray,  # additive bias (B, 1, T, S)
+    cache_bias: jnp.ndarray,  # (B, 1, T, S): mask k_pos >= valid cache length
+    block_bias: jnp.ndarray,  # (B|1, 1, T, T): causal within this block
 ):
     """Slow-transformer forward writing into the KV cache.
 
@@ -319,16 +344,22 @@ def slow_forward(
     x = embed_inputs(params, cfg, ids, inp)
     freqs = rope["slow"][positions]  # (B, T, D/2, 2)
     x, kv_cache = transformer_stack(
-        params["layers"], x, cfg, freqs, attn_len_bias, kv_cache, positions
+        params["layers"], x, cfg, freqs, block_bias, kv_cache, positions,
+        cache_bias=cache_bias,
     )
     return x, kv_cache
 
 
 def lm_logits(params: Params, cfg: DualARConfig, hidden: jnp.ndarray) -> jnp.ndarray:
-    """Final norm + (tied) LM head (reference llama.py:446-451)."""
+    """Final norm + (tied) LM head (reference llama.py:446-451).
+
+    The tied head contracts against the embedding table's last axis directly
+    (einsum, not ``@ emb.T``) so XLA never materializes a transposed copy of
+    the 150k x 1k table.
+    """
     h = rms_norm(hidden, params["norm"], cfg.norm_eps)
     if cfg.tie_word_embeddings:
-        return h @ params["embeddings"].T
+        return jnp.einsum("btd,vd->btv", h, params["embeddings"])
     return h @ params["output"]
 
 
@@ -356,16 +387,26 @@ def fast_step(
     fast_cache: Params,
 ):
     """One fast-transformer step at codebook position ``pos``
-    (reference llama.py:561-580).  Returns (codebook_logits (B, 1, C), cache)."""
+    (reference llama.py:561-580).  Returns (codebook_logits (B, 1, C), cache).
+
+    The tiny layer stack is fully unrolled — at 1-token shapes the scan
+    bookkeeping costs more than the layers themselves.
+    """
     fcfg = cfg.fast_config
+    B = x.shape[0]
     freqs = jax.lax.dynamic_slice_in_dim(rope["fast"], pos, 1, axis=0)  # (1, d/2, 2)
-    # bias over the num_codebooks key axis: allow k_pos <= pos
+    # cache holds positions < pos; the current position is the block's self-key
     k_pos = jnp.arange(cfg.num_codebooks)
-    bias = jnp.where(k_pos <= pos, 0.0, float(np.finfo(np.float32).min))
-    bias = bias[None, None, None, :].astype(jnp.float32)  # (1,1,1,K)
-    positions = jnp.full((x.shape[0], 1), pos, jnp.int32)
+    cache_bias = jnp.where(k_pos < pos, 0.0, float(np.finfo(np.float32).min))
+    cache_bias = jnp.broadcast_to(
+        cache_bias[None, None, None, :].astype(jnp.float32),
+        (B, 1, 1, cfg.num_codebooks),
+    )
+    block_bias = jnp.zeros((1, 1, 1, 1), jnp.float32)
+    positions = jnp.full((B, 1), pos, jnp.int32)
     x, fast_cache = transformer_stack(
-        params["fast_layers"], x, fcfg, freqs, bias, fast_cache, positions
+        params["fast_layers"], x, fcfg, freqs, block_bias, fast_cache, positions,
+        cache_bias=cache_bias, unroll=cfg.n_fast_layer,
     )
     h = rms_norm(x, params["fast_norm"], cfg.norm_eps)
     logits = h @ params["fast_output"]

@@ -56,6 +56,44 @@ def attention(
     return gqa_attention(q, k, v, bias)
 
 
+def gqa_attention_two_part(
+    q: jnp.ndarray,  # (B, Hq, Tq, D)
+    k_cache: jnp.ndarray,  # (B, Hkv, S, D) — read-only past
+    v_cache: jnp.ndarray,
+    cache_bias: jnp.ndarray,  # (B, 1, Tq, S), must mask unwritten slots
+    k_new: jnp.ndarray,  # (B, Hkv, Tq, D) — current block's keys
+    v_new: jnp.ndarray,
+    block_bias: jnp.ndarray,  # (B|1, 1, Tq, Tq) causal within the block
+) -> jnp.ndarray:
+    """Exact attention over [cache ++ current block] without writing the new
+    rows into the cache first.  One softmax over the concatenated key axis.
+
+    This is the decode/prefill hot path: the KV cache stays read-only inside
+    the layer scan (see dual_ar.transformer_stack), so XLA never has to
+    round-trip the whole cache through the scan's stacked outputs.
+    """
+    B, Hq, Tq, D = q.shape
+    Hkv = k_cache.shape[1]
+    G = Hq // Hkv
+    qg = q.reshape(B, Hkv, G, Tq, D)
+    scale = 1.0 / jnp.sqrt(jnp.asarray(D, jnp.float32))
+
+    s_cache = jnp.einsum(
+        "bhgqd,bhkd->bhgqk", qg, k_cache, preferred_element_type=jnp.float32
+    ) * scale + cache_bias[:, :, None]
+    s_new = jnp.einsum(
+        "bhgqd,bhkd->bhgqk", qg, k_new, preferred_element_type=jnp.float32
+    ) * scale + block_bias[:, :, None]
+
+    scores = jnp.concatenate([s_cache, s_new], axis=-1)
+    probs = jax.nn.softmax(scores, axis=-1)
+    p_cache = probs[..., : k_cache.shape[2]].astype(v_cache.dtype)
+    p_new = probs[..., k_cache.shape[2] :].astype(v_new.dtype)
+    out = jnp.einsum("bhgqk,bhkd->bhgqd", p_cache, v_cache)
+    out = out + jnp.einsum("bhgqk,bhkd->bhgqd", p_new, v_new)
+    return out.reshape(B, Hq, Tq, D)
+
+
 def gqa_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,

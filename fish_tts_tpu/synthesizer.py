@@ -343,6 +343,39 @@ class FishTTS:
         codes = np.concatenate(codes_list, axis=1)
         return self._decode_to_wav(codes)
 
+    def synthesize_batch(
+        self,
+        texts: list[str],
+        references: list[VoiceProfile] | None = None,
+        temperature: float = 0.7,
+        top_p: float = 0.8,
+        repetition_penalty: float = 1.1,
+        max_tokens: int = 2048,
+    ) -> list[bytes]:
+        """Batched multi-utterance synthesis: decode all texts in one batched
+        device program (one model pass per token serves every stream), then
+        vocoder-decode each.  Returns one WAV per text.
+
+        Green-field capability — the reference hard-codes batch size 1
+        (inference.py:314, 676).
+        """
+        prompt_text, prompt_tokens, _ = self._get_prompt_data(references)
+        codes_list = self._engine.generate_batch(
+            texts,
+            max_new_tokens=max_tokens,
+            temperature=temperature,
+            top_p=top_p,
+            repetition_penalty=repetition_penalty,
+            prompt_text=prompt_text,
+            prompt_tokens=prompt_tokens,
+        )
+        out = []
+        for codes in codes_list:
+            if codes.shape[1] == 0:
+                raise RuntimeError("No audio generated")
+            out.append(self._decode_to_wav(codes))
+        return out
+
     def synthesize_stream(
         self,
         text: str,
@@ -411,19 +444,23 @@ class FishTTS:
     # ------------------------------------------------------------------
 
     def _vocoder_decode_fn(self, bucket: int):
-        """Jitted vocoder decode for a given frame-count bucket."""
-        if bucket not in self._vocoder_jit_cache:
+        """Jitted vocoder decode for a given frame-count bucket.
+
+        Params are an explicit argument, never a closure: closed-over device
+        arrays get embedded as HLO constants, which bloats the executable
+        (and overflows remote-compile transports) for 100M+-param codecs.
+        """
+        if "decode" not in self._vocoder_jit_cache:
             import jax
 
             from fish_tts_tpu.models import vocoder as voc
 
             cfg = self._vocoder_cfg
-            params = self._vocoder_params
-
-            self._vocoder_jit_cache[bucket] = jax.jit(
-                lambda c: voc.dac_decode(params, cfg, c)
+            self._vocoder_jit_cache["decode"] = jax.jit(
+                lambda p, c: voc.dac_decode(p, cfg, c)
             )
-        return self._vocoder_jit_cache[bucket]
+        fn = self._vocoder_jit_cache["decode"]
+        return lambda c: fn(self._vocoder_params, c)
 
     def _decode_codes_async(self, codes: np.ndarray):
         """Dispatch vocoder decode without blocking.  Returns (device_audio,
@@ -480,10 +517,8 @@ class FishTTS:
 
         audio = read_wav(audio_bytes)
         if self._encode_jit is None:
-            params, cfg = self._vocoder_params, self._vocoder_cfg
-            self._encode_jit = jax.jit(
-                lambda a: voc.dac_encode(params, cfg, a)
-            )
+            cfg = self._vocoder_cfg
+            self._encode_jit = jax.jit(lambda p, a: voc.dac_encode(p, cfg, a))
         # Pad audio to a frame multiple on the host so the jitted encode sees
         # a bounded set of shapes (frame buckets).
         fl = self._vocoder_cfg.frame_length
@@ -491,7 +526,7 @@ class FishTTS:
         bucket = next((b for b in _VOCODER_BUCKETS if b >= n_frames), n_frames)
         padded = np.zeros((1, 1, bucket * fl), np.float32)
         padded[0, 0, : len(audio)] = audio
-        indices = self._encode_jit(jnp.asarray(padded))
+        indices = self._encode_jit(self._vocoder_params, jnp.asarray(padded))
         codes = np.asarray(indices)[0, :, :n_frames].astype(np.int64)
         return VoiceProfile(codes=codes, text=text)
 

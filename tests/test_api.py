@@ -152,6 +152,15 @@ def test_encode_reference_roundtrip(tts):
     assert prof.codes[1:].max() < tts._vocoder_cfg.residual_codebook_size
 
 
+def test_synthesize_batch(tts):
+    """Batched serving: every text gets its own WAV."""
+    wavs = tts.synthesize_batch(["one", "two three", "four"], max_tokens=16)
+    assert len(wavs) == 3
+    for w in wavs:
+        assert w[:4] == b"RIFF"
+    assert tts.synthesize_batch([]) == []
+
+
 def test_public_exports():
     assert set(fish_tts_tpu.__all__) == {
         "FishTTS", "VoiceProfile", "get_instance", "reset_instance"
