@@ -33,6 +33,7 @@ def main() -> None:
     ap.add_argument("--frames", type=int, default=200, help="frames to time")
     ap.add_argument("--no-ttfa", action="store_true", help="skip vocoder/TTFA")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--int8", action="store_true", help="weight-only int8 LM")
     args = ap.parse_args()
 
     import jax
@@ -75,6 +76,10 @@ def main() -> None:
     key = jax.random.PRNGKey(0)
     t0 = time.perf_counter()
     params = dual_ar.init_params(key, cfg, dtype=dtype)
+    if args.int8:
+        from fish_tts_tpu.utils.quantize import quantize_lm_params
+
+        params = quantize_lm_params(params)
     rope = dual_ar.make_rope_tables(cfg)
     force(jax.tree_util.tree_leaves(params)[0][0, :1])
     print(f"# init: {time.perf_counter() - t0:.1f}s "
@@ -96,11 +101,11 @@ def main() -> None:
     state = fresh_state()
     state, first = decode_mod.prefill(
         params, rope, state, jnp.asarray(prompt), lengths,
-        jax.random.PRNGKey(1), t, p, r, cfg=cfg, ids=ids, top_k=top_k,
+        jax.random.PRNGKey(1), t, p, r, cfg=cfg, ids=ids, top_k=top_k, approx=not args.tiny,
     )
     state, frames, _ = decode_mod.decode_chunk(
         params, rope, state, jax.random.PRNGKey(2), t, p, r,
-        cfg=cfg, ids=ids, num_frames=CHUNK, top_k=top_k,
+        cfg=cfg, ids=ids, num_frames=CHUNK, top_k=top_k, approx=not args.tiny,
     )
     force(frames)
     compile_s = time.perf_counter() - t0
@@ -113,7 +118,7 @@ def main() -> None:
     for i in range(n_chunks):
         state, frames, _ = decode_mod.decode_chunk(
             params, rope, state, jax.random.PRNGKey(3 + i), t, p, r,
-            cfg=cfg, ids=ids, num_frames=CHUNK, top_k=top_k,
+            cfg=cfg, ids=ids, num_frames=CHUNK, top_k=top_k, approx=not args.tiny,
         )
     force(frames)
     dt = time.perf_counter() - t0
@@ -127,7 +132,7 @@ def main() -> None:
     state2 = fresh_state()
     state2, _ = decode_mod.prefill(
         params, rope, state2, jnp.asarray(prompt), lengths,
-        jax.random.PRNGKey(9), t, p, r, cfg=cfg, ids=ids, top_k=top_k,
+        jax.random.PRNGKey(9), t, p, r, cfg=cfg, ids=ids, top_k=top_k, approx=not args.tiny,
     )
     force(state2["frame"])
     prefill_ms = (time.perf_counter() - t0) * 1e3
@@ -183,11 +188,11 @@ def _measure_ttfa(args, cfg, vcfg, ids, params, rope, prompt, lengths,
     state3 = fresh_state()
     state3, _ = decode_mod.prefill(
         params, rope, state3, jnp.asarray(prompt), lengths,
-        jax.random.PRNGKey(11), t, p, r, cfg=cfg, ids=ids, top_k=top_k,
+        jax.random.PRNGKey(11), t, p, r, cfg=cfg, ids=ids, top_k=top_k, approx=not args.tiny,
     )
     state3, fr9, _ = decode_mod.decode_chunk(
         params, rope, state3, jax.random.PRNGKey(12), t, p, r,
-        cfg=cfg, ids=ids, num_frames=9, top_k=top_k,
+        cfg=cfg, ids=ids, num_frames=9, top_k=top_k, approx=not args.tiny,
     )
     np.asarray(fr9)
 
@@ -195,11 +200,11 @@ def _measure_ttfa(args, cfg, vcfg, ids, params, rope, prompt, lengths,
     state4 = fresh_state()
     state4, first = decode_mod.prefill(
         params, rope, state4, jnp.asarray(prompt), lengths,
-        jax.random.PRNGKey(13), t, p, r, cfg=cfg, ids=ids, top_k=top_k,
+        jax.random.PRNGKey(13), t, p, r, cfg=cfg, ids=ids, top_k=top_k, approx=not args.tiny,
     )
     state4, fr9, _ = decode_mod.decode_chunk(
         params, rope, state4, jax.random.PRNGKey(14), t, p, r,
-        cfg=cfg, ids=ids, num_frames=9, top_k=top_k,
+        cfg=cfg, ids=ids, num_frames=9, top_k=top_k, approx=not args.tiny,
     )
     audio = dec10(codes10)
     np.asarray(audio)

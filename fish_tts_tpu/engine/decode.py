@@ -42,6 +42,7 @@ from fish_tts_tpu.config import DualARConfig
 from fish_tts_tpu.engine.sampling import sample
 from fish_tts_tpu.models import dual_ar
 from fish_tts_tpu.models.dual_ar import Params, TokenIds
+from fish_tts_tpu.utils.quantize import qgather
 
 _NEG_INF = float(np.finfo(np.float32).min)
 
@@ -57,7 +58,7 @@ def init_state(
     max_seq_len: int | None = None,
 ) -> State:
     """Fresh decode state: zero KV cache, zero penalty window, step 0."""
-    dtype = params["embeddings"].dtype
+    dtype = params["norm"].dtype
     return {
         "kv": dual_ar.init_kv_cache(cfg, batch, max_seq_len, dtype),
         "frame": jnp.zeros((batch, 1 + cfg.num_codebooks), jnp.int32),
@@ -109,9 +110,8 @@ def _sample_frame(
     # Fast transformer: fresh cache each frame (= reference's zeroing,
     # inference.py:116-119); position 0 consumes the slow hidden state and its
     # output is discarded (inference.py:121-122).
-    h_fast = dual_ar.project_fast_in(params, hidden_last).astype(
-        params["fast_embeddings"].dtype
-    )
+    dt = params["norm"].dtype
+    h_fast = dual_ar.project_fast_in(params, hidden_last).astype(dt)
     cache = dual_ar.new_fast_cache(params, cfg, B)
     _, cache = dual_ar.fast_step(params, cfg, rope, h_fast, jnp.int32(0), cache)
 
@@ -120,7 +120,7 @@ def _sample_frame(
     # are the last special block, so token <= semantic_end always); it guards
     # small test vocabs where ids above semantic_end exist.
     a = jnp.clip(token - ids.semantic_begin, 0, cfg.codebook_size - 1)  # (B,)
-    emb = params["fast_embeddings"][a][:, None]  # (B, 1, Df)
+    emb = qgather(params["fast_embeddings"], a, dt)[:, None]  # (B, 1, Df)
 
     def fast_body(carry, inp):
         emb, cache, k = carry
@@ -132,11 +132,15 @@ def _sample_frame(
             prev_row = jax.lax.dynamic_index_in_dim(
                 prev, cb_idx + 1, axis=1, keepdims=False
             )  # (B, W) — inference.py:141-145
+        # When top-k truncation is enabled, also truncate the residual-book
+        # nucleus to 256 candidates (a full top_k(1024) is a sort; the
+        # nucleus at top_p<=0.95 never comes close to 256 entries).
+        res_k = min(256, cfg.residual_codebook_size) if top_k else 0
         code = sample(
             sub, short, temperature, top_p, repetition_penalty,
-            prev_idx=prev_row, top_k=0,
+            prev_idx=prev_row, top_k=res_k, approx=approx,
         )
-        emb = params["fast_embeddings"][code][:, None]
+        emb = qgather(params["fast_embeddings"], code, dt)[:, None]
         return (emb, cache, k), code
 
     cb_indices = jnp.arange(1, cfg.num_codebooks, dtype=jnp.int32)

@@ -40,6 +40,7 @@ import numpy as np
 
 from fish_tts_tpu.config import DualARConfig
 from fish_tts_tpu.ops.attention import gqa_attention, gqa_attention_two_part
+from fish_tts_tpu.utils.quantize import qgather, qhead, qmm
 from fish_tts_tpu.ops.norms import rms_norm, swiglu
 from fish_tts_tpu.ops.rope import apply_rotary_emb, precompute_freqs_cis
 
@@ -175,7 +176,7 @@ def _fast_cache(cfg: DualARConfig, batch: int, dtype) -> Params:
 def _attn_qkv(lp: Params, h: jnp.ndarray, cfg: DualARConfig, freqs: jnp.ndarray):
     """Project + split + (qk-norm) + rope.  h: (B, T, D) -> q/k/v (B, H, T, Dh)."""
     B, T, _ = h.shape
-    qkv = h @ lp["wqkv"]
+    qkv = qmm(h, lp["wqkv"])
     if "wqkv_b" in lp:
         qkv = qkv + lp["wqkv_b"]
     q_size = cfg.n_head * cfg.head_dim
@@ -233,11 +234,12 @@ def _block_body(
 
     B, H, T, Dh = attn.shape
     attn = jnp.swapaxes(attn, 1, 2).reshape(B, T, H * Dh)
-    o = attn @ lp["wo"]
+    o = qmm(attn, lp["wo"])
     if "wo_b" in lp:
         o = o + lp["wo_b"]
     x = x + o
-    x = x + swiglu(rms_norm(x, lp["ffn_norm"], cfg.norm_eps), lp["w1"], lp["w3"], lp["w2"])
+    f = rms_norm(x, lp["ffn_norm"], cfg.norm_eps)
+    x = x + qmm(jax.nn.silu(qmm(f, lp["w1"])) * qmm(f, lp["w3"]), lp["w2"])
     return x, k, v
 
 
@@ -308,11 +310,12 @@ def embed_inputs(
     token.
     """
     tokens = inp[:, 0]  # (B, T)
-    token_emb = params["embeddings"][tokens]
+    dtype = params["norm"].dtype
+    token_emb = qgather(params["embeddings"], tokens, dtype)
 
     offsets = (jnp.arange(cfg.num_codebooks) * cfg.codebook_size)[None, :, None]
     cb_ids = inp[:, 1:] + offsets  # (B, K, T)
-    cb_emb = params["codebook_embeddings"][cb_ids]  # (B, K, T, D)
+    cb_emb = qgather(params["codebook_embeddings"], cb_ids, dtype)  # (B, K, T, D)
     vq_sum = cb_emb.sum(axis=1)  # (B, T, D)
 
     vq_mask = (tokens >= ids.semantic_begin) & (tokens <= ids.semantic_end)
@@ -321,7 +324,7 @@ def embed_inputs(
         x = jnp.where(
             vq_mask[..., None], x / np.sqrt(cfg.num_codebooks + 1), x
         )
-    return x.astype(params["embeddings"].dtype)
+    return x.astype(dtype)
 
 
 def slow_forward(
@@ -359,8 +362,8 @@ def lm_logits(params: Params, cfg: DualARConfig, hidden: jnp.ndarray) -> jnp.nda
     """
     h = rms_norm(hidden, params["norm"], cfg.norm_eps)
     if cfg.tie_word_embeddings:
-        return jnp.einsum("btd,vd->btv", h, params["embeddings"])
-    return h @ params["output"]
+        return qhead(h, params["embeddings"])
+    return qmm(h, params["output"])
 
 
 def project_fast_in(params: Params, hidden: jnp.ndarray) -> jnp.ndarray:
@@ -409,15 +412,14 @@ def fast_step(
         cache_bias=cache_bias, unroll=cfg.n_fast_layer,
     )
     h = rms_norm(x, params["fast_norm"], cfg.norm_eps)
-    logits = h @ params["fast_output"]
+    logits = qmm(h, params["fast_output"])
     return logits, fast_cache
 
 
 def new_fast_cache(params: Params, cfg: DualARConfig, batch: int) -> Params:
     """Fresh per-frame fast KV cache (replaces the reference's in-place zeroing
     at inference.py:116-119)."""
-    dtype = params["fast_embeddings"].dtype
-    return _fast_cache(cfg, batch, dtype)
+    return _fast_cache(cfg, batch, params["norm"].dtype)
 
 
 # ---------------------------------------------------------------------------

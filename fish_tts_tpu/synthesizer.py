@@ -109,7 +109,10 @@ class FishTTS:
         self._prefill_cache = _PrefillCache()
         self._prefill_lock = threading.Lock()
 
-        if precision == "bf16":
+        # "int8" = bf16 activations with weight-only int8 LM matmuls
+        # (utils/quantize.py) — halves decode HBM traffic on TPU.
+        self._int8 = precision == "int8"
+        if precision in ("bf16", "int8"):
             self._dtype = jnp.bfloat16
         elif precision == "fp16":
             self._dtype = jnp.float16
@@ -132,6 +135,10 @@ class FishTTS:
         from fish_tts_tpu.models.dual_ar import cast_params
 
         params = cast_params(params, self._dtype)
+        if self._int8:
+            from fish_tts_tpu.utils.quantize import quantize_lm_params
+
+            params = quantize_lm_params(params)
         if self._vocoder_params is not None:
             from fish_tts_tpu.models.dual_ar import cast_params as _cp
 
