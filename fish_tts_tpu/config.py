@@ -223,13 +223,18 @@ class EngineConfig:
     - ``sample_top_k``: top-p sampling runs over the top-k logits instead of a
       full vocab sort.  With peaked TTS distributions and top_p<=0.95 this is
       numerically identical virtually always; set to 0 for an exact full-sort.
+    - ``approx_top_k``: route the candidate search through
+      ``lax.approx_max_k`` (recall_target=0.99) instead of exact
+      ``lax.top_k``.  Off by default: the approximation can drop nucleus
+      candidates, so it is opt-in for serving setups that have validated the
+      quality trade (tests/test_sampling.py covers the recall behavior).
     """
 
     prompt_buckets: tuple[int, ...] = (64, 128, 256, 512, 1024, 2048)
     decode_chunk: int = 20
     first_chunk: int = 10
     sample_top_k: int = 1024
-    approx_top_k: bool = True
+    approx_top_k: bool = False
     rep_penalty_window: int = 16
     max_new_tokens: int = 2048
     # Parallelism

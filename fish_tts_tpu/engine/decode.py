@@ -17,9 +17,11 @@ This replaces the reference's Python token loop + per-step host sync
 
 Replicated reference quirks (SURVEY §7):
 - slow-token repetition penalty indexes the first *column* of the 16-frame
-  window (``previous_tokens[:, 0]``, inference.py:110) — with our circular
-  window buffer that column is slot ``i % 16``, which is exactly the
-  about-to-be-overwritten oldest entry (or zero-padding for i<16);
+  window (``previous_tokens[:, 0]``, inference.py:110) — the oldest entry
+  (slot ``i % 16`` of our circular buffer) once ``i >= 16``, and the step-0
+  frame (slot 0; zeros at step 0) while ``i < 16``, because the reference
+  passes ``previous_tokens[:, :16]`` for those early steps
+  (inference.py:185-189);
 - fast forward at codebook position 0 discards its output (inference.py:121-122);
 - the first (prefill-sampled) frame is *not* recorded in the penalty window
   (the reference allocates ``previous_tokens`` inside ``decode_n_tokens``,
@@ -69,6 +71,20 @@ def init_state(
     }
 
 
+def penalty_column(prev: jnp.ndarray, step: jnp.ndarray) -> jnp.ndarray:
+    """The window column the slow-token repetition penalty reads
+    (reference ``previous_tokens[:, 0]``, inference.py:110).
+
+    The reference passes ``previous_tokens[:, :W]`` while ``step < W`` —
+    column 0 is then the step-0 frame (zeros before step 0 writes it) — and
+    ``previous_tokens[:, step-W:step]`` afterwards, where column 0 is the
+    oldest frame in the window.  In our circular buffer (slot ``j % W`` holds
+    step ``j``'s frame) those are slot 0 and slot ``step % W`` respectively.
+    """
+    col = jnp.where(step < WINDOW, 0, step % WINDOW)
+    return jax.lax.dynamic_index_in_dim(prev, col, axis=2, keepdims=False)
+
+
 # ---------------------------------------------------------------------------
 # Frame sampling (shared by prefill and decode): slow logits -> full frame
 # ---------------------------------------------------------------------------
@@ -95,13 +111,16 @@ def _sample_frame(
     B = logits.shape[0]
     k_slow, k_fast = jax.random.split(key)
 
-    # Slow/semantic token — window quirk: previous_tokens[:, 0] is the first
-    # window *column* = circular slot (step % W) (inference.py:110).
+    # Slow/semantic token — window quirk: the reference penalizes
+    # previous_tokens[:, 0], the first window *column* (inference.py:110).
+    # For steps >= W the window is previous_tokens[:, i-W:i] so column 0 is
+    # the oldest frame = circular slot (step % W); for steps < W the window
+    # is previous_tokens[:, :W] so column 0 is the step-0 frame, which our
+    # circular buffer keeps in slot 0 (zeros at step 0, exactly like the
+    # reference's untouched buffer).
     prev_col = None
     if prev is not None:
-        prev_col = jax.lax.dynamic_index_in_dim(
-            prev, step % WINDOW, axis=2, keepdims=False
-        )  # (B, 1+K)
+        prev_col = penalty_column(prev, step)  # (B, 1+K)
     token = sample(
         k_slow, logits, temperature, top_p, repetition_penalty,
         prev_idx=prev_col, top_k=top_k, approx=approx,

@@ -180,6 +180,7 @@ class GenerationEngine:
         self,
         text: str,
         *,
+        num_samples: int = 1,
         max_new_tokens: int = 0,
         top_p: float = 0.8,
         repetition_penalty: float = 1.1,
@@ -192,16 +193,44 @@ class GenerationEngine:
         """Generate vocoder codes for ``text`` (reference generate_long,
         inference.py:741-846).
 
-        Yields ``GenerateResponse(action="sample", codes=...)`` chunks then a
-        final ``action="next"``.  In batch mode a single "sample" carries all
-        codes with the final frame stripped (inference.py:839); in streaming
-        mode every chunk is yielded including the EOS frame
-        (inference.py:271-274).
+        Yields ``GenerateResponse(action="sample", codes=...)`` chunks then an
+        ``action="next"`` — once per sample when ``num_samples > 1``, matching
+        the reference's per-sample loop (inference.py:747, 799-800, 846).  In
+        batch mode a single "sample" carries all codes with the final frame
+        stripped (inference.py:839); in streaming mode every chunk is yielded
+        including the EOS frame (inference.py:271-274).
         """
         assert 0 < top_p <= 1, "top_p must be in (0, 1]"
         assert 0 < repetition_penalty < 2, "repetition_penalty must be in (0, 2)"
         assert 0 < temperature < 2, "temperature must be in (0, 2)"
+        for _ in range(num_samples):
+            yield from self._generate_one(
+                text,
+                max_new_tokens=max_new_tokens,
+                top_p=top_p,
+                repetition_penalty=repetition_penalty,
+                temperature=temperature,
+                prompt_text=prompt_text,
+                prompt_tokens=prompt_tokens,
+                streaming=streaming,
+                use_prefix_cache=use_prefix_cache,
+            )
+            yield GenerateResponse(action="next")
 
+    def _generate_one(
+        self,
+        text: str,
+        *,
+        max_new_tokens: int,
+        top_p: float,
+        repetition_penalty: float,
+        temperature: float,
+        prompt_text: list[str] | None,
+        prompt_tokens: list[np.ndarray] | None,
+        streaming: bool,
+        use_prefix_cache: bool,
+    ) -> Iterator[GenerateResponse]:
+        """One sample of generate_long, without the trailing "next"."""
         prompt_text = prompt_text or []
         prompt_tokens = prompt_tokens or []
 
@@ -303,8 +332,6 @@ class GenerationEngine:
             yield GenerateResponse(
                 action="sample", codes=codes.astype(np.int64), text=text
             )
-
-        yield GenerateResponse(action="next")
 
     # -- batched serving ---------------------------------------------------
 

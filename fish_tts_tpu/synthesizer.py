@@ -211,9 +211,19 @@ class FishTTS:
         elif (d / "codec.pth").exists():
             import torch
 
-            raw = torch.load(
-                str(d / "codec.pth"), map_location="cpu", weights_only=False
-            )
+            try:
+                raw = torch.load(
+                    str(d / "codec.pth"), map_location="cpu", weights_only=True
+                )
+            except Exception:
+                logger.warning(
+                    "codec.pth is not loadable with weights_only=True; "
+                    "falling back to full unpickling — only do this for "
+                    "checkpoints you trust"
+                )
+                raw = torch.load(
+                    str(d / "codec.pth"), map_location="cpu", weights_only=False
+                )
             vocoder_params = ckpt.convert_vocoder_state_dict(raw, vocoder_cfg)
         else:
             logger.warning("codec weights not found, vocoder not loaded")
@@ -366,7 +376,17 @@ class FishTTS:
         Green-field capability — the reference hard-codes batch size 1
         (inference.py:314, 676).
         """
-        prompt_text, prompt_tokens, _ = self._get_prompt_data(references)
+        if references is not None:
+            prompt_text = [p.text for p in references]
+            prompt_tokens = [np.asarray(p.codes) for p in references]
+        else:
+            # generate_batch has no KV-prefix support, so unlike synthesize()
+            # the cached-prefix fast path cannot apply: always pass the raw
+            # reference texts/codes so batched synthesis stays conditioned on
+            # the voice set via set_references.
+            with self._prefill_lock:
+                prompt_text = list(self._prefill_cache.prompt_text)
+                prompt_tokens = list(self._prefill_cache.prompt_tokens)
         codes_list = self._engine.generate_batch(
             texts,
             max_new_tokens=max_tokens,

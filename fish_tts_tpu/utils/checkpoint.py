@@ -408,7 +408,12 @@ def convert_checkpoint_dir(
     if codec_path.exists():
         import torch
 
-        raw = torch.load(str(codec_path), map_location="cpu", weights_only=False)
+        try:
+            raw = torch.load(str(codec_path), map_location="cpu", weights_only=True)
+        except Exception:
+            # codec.pth checkpoints in the wild sometimes pickle non-tensor
+            # state; fall back to full unpickling only if the safe load fails.
+            raw = torch.load(str(codec_path), map_location="cpu", weights_only=False)
         voc = convert_vocoder_state_dict(raw, vocoder_cfg)
         save_params(out_dir / "vocoder.safetensors", voc)
 

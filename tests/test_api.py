@@ -165,3 +165,48 @@ def test_public_exports():
     assert set(fish_tts_tpu.__all__) == {
         "FishTTS", "VoiceProfile", "get_instance", "reset_instance"
     }
+
+
+def test_generate_long_num_samples(tts):
+    """num_samples=N yields N (sample..., next) groups (reference
+    inference.py:747, 799-800, 846)."""
+    responses = list(
+        tts._engine.generate_long(
+            "multi", num_samples=3, max_new_tokens=8,
+            temperature=0.7, top_p=0.8, repetition_penalty=1.1,
+        )
+    )
+    nexts = [r for r in responses if r.action == "next"]
+    samples = [r for r in responses if r.action == "sample"]
+    assert len(nexts) == 3
+    assert len(samples) >= 3
+    # actions group as sample+ next, repeated
+    actions = [r.action for r in responses]
+    assert actions[-1] == "next"
+    # every "next" is preceded by at least one "sample"
+    for i, a in enumerate(actions):
+        if a == "next":
+            assert actions[i - 1] == "sample"
+
+
+def test_synthesize_batch_uses_cached_references(tts):
+    """Batched synthesis must stay conditioned on references set via
+    set_references even though the engine holds a KV prefix (the prefix
+    cache only serves the single-stream path)."""
+    from unittest.mock import patch
+
+    codes = np.random.randint(0, 24, (tts._cfg.num_codebooks, 8)).astype(np.int64)
+    codes[0] = np.random.randint(0, 48, 8)
+    tts.set_references([VoiceProfile(codes=codes, text="batch ref")])
+    try:
+        with patch.object(
+            tts._engine, "generate_batch", wraps=tts._engine.generate_batch
+        ) as spy:
+            wavs = tts.synthesize_batch(["conditioned"], max_tokens=12)
+        assert len(wavs) == 1
+        _, kwargs = spy.call_args
+        assert kwargs["prompt_text"] == ["batch ref"]
+        assert len(kwargs["prompt_tokens"]) == 1
+        np.testing.assert_array_equal(kwargs["prompt_tokens"][0], codes)
+    finally:
+        tts.clear_references()

@@ -205,3 +205,28 @@ def test_window_buffer_records_frames(setup):
     for i in range(5):
         np.testing.assert_array_equal(prev[0, :, i], frames[0, i])
     assert int(state["step"]) == 5
+
+
+def test_penalty_column_matches_reference_window_rule():
+    """Reference inference.py:185-189 + 110: for steps < 16 the penalized
+    column is the step-0 frame (window = previous_tokens[:, :16]); for
+    steps >= 16 it is the oldest frame in the sliding window (step - 16)."""
+    W = decode.WINDOW
+    B, K1 = 1, 3
+    prev = jnp.zeros((B, K1, W), jnp.int32)
+    # simulate steps 0..W-1 writing frames with value = step + 1 into slot step
+    for j in range(W):
+        prev = prev.at[:, :, j].set(j + 1)
+
+    # early steps: column 0 = step-0 frame (value 1)
+    for step in (1, 5, 15):
+        col = np.asarray(decode.penalty_column(prev, jnp.int32(step)))
+        np.testing.assert_array_equal(col, np.full((B, K1), 1))
+    # step 0: slot 0 not yet written in a real run — zeros
+    fresh = jnp.zeros((B, K1, W), jnp.int32)
+    col = np.asarray(decode.penalty_column(fresh, jnp.int32(0)))
+    np.testing.assert_array_equal(col, np.zeros((B, K1)))
+    # steady state: slot step % W = frame from step - W (the oldest)
+    for step in (16, 17, 33):
+        col = np.asarray(decode.penalty_column(prev, jnp.int32(step)))
+        np.testing.assert_array_equal(col, np.full((B, K1), (step % W) + 1))

@@ -97,6 +97,49 @@ def test_sample_with_window_penalty():
     assert int(tok[0]) == 1
 
 
+def test_approx_top_k_recalls_nucleus_on_peaked_dist():
+    """The opt-in ``approx=True`` path (lax.approx_max_k, recall 0.99) must
+    still recover the nucleus on TTS-like peaked distributions: every sampled
+    token has to be a member of the exact top-p candidate set."""
+    key = jax.random.PRNGKey(3)
+    # peaked: a few dominant logits over a 4096 vocab
+    logits = jax.random.normal(key, (1, 4096)) * 0.5
+    logits = logits.at[0, 17].add(8.0).at[0, 99].add(7.0).at[0, 1234].add(6.5)
+    probs = np.asarray(
+        logits_to_probs_exact(
+            logits[0], jnp.float32(0.7), jnp.float32(0.8), jnp.float32(1.0)
+        )
+    )
+    nucleus = set(np.nonzero(probs)[0].tolist())
+    for seed in range(50):
+        tok = top_p_gumbel_sample(
+            jax.random.PRNGKey(500 + seed), logits,
+            jnp.float32(0.7), jnp.float32(0.8), top_k=64, approx=True,
+        )
+        assert int(tok[0]) in nucleus
+
+
+def test_approx_top_k_matches_exact_on_flat_dist():
+    """Flat distributions are the hard case for approximate top-k: with the
+    same key, the approx path must sample a token the exact truncated path
+    also considers valid (a top-k member)."""
+    logits = jax.random.normal(jax.random.PRNGKey(4), (1, 2048)) * 0.1
+    exact_topk = set(np.asarray(jax.lax.top_k(logits, 256)[1])[0].tolist())
+    for seed in range(30):
+        tok = top_p_gumbel_sample(
+            jax.random.PRNGKey(900 + seed), logits,
+            jnp.float32(1.0), jnp.float32(0.95), top_k=256, approx=True,
+        )
+        assert int(tok[0]) in exact_topk
+
+
+def test_engine_default_is_exact_top_k():
+    """approx_top_k ships off by default (it can miss nucleus members)."""
+    from fish_tts_tpu.config import EngineConfig
+
+    assert EngineConfig().approx_top_k is False
+
+
 def test_exact_probs_nucleus_boundary():
     """Token exactly crossing top_p is removed; first survivor stays."""
     logits = jnp.array([0.0, 0.0, 0.0, 0.0])
