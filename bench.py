@@ -5,24 +5,26 @@ Prints ONE JSON line:
   {"metric": "semantic_tokens_per_sec", "value": N, "unit": "tok/s",
    "vs_baseline": N/120, ...extras}
 
-Run on the S1-mini-shaped model (random weights — throughput is
-weight-agnostic) in bf16 on whatever accelerator JAX sees.  The reference
-baseline is ~120 tok/s and RTF ~0.26 on torch.compile CUDA
+Runs the S1-mini-shaped model (random weights — throughput is weight-agnostic)
+in bf16 (or weight-only int8 with --int8) on whatever accelerator JAX sees.
+The reference baseline is ~120 tok/s and RTF ~0.26 on torch.compile CUDA
 (/root/reference/README.md:9,71).
 
-Usage:  python bench.py [--tiny] [--frames N] [--no-ttfa]
+TTFA is measured through the real user path: a FishTTS instance (S1-mini
+LM + full-size vocoder, synthetic tokenizer) driving ``synthesize_stream``,
+reporting the p50 wall time from call to first PCM bytes on the host.
+
+Usage:  python bench.py [--tiny] [--frames N] [--no-ttfa] [--int8] [--approx]
 """
 
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 import sys
 import time
 
 import numpy as np
-
 
 AUDIO_TOKENS_PER_SEC = 44100 / 2048  # ≈21.53, reference vocoder.py:854,871-872
 
@@ -34,6 +36,8 @@ def main() -> None:
     ap.add_argument("--no-ttfa", action="store_true", help="skip vocoder/TTFA")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--int8", action="store_true", help="weight-only int8 LM")
+    ap.add_argument("--approx", action="store_true",
+                    help="approximate top-k candidate search (opt-in)")
     args = ap.parse_args()
 
     import jax
@@ -43,7 +47,12 @@ def main() -> None:
 
     import jax.numpy as jnp
 
-    from fish_tts_tpu.config import S1_MINI_CONFIG, TINY_CONFIG, VocoderConfig, TINY_VOCODER_CONFIG
+    from fish_tts_tpu.config import (
+        S1_MINI_CONFIG,
+        TINY_CONFIG,
+        TINY_VOCODER_CONFIG,
+        VocoderConfig,
+    )
     from fish_tts_tpu.engine import decode as decode_mod
     from fish_tts_tpu.models import dual_ar
     from fish_tts_tpu.models.dual_ar import TokenIds
@@ -71,19 +80,29 @@ def main() -> None:
 
     dev = jax.devices()[0]
     print(f"# device: {dev}, config: dim={cfg.dim} layers={cfg.n_layer} "
-          f"fast={cfg.n_fast_layer} vocab={cfg.vocab_size}", file=sys.stderr)
+          f"fast={cfg.n_fast_layer} vocab={cfg.vocab_size} "
+          f"precision={'int8' if args.int8 else str(dtype.__name__)}",
+          file=sys.stderr)
 
-    key = jax.random.PRNGKey(0)
+    # -- init: one jitted program (eager per-op dispatch pays a compile per
+    # shape on this platform; a single jit is one compile, and a cached one
+    # on warm starts) --------------------------------------------------------
     t0 = time.perf_counter()
-    params = dual_ar.init_params(key, cfg, dtype=dtype)
-    if args.int8:
-        from fish_tts_tpu.utils.quantize import quantize_lm_params
 
-        params = quantize_lm_params(params)
+    def build_params(key):
+        p = dual_ar.init_params(key, cfg, dtype=dtype)
+        if args.int8:
+            from fish_tts_tpu.utils.quantize import quantize_lm_params
+
+            p = quantize_lm_params(p)
+        return p
+
+    params = jax.jit(build_params)(jax.random.PRNGKey(0))
     rope = dual_ar.make_rope_tables(cfg)
-    force(jax.tree_util.tree_leaves(params)[0][0, :1])
-    print(f"# init: {time.perf_counter() - t0:.1f}s "
-          f"({dual_ar.param_count(params)/1e6:.0f}M params)", file=sys.stderr)
+    force(jax.tree_util.tree_leaves(params)[0][:1])
+    init_s = time.perf_counter() - t0
+    n_params = dual_ar.param_count(params)
+    print(f"# init: {init_s:.1f}s ({n_params/1e6:.0f}M params)", file=sys.stderr)
 
     t, p, r = jnp.float32(0.7), jnp.float32(0.8), jnp.float32(1.1)
     T = 64  # prompt bucket
@@ -101,11 +120,12 @@ def main() -> None:
     state = fresh_state()
     state, first = decode_mod.prefill(
         params, rope, state, jnp.asarray(prompt), lengths,
-        jax.random.PRNGKey(1), t, p, r, cfg=cfg, ids=ids, top_k=top_k, approx=not args.tiny,
+        jax.random.PRNGKey(1), t, p, r, cfg=cfg, ids=ids, top_k=top_k,
+        approx=args.approx,
     )
     state, frames, _ = decode_mod.decode_chunk(
         params, rope, state, jax.random.PRNGKey(2), t, p, r,
-        cfg=cfg, ids=ids, num_frames=CHUNK, top_k=top_k, approx=not args.tiny,
+        cfg=cfg, ids=ids, num_frames=CHUNK, top_k=top_k, approx=args.approx,
     )
     force(frames)
     compile_s = time.perf_counter() - t0
@@ -118,7 +138,7 @@ def main() -> None:
     for i in range(n_chunks):
         state, frames, _ = decode_mod.decode_chunk(
             params, rope, state, jax.random.PRNGKey(3 + i), t, p, r,
-            cfg=cfg, ids=ids, num_frames=CHUNK, top_k=top_k, approx=not args.tiny,
+            cfg=cfg, ids=ids, num_frames=CHUNK, top_k=top_k, approx=args.approx,
         )
     force(frames)
     dt = time.perf_counter() - t0
@@ -132,7 +152,8 @@ def main() -> None:
     state2 = fresh_state()
     state2, _ = decode_mod.prefill(
         params, rope, state2, jnp.asarray(prompt), lengths,
-        jax.random.PRNGKey(9), t, p, r, cfg=cfg, ids=ids, top_k=top_k, approx=not args.tiny,
+        jax.random.PRNGKey(9), t, p, r, cfg=cfg, ids=ids, top_k=top_k,
+        approx=args.approx,
     )
     force(state2["frame"])
     prefill_ms = (time.perf_counter() - t0) * 1e3
@@ -142,16 +163,24 @@ def main() -> None:
         "prefill_ms": round(prefill_ms, 1),
         "frames_timed": n_frames,
         "compile_s": round(compile_s, 1),
+        "init_s": round(init_s, 1),
+        "precision": "int8" if args.int8 else ("fp32" if args.tiny else "bf16"),
         "device": str(dev),
     }
 
-    # -- TTFA (prefill + 10 frames + vocoder decode of 10 frames) ----------
     try:
-        ttfa_extras = _measure_ttfa(args, cfg, vcfg, ids, params, rope, prompt,
-                                    lengths, t, p, r, top_k, fresh_state, dtype)
-        extras.update(ttfa_extras)
-    except Exception as e:  # noqa: BLE001 — TTFA is best-effort extra info
-        print(f"# ttfa failed: {e}", file=sys.stderr)
+        stats = dev.memory_stats()
+        if stats and "bytes_in_use" in stats:
+            extras["hbm_gb"] = round(stats["bytes_in_use"] / 2**30, 2)
+    except Exception:
+        pass
+
+    # -- TTFA through the public streaming path ----------------------------
+    if not args.no_ttfa:
+        try:
+            extras.update(_measure_ttfa_user_path(args, cfg, vcfg, params, dtype))
+        except Exception as e:  # noqa: BLE001 — TTFA is best-effort extra info
+            print(f"# ttfa failed: {type(e).__name__}: {e}", file=sys.stderr)
 
     result = {
         "metric": "semantic_tokens_per_sec",
@@ -163,53 +192,64 @@ def main() -> None:
     print(json.dumps(result))
 
 
-def _measure_ttfa(args, cfg, vcfg, ids, params, rope, prompt, lengths,
-                  t, p, r, top_k, fresh_state, dtype):
+def _measure_ttfa_user_path(args, cfg, vcfg, params, dtype):
+    """p50 time from ``FishTTS.synthesize_stream(text)`` to the first PCM
+    bytes on the host — the number the <300 ms target is defined on.
+
+    The LM params are the benchmarked ones; the vocoder is full-size with
+    random weights; the tokenizer is synthetic but id-layout-compatible, so
+    the timed path is exactly the user path (tokenize -> prompt -> prefill ->
+    first decode chunk -> vocoder -> PCM).
+    """
+    import tempfile
+    from pathlib import Path
+
     import jax
     import jax.numpy as jnp
 
-    from fish_tts_tpu.engine import decode as decode_mod
-
-    if args.no_ttfa:
-        return {}
     from fish_tts_tpu.models import vocoder as voc
+    from fish_tts_tpu.models.tokenizer import (
+        FishTokenizer,
+        tiny_special_tokens,
+        write_tiny_vocab,
+    )
+    from fish_tts_tpu.synthesizer import FishTTS
 
-    vparams = voc.init_vocoder_params(jax.random.PRNGKey(7), vcfg, dtype=dtype)
-    # params as explicit arg (closures embed them as HLO constants)
-    dec_jit = jax.jit(lambda p, c: voc.dac_decode(p, vcfg, c))
-    dec10 = lambda c: dec_jit(vparams, c)
-    codes10 = jnp.asarray(
-        np.random.RandomState(1).randint(0, 24, (1, vcfg.num_codebooks, 10)), jnp.int32
+    d = Path(tempfile.mkdtemp(prefix="fish_tts_bench_"))
+    write_tiny_vocab(d / "tokenizer.tiktoken")
+    tokenizer = FishTokenizer(
+        d / "tokenizer.tiktoken", tiny_special_tokens(cfg.codebook_size)
     )
-    t0 = time.perf_counter()
-    np.asarray(dec10(codes10))  # compile (asarray = true barrier)
-    print(f"# vocoder compile+run: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
-    # 9-frame first decode chunk variant (compile)
-    state3 = fresh_state()
-    state3, _ = decode_mod.prefill(
-        params, rope, state3, jnp.asarray(prompt), lengths,
-        jax.random.PRNGKey(11), t, p, r, cfg=cfg, ids=ids, top_k=top_k, approx=not args.tiny,
-    )
-    state3, fr9, _ = decode_mod.decode_chunk(
-        params, rope, state3, jax.random.PRNGKey(12), t, p, r,
-        cfg=cfg, ids=ids, num_frames=9, top_k=top_k, approx=not args.tiny,
-    )
-    np.asarray(fr9)
 
     t0 = time.perf_counter()
-    state4 = fresh_state()
-    state4, first = decode_mod.prefill(
-        params, rope, state4, jnp.asarray(prompt), lengths,
-        jax.random.PRNGKey(13), t, p, r, cfg=cfg, ids=ids, top_k=top_k, approx=not args.tiny,
+    vparams = jax.jit(
+        lambda k: voc.init_vocoder_params(k, vcfg, dtype=dtype)
+    )(jax.random.PRNGKey(7))
+    np.asarray(jax.tree_util.tree_leaves(vparams)[0]).ravel()[:1]
+    print(f"# vocoder init: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    tts = FishTTS(
+        precision="fp32" if args.tiny else "bf16",
+        warmup=False,
+        _testing_bundle=(cfg, params, tokenizer, vcfg, vparams),
     )
-    state4, fr9, _ = decode_mod.decode_chunk(
-        params, rope, state4, jax.random.PRNGKey(14), t, p, r,
-        cfg=cfg, ids=ids, num_frames=9, top_k=top_k, approx=not args.tiny,
-    )
-    audio = dec10(codes10)
-    np.asarray(audio)
-    ttfa_ms = (time.perf_counter() - t0) * 1e3
-    return {"ttfa_ms": round(ttfa_ms, 1)}
+
+    text = "Benchmark time to first audio."
+
+    def first_chunk_latency() -> float:
+        t0 = time.perf_counter()
+        stream = tts.synthesize_stream(text, max_tokens=16)
+        chunk = next(iter(stream))
+        dt = time.perf_counter() - t0
+        stream.close()
+        assert len(chunk) > 0
+        return dt
+
+    warm = first_chunk_latency()  # compile pass
+    print(f"# ttfa compile+run: {warm:.1f}s", file=sys.stderr)
+    lat = sorted(first_chunk_latency() for _ in range(5))
+    p50 = lat[len(lat) // 2]
+    return {"ttfa_ms": round(p50 * 1e3, 1), "ttfa_max_ms": round(lat[-1] * 1e3, 1)}
 
 
 if __name__ == "__main__":
