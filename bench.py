@@ -118,14 +118,16 @@ def main() -> None:
     CHUNK = 20
     t0 = time.perf_counter()
     state = fresh_state()
+    kv_b = min(cfg.max_seq_len, 512)
     state, first = decode_mod.prefill(
         params, rope, state, jnp.asarray(prompt), lengths,
         jax.random.PRNGKey(1), t, p, r, cfg=cfg, ids=ids, top_k=top_k,
-        approx=args.approx,
+        approx=args.approx, kv_bucket=0,
     )
     state, frames, _ = decode_mod.decode_chunk(
         params, rope, state, jax.random.PRNGKey(2), t, p, r,
         cfg=cfg, ids=ids, num_frames=CHUNK, top_k=top_k, approx=args.approx,
+        kv_bucket=kv_b,
     )
     force(frames)
     compile_s = time.perf_counter() - t0
@@ -139,6 +141,7 @@ def main() -> None:
         state, frames, _ = decode_mod.decode_chunk(
             params, rope, state, jax.random.PRNGKey(3 + i), t, p, r,
             cfg=cfg, ids=ids, num_frames=CHUNK, top_k=top_k, approx=args.approx,
+            kv_bucket=kv_b,
         )
     force(frames)
     dt = time.perf_counter() - t0
@@ -153,7 +156,7 @@ def main() -> None:
     state2, _ = decode_mod.prefill(
         params, rope, state2, jnp.asarray(prompt), lengths,
         jax.random.PRNGKey(9), t, p, r, cfg=cfg, ids=ids, top_k=top_k,
-        approx=args.approx,
+        approx=args.approx, kv_bucket=0,
     )
     force(state2["frame"])
     prefill_ms = (time.perf_counter() - t0) * 1e3

@@ -235,6 +235,10 @@ class EngineConfig:
     first_chunk: int = 10
     sample_top_k: int = 1024
     approx_top_k: bool = False
+    # Static upper bound granularity on the live KV prefix: attention reads
+    # stream only ceil(pos/step)*step cache rows instead of max_seq_len.
+    # Each distinct bucket is one extra XLA variant per chunk size.
+    kv_bucket_step: int = 512
     rep_penalty_window: int = 16
     max_new_tokens: int = 2048
     # Parallelism

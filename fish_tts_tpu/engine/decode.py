@@ -181,7 +181,7 @@ def _sample_frame(
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "ids", "top_k", "approx"),
+    static_argnames=("cfg", "ids", "top_k", "approx", "kv_bucket"),
     donate_argnames=("state",),
 )
 def prefill(
@@ -199,12 +199,18 @@ def prefill(
     ids: TokenIds,
     top_k: int = 0,
     approx: bool = False,
+    kv_bucket: int | None = None,
 ) -> tuple[State, jnp.ndarray]:
     """Whole-prompt forward at positions ``state.pos + [0, Tb)`` + first frame.
 
     Padding is safe by construction: causal masking means the last *real*
     position never attends to padding on its right, and stale padded KV slots
     are overwritten by decode steps before any query can reach them.
+
+    ``kv_bucket`` (static) is an upper bound on the live cache prefix: 0 for
+    a fresh sequence (skips all cached-attention reads — the cache holds no
+    live rows yet), or the prefix length rounded up to a bucket when resuming
+    from a cached voice-profile prefix.  ``None`` reads the full cache.
 
     Returns (state, first_frame (B, 1+K)).  No repetition penalty on the first
     frame (the reference prefill passes previous_tokens=None,
@@ -213,15 +219,19 @@ def prefill(
     B, _, Tb = prompt.shape
     S = state["kv"]["k"].shape[3]
     offset = state["pos"]  # (B,)
+    R = S if kv_bucket is None else kv_bucket
 
     positions = offset[:, None] + jnp.arange(Tb, dtype=jnp.int32)[None]  # (B, Tb)
     # Cache is valid strictly below the write offset (prefix-reuse rows);
     # the block itself is causally masked among its own T tokens.
-    k_pos = jnp.arange(S, dtype=jnp.int32)
-    cache_bias = jnp.where(
-        k_pos[None, None, None, :] < offset[:, None, None, None], 0.0, _NEG_INF
-    ).astype(jnp.float32)  # (B, 1, 1->Tb, S)
-    cache_bias = jnp.broadcast_to(cache_bias, (B, 1, Tb, S))
+    if R > 0:
+        k_pos = jnp.arange(R, dtype=jnp.int32)
+        cache_bias = jnp.where(
+            k_pos[None, None, None, :] < offset[:, None, None, None], 0.0, _NEG_INF
+        ).astype(jnp.float32)  # (B, 1, 1->Tb, R)
+        cache_bias = jnp.broadcast_to(cache_bias, (B, 1, Tb, R))
+    else:
+        cache_bias = None
     t_idx = jnp.arange(Tb, dtype=jnp.int32)
     block_bias = jnp.where(
         t_idx[None, :] <= t_idx[:, None], 0.0, _NEG_INF
@@ -229,7 +239,7 @@ def prefill(
 
     hidden, kv = dual_ar.slow_forward(
         params, cfg, ids, rope, prompt, positions, state["kv"],
-        cache_bias, block_bias,
+        cache_bias, block_bias, read_len=kv_bucket,
     )
     # Hidden at the last real position (reference slices to the last position
     # before the LM head, llama.py:443-444; ours is lengths-1 due to padding).
@@ -271,24 +281,26 @@ def _decode_one(
     repetition_penalty: jnp.ndarray,
     top_k: int,
     approx: bool = False,
+    kv_bucket: int | None = None,
 ) -> tuple[State, jnp.ndarray, jnp.ndarray]:
     """One decode step.  Returns (state, frame (B, 1+K), emitted (B,))."""
     B = state["frame"].shape[0]
     S = state["kv"]["k"].shape[3]
+    R = S if kv_bucket is None else kv_bucket
     pos = state["pos"]  # (B,)
 
     inp = state["frame"][:, :, None]  # (B, 1+K, 1)
     positions = pos[:, None]  # (B, 1)
     # Cache valid strictly below pos; the current token is the block self-key.
-    k_pos = jnp.arange(S, dtype=jnp.int32)
+    k_pos = jnp.arange(R, dtype=jnp.int32)
     cache_bias = jnp.where(
         k_pos[None, None, None, :] < pos[:, None, None, None], 0.0, _NEG_INF
-    ).astype(jnp.float32)  # (B, 1, 1, S)
+    ).astype(jnp.float32)  # (B, 1, 1, R)
     block_bias = jnp.zeros((1, 1, 1, 1), jnp.float32)
 
     hidden, kv = dual_ar.slow_forward(
         params, cfg, ids, rope, inp, positions, state["kv"],
-        cache_bias, block_bias,
+        cache_bias, block_bias, read_len=kv_bucket,
     )
     logits = dual_ar.lm_logits(params, cfg, hidden)[:, -1]  # (B, V)
 
@@ -327,7 +339,7 @@ def _decode_one(
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "ids", "num_frames", "top_k", "approx"),
+    static_argnames=("cfg", "ids", "num_frames", "top_k", "approx", "kv_bucket"),
     donate_argnames=("state",),
 )
 def decode_chunk(
@@ -344,8 +356,17 @@ def decode_chunk(
     num_frames: int,
     top_k: int = 0,
     approx: bool = False,
+    kv_bucket: int | None = None,
 ) -> tuple[State, jnp.ndarray, jnp.ndarray]:
     """Decode ``num_frames`` frames in one device call via ``lax.scan``.
+
+    ``kv_bucket`` (static) bounds the live cache prefix the attention has to
+    stream from HBM: the caller guarantees ``max(pos) + num_frames <=
+    kv_bucket`` and rounds up to a small set of buckets so the compile count
+    stays bounded.  At early positions this cuts per-frame KV reads from
+    ``max_seq_len`` rows (235 MB at S1-mini shapes) to the bucket (~30 MB at
+    512), which is the difference between HBM-bound and cache-bound decode.
+    ``None`` reads the full cache (always correct).
 
     Returns (state, frames (B, num_frames, 1+K), emitted (B, num_frames)).
     ``emitted[b, t]`` is False for frames generated after stream ``b`` hit
@@ -361,6 +382,7 @@ def decode_chunk(
         st, frame, emitted = _decode_one(
             params, cfg, ids, rope, st, k,
             temperature, top_p, repetition_penalty, top_k, approx,
+            kv_bucket,
         )
         return st, (frame, emitted)
 

@@ -60,6 +60,11 @@ def _pick_bucket(buckets: tuple[int, ...], n: int, cap: int) -> int:
     raise ValueError(f"Prompt length {n} exceeds maximum {cap}")
 
 
+def _kv_bucket(n: int, step: int, cap: int) -> int:
+    """Smallest multiple of ``step`` >= n, capped at the cache length."""
+    return min(cap, -(-n // step) * step)
+
+
 class GenerationEngine:
     """Host-side driver for the jitted DualAR decode pipeline."""
 
@@ -150,9 +155,15 @@ class GenerationEngine:
         top_p: float = 0.8,
         repetition_penalty: float = 1.1,
         sample: bool = True,
+        prefix_len: int = 0,
     ):
         """Pad to a bucket and run jitted prefill.  Returns the new state (and
-        the first frame when ``sample``)."""
+        the first frame when ``sample``).
+
+        ``prefix_len`` is the number of live cache rows already written (a
+        cached voice-profile prefix); 0 means a fresh sequence, which lets the
+        jitted prefill skip cached-attention reads entirely.
+        """
         T = values.shape[1]
         if T == 0:
             raise ValueError("Empty prompt")
@@ -160,6 +171,11 @@ class GenerationEngine:
         bucket = _pick_bucket(self.engine_cfg.prompt_buckets, T, cap)
         padded = np.zeros((1, values.shape[0], bucket), np.int32)
         padded[0, :, :T] = values
+        kv_bucket = (
+            0 if prefix_len == 0
+            else _kv_bucket(prefix_len, self.engine_cfg.kv_bucket_step,
+                            self.cfg.max_seq_len)
+        )
 
         state, first = decode_mod.prefill(
             self.params, self.rope, state,
@@ -168,7 +184,7 @@ class GenerationEngine:
             jnp.float32(temperature), jnp.float32(top_p),
             jnp.float32(repetition_penalty),
             cfg=self.cfg, ids=self.ids, top_k=self.engine_cfg.sample_top_k,
-            approx=self.engine_cfg.approx_top_k,
+            approx=self.engine_cfg.approx_top_k, kv_bucket=kv_bucket,
         )
         if sample:
             return state, first
@@ -272,7 +288,8 @@ class GenerationEngine:
             max_new = max_length - prompt_len
 
         state, first = self._prefill_padded(
-            state, enc.values, temperature, top_p, repetition_penalty
+            state, enc.values, temperature, top_p, repetition_penalty,
+            prefix_len=prompt_len - enc.values.shape[1] if use_cached_prefix else 0,
         )
         t_dev = jnp.float32(temperature)
         p_dev = jnp.float32(top_p)
@@ -302,6 +319,9 @@ class GenerationEngine:
                 t_dev, p_dev, r_dev,
                 cfg=cfg, ids=self.ids, num_frames=n,
                 top_k=ecfg.sample_top_k, approx=ecfg.approx_top_k,
+                kv_bucket=_kv_bucket(
+                    prompt_len + produced + n, ecfg.kv_bucket_step, cfg.max_seq_len
+                ),
             )
             frames_np = np.asarray(frames)  # (1, n, 1+K)
             emitted_np = np.asarray(emitted)[0]  # (n,)
@@ -393,12 +413,13 @@ class GenerationEngine:
             jnp.float32(temperature), jnp.float32(top_p),
             jnp.float32(repetition_penalty),
             cfg=cfg, ids=self.ids, top_k=ecfg.sample_top_k,
-            approx=ecfg.approx_top_k,
+            approx=ecfg.approx_top_k, kv_bucket=0,
         )
 
         frames_all = [np.asarray(first)[:, None, :]]  # list of (B, n, 1+K)
         emitted_all = [np.ones((B, 1), bool)]
         produced = 1
+        max_len = int(lengths.max())
         while produced < max_new and not bool(np.asarray(state["done"]).all()):
             state, frames, emitted = decode_mod.decode_chunk(
                 self.params, self.rope, state, self._next_key(),
@@ -406,6 +427,10 @@ class GenerationEngine:
                 jnp.float32(repetition_penalty),
                 cfg=cfg, ids=self.ids, num_frames=ecfg.decode_chunk,
                 top_k=ecfg.sample_top_k, approx=ecfg.approx_top_k,
+                kv_bucket=_kv_bucket(
+                    max_len + produced + ecfg.decode_chunk,
+                    ecfg.kv_bucket_step, cfg.max_seq_len,
+                ),
             )
             n = min(ecfg.decode_chunk, max_new - produced)
             frames_all.append(np.asarray(frames)[:, :n])

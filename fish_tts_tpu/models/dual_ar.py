@@ -253,6 +253,7 @@ def transformer_stack(
     positions: jnp.ndarray | None,
     cache_bias: jnp.ndarray | None = None,
     unroll: int = 1,
+    read_len: int | None = None,
 ):
     """Run all layers via ``lax.scan`` over the stacked layer axis.
 
@@ -261,6 +262,14 @@ def transformer_stack(
     layers' rows into the (donated) cache in place.  This keeps per-step HBM
     traffic at [read cache] + [write T rows] instead of [read + rewrite the
     entire cache] (235 MB/frame at S1-mini shapes).
+
+    ``read_len`` (static) further bounds the attention *reads*: only cache
+    positions ``< read_len`` can hold live keys, so the layer scan streams a
+    ``(B, Hkv, read_len, Dh)`` slice instead of the full ``max_seq_len``
+    buffer.  ``read_len=0`` skips cached attention entirely (fresh prefill).
+    The caller guarantees every valid position is ``< read_len``;
+    ``cache_bias`` must have key width ``read_len``.  Writes always target
+    the full cache.
 
     Returns (x, new_kv_cache).
     """
@@ -273,16 +282,35 @@ def transformer_stack(
         x, _ = jax.lax.scan(body, x, stack_params, unroll=unroll)
         return x, None
 
-    def body(carry, inputs):
-        lp, kc, vc = inputs
-        y, new_k, new_v = _block_body(
-            lp, carry, cfg, freqs, bias, kc, vc, cache_bias
-        )
-        return y, (new_k, new_v)
+    if read_len == 0:
+        # No live cache rows: pure in-block attention, then scatter the new
+        # rows (prefill of a fresh sequence — skips max_seq_len-wide reads).
+        def body(carry, lp):
+            y, new_k, new_v = _block_body(
+                lp, carry, cfg, freqs, bias, None, None, None
+            )
+            return y, (new_k, new_v)
 
-    x, (new_ks, new_vs) = jax.lax.scan(
-        body, x, (stack_params, kv_cache["k"], kv_cache["v"]), unroll=unroll
-    )
+        x, (new_ks, new_vs) = jax.lax.scan(
+            body, x, stack_params, unroll=unroll
+        )
+    else:
+        k_read = kv_cache["k"]
+        v_read = kv_cache["v"]
+        if read_len is not None:
+            k_read = k_read[:, :, :, :read_len]
+            v_read = v_read[:, :, :, :read_len]
+
+        def body(carry, inputs):
+            lp, kc, vc = inputs
+            y, new_k, new_v = _block_body(
+                lp, carry, cfg, freqs, bias, kc, vc, cache_bias
+            )
+            return y, (new_k, new_v)
+
+        x, (new_ks, new_vs) = jax.lax.scan(
+            body, x, (stack_params, k_read, v_read), unroll=unroll
+        )
     # new_ks: (L, B, Hkv, T, Dh) -> scatter into (L, B, Hkv, S, Dh) at
     # positions (B, T).  Advanced indices (b, positions) with slices between
     # move to the front: target view (B, T, L, Hkv, Dh).
@@ -335,8 +363,9 @@ def slow_forward(
     inp: jnp.ndarray,  # (B, 1+K, T)
     positions: jnp.ndarray,  # (B, T) absolute positions
     kv_cache: Params,
-    cache_bias: jnp.ndarray,  # (B, 1, T, S): mask k_pos >= valid cache length
+    cache_bias: jnp.ndarray,  # (B, 1, T, read_len|S): mask unwritten slots
     block_bias: jnp.ndarray,  # (B|1, 1, T, T): causal within this block
+    read_len: int | None = None,  # static bound on live cache positions
 ):
     """Slow-transformer forward writing into the KV cache.
 
@@ -348,7 +377,7 @@ def slow_forward(
     freqs = rope["slow"][positions]  # (B, T, D/2, 2)
     x, kv_cache = transformer_stack(
         params["layers"], x, cfg, freqs, block_bias, kv_cache, positions,
-        cache_bias=cache_bias,
+        cache_bias=cache_bias, read_len=read_len,
     )
     return x, kv_cache
 

@@ -230,3 +230,57 @@ def test_penalty_column_matches_reference_window_rule():
     for step in (16, 17, 33):
         col = np.asarray(decode.penalty_column(prev, jnp.int32(step)))
         np.testing.assert_array_equal(col, np.full((B, K1), (step % W) + 1))
+
+
+def test_kv_bucketed_decode_matches_full_cache(setup):
+    """decode_chunk with a static kv_bucket covering all live positions is
+    bit-identical to reading the full cache, for fresh and prefix states."""
+    params, rope = setup
+    args = (_scalar(0.7), _scalar(0.8), _scalar(1.1))
+
+    def run(kv_bucket_prefill, kv_bucket_chunk):
+        state = decode.init_state(params, CFG, batch=1)
+        prompt, lengths = _prompt(12)
+        state, first = decode.prefill(
+            params, rope, state, prompt, lengths, jax.random.PRNGKey(1),
+            *args, cfg=CFG, ids=IDS, kv_bucket=kv_bucket_prefill,
+        )
+        state, frames, emitted = decode.decode_chunk(
+            params, rope, state, jax.random.PRNGKey(2), *args,
+            cfg=CFG, ids=IDS, num_frames=6, kv_bucket=kv_bucket_chunk,
+        )
+        return np.asarray(first), np.asarray(frames), np.asarray(emitted)
+
+    f_full, fr_full, em_full = run(None, None)
+    # bucket 32 covers prompt 12 + 6 frames; bucket 0 prefill = fresh
+    f_b, fr_b, em_b = run(0, 32)
+    np.testing.assert_array_equal(f_b, f_full)
+    np.testing.assert_array_equal(fr_b, fr_full)
+    np.testing.assert_array_equal(em_b, em_full)
+    # a larger bucket must give the same result too
+    f_b2, fr_b2, _ = run(0, 64)
+    np.testing.assert_array_equal(fr_b2, fr_full)
+
+
+def test_kv_bucketed_prefix_continuation(setup):
+    """Prefix-reuse prefill with kv_bucket = prefix bucket matches the
+    full-cache path."""
+    params, rope = setup
+    args = (_scalar(0.7), _scalar(0.8), _scalar(1.1))
+    prompt_a, len_a = _prompt(10, seed=3)
+
+    def run(kv_bucket):
+        state = decode.init_state(params, CFG, batch=1)
+        state, _ = decode.prefill(
+            params, rope, state, prompt_a, len_a, jax.random.PRNGKey(4),
+            *args, cfg=CFG, ids=IDS, kv_bucket=0,
+        )
+        # continuation block at offset 10
+        prompt_b, len_b = _prompt(5, bucket=8, seed=5)
+        state, first = decode.prefill(
+            params, rope, state, prompt_b, len_b, jax.random.PRNGKey(6),
+            *args, cfg=CFG, ids=IDS, kv_bucket=kv_bucket,
+        )
+        return np.asarray(first)
+
+    np.testing.assert_array_equal(run(None), run(16))
