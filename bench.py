@@ -119,15 +119,17 @@ def main() -> None:
     t0 = time.perf_counter()
     state = fresh_state()
     kv_b = min(cfg.max_seq_len, 512)
+    # fused Pallas fast decoder: TPU + int8 single-stream only
+    fast_k = args.int8 and not args.cpu and not args.tiny
     state, first = decode_mod.prefill(
         params, rope, state, jnp.asarray(prompt), lengths,
         jax.random.PRNGKey(1), t, p, r, cfg=cfg, ids=ids, top_k=top_k,
-        approx=args.approx, kv_bucket=0,
+        approx=args.approx, kv_bucket=0, fast_kernel=fast_k,
     )
     state, frames, _ = decode_mod.decode_chunk(
         params, rope, state, jax.random.PRNGKey(2), t, p, r,
         cfg=cfg, ids=ids, num_frames=CHUNK, top_k=top_k, approx=args.approx,
-        kv_bucket=kv_b,
+        kv_bucket=kv_b, fast_kernel=fast_k,
     )
     force(frames)
     compile_s = time.perf_counter() - t0
@@ -141,7 +143,7 @@ def main() -> None:
         state, frames, _ = decode_mod.decode_chunk(
             params, rope, state, jax.random.PRNGKey(3 + i), t, p, r,
             cfg=cfg, ids=ids, num_frames=CHUNK, top_k=top_k, approx=args.approx,
-            kv_bucket=kv_b,
+            kv_bucket=kv_b, fast_kernel=fast_k,
         )
     force(frames)
     dt = time.perf_counter() - t0

@@ -239,6 +239,9 @@ class EngineConfig:
     # stream only ceil(pos/step)*step cache rows instead of max_seq_len.
     # Each distinct bucket is one extra XLA variant per chunk size.
     kv_bucket_step: int = 512
+    # Fused Pallas fast-codebook decoder (ops/fast_decoder.py): used on TPU
+    # for single-stream decode with int8 params; ignored otherwise.
+    fast_kernel: bool = True
     rep_penalty_window: int = 16
     max_new_tokens: int = 2048
     # Parallelism

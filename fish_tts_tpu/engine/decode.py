@@ -44,6 +44,7 @@ from fish_tts_tpu.config import DualARConfig
 from fish_tts_tpu.engine.sampling import sample
 from fish_tts_tpu.models import dual_ar
 from fish_tts_tpu.models.dual_ar import Params, TokenIds
+from fish_tts_tpu.ops import fast_decoder
 from fish_tts_tpu.utils.quantize import qgather
 
 _NEG_INF = float(np.finfo(np.float32).min)
@@ -105,9 +106,15 @@ def _sample_frame(
     step: jnp.ndarray | None,  # scalar step index (for the column quirk)
     top_k: int,
     approx: bool = False,
+    fast_kernel: bool = False,
 ) -> jnp.ndarray:
     """Sample one full (1+K)-row frame (reference decode_one_token_ar,
-    inference.py:83-155).  Returns (B, 1+K) int32."""
+    inference.py:83-155).  Returns (B, 1+K) int32.
+
+    With ``fast_kernel`` (and int8 params, B=1) the codebook loop runs in the
+    fused Pallas kernel (ops/fast_decoder.py) — same math, f32 accumulation,
+    exact full-vocab top-p; otherwise the XLA ``lax.scan`` loop below.
+    """
     B = logits.shape[0]
     k_slow, k_fast = jax.random.split(key)
 
@@ -131,6 +138,29 @@ def _sample_frame(
     # output is discarded (inference.py:121-122).
     dt = params["norm"].dtype
     h_fast = dual_ar.project_fast_in(params, hidden_last).astype(dt)
+
+    if fast_kernel and fast_decoder.supports(cfg, params, B):
+        a = jnp.clip(token - ids.semantic_begin, 0, cfg.codebook_size - 1)
+        if prev is not None:
+            prev_rows = prev[:, 2:, :]  # row cb+1 per residual step cb
+            rep = repetition_penalty
+        else:
+            prev_rows = jnp.zeros((B, cfg.num_codebooks - 1, WINDOW), jnp.int32)
+            rep = jnp.float32(1.0)  # exact no-op penalty (prefill)
+        gumbel = jax.random.gumbel(
+            k_fast, (B, cfg.num_codebooks - 1, cfg.residual_codebook_size),
+            jnp.float32,
+        )
+        codes, _ = fast_decoder.fast_decode_frame(
+            params, cfg, rope["fast"], h_fast[:, 0], a, prev_rows, gumbel,
+            temperature, top_p, rep,
+            window=WINDOW, interpret=jax.default_backend() != "tpu",
+        )  # (B, K-1)
+        frame = jnp.concatenate(
+            [token[:, None], a[:, None], codes], axis=1
+        )
+        return frame.astype(jnp.int32)  # (B, 1+K)
+
     cache = dual_ar.new_fast_cache(params, cfg, B)
     _, cache = dual_ar.fast_step(params, cfg, rope, h_fast, jnp.int32(0), cache)
 
@@ -181,7 +211,8 @@ def _sample_frame(
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "ids", "top_k", "approx", "kv_bucket"),
+    static_argnames=("cfg", "ids", "top_k", "approx", "kv_bucket",
+                     "fast_kernel"),
     donate_argnames=("state",),
 )
 def prefill(
@@ -200,6 +231,7 @@ def prefill(
     top_k: int = 0,
     approx: bool = False,
     kv_bucket: int | None = None,
+    fast_kernel: bool = False,
 ) -> tuple[State, jnp.ndarray]:
     """Whole-prompt forward at positions ``state.pos + [0, Tb)`` + first frame.
 
@@ -251,6 +283,7 @@ def prefill(
         params, cfg, ids, rope, key, hidden_last, logits,
         temperature, top_p, repetition_penalty,
         prev=None, step=None, top_k=top_k, approx=approx,
+        fast_kernel=fast_kernel,
     )
 
     new_state = {
@@ -282,6 +315,7 @@ def _decode_one(
     top_k: int,
     approx: bool = False,
     kv_bucket: int | None = None,
+    fast_kernel: bool = False,
 ) -> tuple[State, jnp.ndarray, jnp.ndarray]:
     """One decode step.  Returns (state, frame (B, 1+K), emitted (B,))."""
     B = state["frame"].shape[0]
@@ -308,6 +342,7 @@ def _decode_one(
         params, cfg, ids, rope, key, hidden, logits,
         temperature, top_p, repetition_penalty,
         prev=state["prev"], step=state["step"], top_k=top_k, approx=approx,
+        fast_kernel=fast_kernel,
     )
 
     was_done = state["done"]
@@ -339,7 +374,8 @@ def _decode_one(
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "ids", "num_frames", "top_k", "approx", "kv_bucket"),
+    static_argnames=("cfg", "ids", "num_frames", "top_k", "approx",
+                     "kv_bucket", "fast_kernel"),
     donate_argnames=("state",),
 )
 def decode_chunk(
@@ -357,6 +393,7 @@ def decode_chunk(
     top_k: int = 0,
     approx: bool = False,
     kv_bucket: int | None = None,
+    fast_kernel: bool = False,
 ) -> tuple[State, jnp.ndarray, jnp.ndarray]:
     """Decode ``num_frames`` frames in one device call via ``lax.scan``.
 
@@ -382,7 +419,7 @@ def decode_chunk(
         st, frame, emitted = _decode_one(
             params, cfg, ids, rope, st, k,
             temperature, top_p, repetition_penalty, top_k, approx,
-            kv_bucket,
+            kv_bucket, fast_kernel,
         )
         return st, (frame, emitted)
 

@@ -38,6 +38,7 @@ from fish_tts_tpu.engine import decode as decode_mod
 from fish_tts_tpu.models.dual_ar import Params, TokenIds, make_rope_tables
 from fish_tts_tpu.models.prompt import build_prompt, ContentSequence, TextPart
 from fish_tts_tpu.models.tokenizer import FishTokenizer
+from fish_tts_tpu.utils.profiling import Metrics
 
 logger = logging.getLogger(__name__)
 
@@ -86,7 +87,13 @@ class GenerationEngine:
             im_end=tokenizer.im_end_id,
         )
         self.rope = make_rope_tables(cfg)
+        # Fused Pallas fast-decoder: TPU-only (interpret mode would crawl on
+        # CPU); decode falls back per-call when params/batch do not qualify.
+        self._fast_kernel = (
+            self.engine_cfg.fast_kernel and jax.default_backend() == "tpu"
+        )
         self._key = jax.random.PRNGKey(seed)
+        self.metrics = Metrics()
         # Prefix (voice-profile) cache: state snapshot after prefilling the
         # reference blocks, shared across synthesize calls.
         self._prefix_state: decode_mod.State | None = None
@@ -185,6 +192,7 @@ class GenerationEngine:
             jnp.float32(repetition_penalty),
             cfg=self.cfg, ids=self.ids, top_k=self.engine_cfg.sample_top_k,
             approx=self.engine_cfg.approx_top_k, kv_bucket=kv_bucket,
+            fast_kernel=self._fast_kernel,
         )
         if sample:
             return state, first
@@ -287,15 +295,15 @@ class GenerationEngine:
         else:
             max_new = max_length - prompt_len
 
-        state, first = self._prefill_padded(
-            state, enc.values, temperature, top_p, repetition_penalty,
-            prefix_len=prompt_len - enc.values.shape[1] if use_cached_prefix else 0,
-        )
+        with self.metrics.span("prefill"):
+            state, first = self._prefill_padded(
+                state, enc.values, temperature, top_p, repetition_penalty,
+                prefix_len=prompt_len - enc.values.shape[1] if use_cached_prefix else 0,
+            )
+            first_np = np.asarray(first)  # (1, 1+K) — host fetch = barrier
         t_dev = jnp.float32(temperature)
         p_dev = jnp.float32(top_p)
         r_dev = jnp.float32(repetition_penalty)
-
-        first_np = np.asarray(first)  # (1, 1+K)
         produced = 1
         done = bool(np.asarray(state["done"])[0])
 
@@ -314,18 +322,21 @@ class GenerationEngine:
             n = ecfg.first_chunk - 1 if first_chunk else ecfg.decode_chunk
             n = max(1, min(n, ecfg.decode_chunk))
             first_chunk = False
-            state, frames, emitted = decode_mod.decode_chunk(
-                self.params, self.rope, state, self._next_key(),
-                t_dev, p_dev, r_dev,
-                cfg=cfg, ids=self.ids, num_frames=n,
-                top_k=ecfg.sample_top_k, approx=ecfg.approx_top_k,
-                kv_bucket=_kv_bucket(
-                    prompt_len + produced + n, ecfg.kv_bucket_step, cfg.max_seq_len
-                ),
-            )
-            frames_np = np.asarray(frames)  # (1, n, 1+K)
-            emitted_np = np.asarray(emitted)[0]  # (n,)
-            done = bool(np.asarray(state["done"])[0])
+            with self.metrics.span("decode"):
+                state, frames, emitted = decode_mod.decode_chunk(
+                    self.params, self.rope, state, self._next_key(),
+                    t_dev, p_dev, r_dev,
+                    cfg=cfg, ids=self.ids, num_frames=n,
+                    top_k=ecfg.sample_top_k, approx=ecfg.approx_top_k,
+                    kv_bucket=_kv_bucket(
+                        prompt_len + produced + n, ecfg.kv_bucket_step, cfg.max_seq_len
+                    ),
+                    fast_kernel=self._fast_kernel,
+                )
+                frames_np = np.asarray(frames)  # (1, n, 1+K)
+                emitted_np = np.asarray(emitted)[0]  # (n,)
+                done = bool(np.asarray(state["done"])[0])
+            self.metrics.record_tokens(int(emitted_np.sum()))
 
             valid = frames_np[:, emitted_np]  # (1, m, 1+K)
             # Cap at the token budget.

@@ -1,0 +1,351 @@
+"""Pallas fused fast-codebook decoder.
+
+The DualAR fast transformer runs ``num_codebooks`` sequential 1-token steps
+per frame (reference decode_one_token_ar, inference.py:116-149).  Under XLA
+each step re-streams the whole fast stack from HBM — at S1-mini shapes that
+is ~63M int8 params x 10 steps = 630 MB per frame, the single largest HBM
+consumer of decode.  This kernel runs the *entire* per-frame codebook loop in
+one ``pallas_call`` with the int8 weights resident in VMEM (~65 MB of a v5e
+core's 128 MiB), so the stack is loaded from HBM once per frame:
+
+  pos 0:   consume the slow hidden state, write KV, discard the output
+           (inference.py:121-122),
+  pos cb (1..K-1): embed previous code -> n_fast_layer transformer layers
+           (KV cache in VMEM scratch, causal over codebook positions) ->
+           fast_norm -> residual-book head -> repetition penalty -> exact
+           top-p -> Gumbel-max sample -> next embedding.
+
+Mosaic-friendly layout choices (the TPU vector unit hates reshapes that
+split the 128-lane axis):
+
+- activations stay ``(1, heads*head_dim)`` end-to-end; q/k/v are lane
+  *slices* of the fused qkv row, never reshaped to ``(H, Dh)``;
+- RoPE is applied with precomputed interleaved cos / signed-sin tables and a
+  pairwise lane swap built from two ``pltpu.roll`` calls — no pair reshape;
+- per-head score/weighted-sum reductions go through tiny segment-mask
+  matmuls (``(K, H*Dh) @ (H*Dh, H)``) on the MXU instead of axis reshapes;
+- K/V rows are written into the cache scratch duplicated per *query* head,
+  so the GQA group structure is baked into the lane layout.
+
+Sampling uses a *sort-free exact* top-p: token ``i`` stays in the nucleus iff
+``sum_{j: l_j > l_i} p_j + p_i <= top_p`` or ``i`` is the argmax — the same
+set the reference's sort+cumsum selects (inference.py:47-57; ties at the
+boundary are kept, where an unstable sort picks an arbitrary subset).  The
+O(V^2) pairwise comparison is ~1M VPU ops for the 1024-entry residual books —
+cheaper than any sort.  Gumbel noise is drawn outside with the engine's key
+and passed in, keeping RNG handling in one place.
+
+Single-stream (B=1) only — the latency path this kernel exists for; batched
+serving uses the XLA loop, which amortizes weight streaming across streams.
+Weights must be int8-quantized per ``utils/quantize.py``; bf16 stacks (2x
+the bytes) do not fit in VMEM and also use the XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fish_tts_tpu.config import DualARConfig
+
+Params = dict[str, Any]
+
+_NEG = -1e30
+
+
+def _make_kernel(cfg: DualARConfig, window: int):
+    K = cfg.num_codebooks
+    D = cfg.fast_dim
+    H = cfg.fast_n_head
+    Hkv = cfg.fast_n_local_heads
+    Dh = cfg.fast_head_dim
+    G = H // Hkv
+    Vr = cfg.residual_codebook_size
+    L = cfg.n_fast_layer
+    eps = cfg.norm_eps
+    q_size = H * Dh
+    kv_size = Hkv * Dh
+    scale = 1.0 / math.sqrt(Dh)
+
+    def _rms(x, w):
+        n = x * jax.lax.rsqrt(jnp.mean(x * x, axis=-1, keepdims=True) + eps)
+        return n * w
+
+    def _rope(x, cos_row, sin_row):
+        """Interleaved-pair rotation via lane swap; tables carry the sign."""
+        n = x.shape[-1]
+        r_next = pltpu.roll(x, n - 1, 1)  # lane i <- x[i+1 mod n]
+        r_prev = pltpu.roll(x, 1, 1)      # lane i <- x[i-1 mod n]
+        lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        swap = jnp.where(lane % 2 == 0, r_next, r_prev)
+        return x * cos_row + swap * sin_row
+
+    def kernel(
+        temp_ref, top_p_ref, rep_ref,              # SMEM scalars
+        h_ref,            # (1, D) slow hidden, already fast-projected
+        a0_ref,           # (1, 1) int32 first codebook code
+        prev_ref,         # (1, (K-1)*W) int32 penalty windows, flattened
+        gumbel_ref,       # (K-1, Vr) f32
+        cos_q_ref, sin_q_ref,                     # (K, q_size)
+        cos_k_ref, sin_k_ref,                     # (K, kv_size)
+        seg_ref,          # (q_size, H) f32 segment mask
+        seg_t_ref,        # (H, q_size) f32
+        attn_norm_ref, ffn_norm_ref,              # (L, D)
+        wqkv_q, wqkv_s, wo_q, wo_s,
+        w1_q, w1_s, w3_q, w3_s, w2_q, w2_s,
+        fast_norm_ref,                            # (1, D)
+        head_q, head_s,                           # (D, Vr) int8, (1, Vr)
+        emb_q, emb_s,                             # (C, D) int8, (1, C) scales
+        codes_ref,        # (1, K-1) int32 out
+        logits_out_ref,   # (K-1, Vr) f32 out (penalized, pre-mask)
+        kc_ref, vc_ref,   # (L, K, q_size) f32 scratch
+    ):
+        temp = temp_ref[0, 0]
+        top_p = top_p_ref[0, 0]
+        rep = rep_ref[0, 0]
+
+        # zero the KV scratch: masked softmax weights are 0, but 0 * garbage
+        # (NaN/inf) would still poison the weighted sum
+        kc_ref[...] = jnp.zeros_like(kc_ref)
+        vc_ref[...] = jnp.zeros_like(vc_ref)
+
+        def qdot(x, wq, ws, layer):
+            w = wq[layer].astype(jnp.bfloat16)
+            out = jnp.dot(x.astype(jnp.bfloat16), w,
+                          preferred_element_type=jnp.float32)
+            return out * ws[layer]
+
+        t_iota = jax.lax.broadcasted_iota(jnp.int32, (K, H), 0)
+
+        def layer_stack(x, pos):
+            """x: (1, D) f32 -> (1, D) f32; writes KV at codebook ``pos``."""
+            cos_q = cos_q_ref[pl.ds(pos, 1), :]
+            sin_q = sin_q_ref[pl.ds(pos, 1), :]
+            cos_k = cos_k_ref[pl.ds(pos, 1), :]
+            sin_k = sin_k_ref[pl.ds(pos, 1), :]
+            for layer in range(L):
+                h = _rms(x, attn_norm_ref[layer])
+                qkv = qdot(h, wqkv_q, wqkv_s, layer)  # (1, q+2kv)
+                q = _rope(qkv[:, :q_size], cos_q, sin_q)
+                k = _rope(qkv[:, q_size:q_size + kv_size], cos_k, sin_k)
+                v = qkv[:, q_size + kv_size:]
+                # write K/V duplicated per query head (GQA in lane layout)
+                for hq in range(H):
+                    src = (hq // G) * Dh
+                    kc_ref[layer, pl.ds(pos, 1), hq * Dh:(hq + 1) * Dh] = (
+                        k[:, src:src + Dh]
+                    )
+                    vc_ref[layer, pl.ds(pos, 1), hq * Dh:(hq + 1) * Dh] = (
+                        v[:, src:src + Dh]
+                    )
+                kc = kc_ref[layer]  # (K, q_size)
+                vc = vc_ref[layer]
+                s = jnp.dot(kc * q, seg_ref[...],
+                            preferred_element_type=jnp.float32) * scale  # (K, H)
+                s = jnp.where(t_iota <= pos, s, _NEG)
+                p = jax.nn.softmax(s, axis=0)
+                p_exp = jnp.dot(p, seg_t_ref[...],
+                                preferred_element_type=jnp.float32)  # (K, q_size)
+                o = jnp.sum(p_exp * vc, axis=0, keepdims=True)  # (1, q_size)
+                x = x + qdot(o, wo_q, wo_s, layer)
+                f = _rms(x, ffn_norm_ref[layer])
+                gate = qdot(f, w1_q, w1_s, layer)
+                up = qdot(f, w3_q, w3_s, layer)
+                x = x + qdot(gate * jax.lax.logistic(gate) * up,
+                             w2_q, w2_s, layer)
+            return x
+
+        C = emb_q.shape[0]
+        c_iota = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+
+        def embed(code):
+            # one-hot matmul gather: dynamic int8 row loads are not provably
+            # tile-aligned for Mosaic, but a (1, C) @ (C, D) MXU pass over the
+            # VMEM-resident table is cheap and exact
+            onehot = (c_iota == code).astype(jnp.bfloat16)
+            row = jnp.dot(onehot, emb_q[...].astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+            s = jnp.sum(jnp.where(c_iota == code, emb_s[...], 0.0),
+                        axis=-1, keepdims=True)
+            return row * s
+
+        # position 0: slow hidden in, output discarded (inference.py:121-122)
+        layer_stack(h_ref[...].astype(jnp.float32), 0)
+
+        code = a0_ref[0, 0]
+        v_iota = jax.lax.broadcasted_iota(jnp.int32, (1, Vr), 1)
+
+        for cb in range(1, K):
+            x = layer_stack(embed(code), cb)
+            hn = _rms(x, fast_norm_ref[...])
+            logits = jnp.dot(
+                hn.astype(jnp.bfloat16), head_q[...].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            ) * head_s[...]  # (1, Vr)
+
+            # repetition penalty over window row cb+1 (inference.py:39-45);
+            # rep == 1.0 makes this an exact no-op (prefill path)
+            hit = jnp.zeros((1, Vr), jnp.bool_)
+            for w in range(window):
+                idx = prev_ref[0, (cb - 1) * window + w]
+                hit = hit | (v_iota == idx)
+            logits = jnp.where(
+                hit, jnp.where(logits < 0, logits * rep, logits / rep), logits
+            )
+            logits_out_ref[pl.ds(cb - 1, 1), :] = logits
+
+            # exact sort-free top-p on unscaled logits (inference.py:47-57)
+            z = jax.lax.stop_gradient(
+                jax.nn.logsumexp(logits, axis=-1, keepdims=True)
+            )
+            p = jnp.exp(logits - z)  # (1, Vr)
+            TILE = 256
+            keep_parts = []
+            amax = jnp.max(logits, axis=-1, keepdims=True)
+            for t0 in range(0, Vr, TILE):
+                li = logits[:, t0:t0 + TILE]  # (1, TILE)
+                gt = logits[:, None, :] > li[:, :, None]  # (1, TILE, Vr)
+                s_above = jnp.sum(jnp.where(gt, p[:, None, :], 0.0), axis=-1)
+                pi = p[:, t0:t0 + TILE]
+                keep_parts.append(
+                    (s_above + pi <= top_p) | (li >= amax)
+                )
+            keep = jnp.concatenate(keep_parts, axis=-1)  # (1, Vr)
+            masked = jnp.where(keep, logits, _NEG)
+
+            scaled = masked / jnp.maximum(temp, 1e-5)
+            g = gumbel_ref[pl.ds(cb - 1, 1), :]
+            code = jnp.argmax(scaled + g, axis=-1)[0].astype(jnp.int32)
+            codes_ref[0, pl.ds(cb - 1, 1)] = code[None]
+
+    return kernel
+
+
+def supports(cfg: DualARConfig, params: Params, batch: int) -> bool:
+    """True when the fused kernel can run this config/params/batch combo."""
+    from fish_tts_tpu.utils.quantize import is_quantized
+
+    fl = params.get("fast_layers", {})
+    return (
+        batch == 1
+        and is_quantized(fl.get("wqkv"))
+        and is_quantized(params.get("fast_embeddings"))
+        and is_quantized(params.get("fast_output"))
+        and cfg.fast_head_dim % 2 == 0
+        and "fast_project_in" not in params  # projection handled by caller
+    )
+
+
+def rope_tables(cfg: DualARConfig, rope_fast: jnp.ndarray):
+    """Expand the (K, Dh/2, 2) pair table into interleaved lane tables.
+
+    Returns (cos_q, sin_q, cos_k, sin_k): cos duplicated per pair element and
+    tiled per head; sin carries the rotation sign (-sin at even lanes, +sin
+    at odd), so the kernel's pairwise lane swap is a pure multiply-add.
+    """
+    K = cfg.num_codebooks
+    Dh = cfg.fast_head_dim
+    cs = rope_fast[..., 0].astype(jnp.float32)  # (K, Dh/2)
+    sn = rope_fast[..., 1].astype(jnp.float32)
+    cos_i = jnp.repeat(cs, 2, axis=1)  # (K, Dh)
+    sin_i = jnp.stack([-sn, sn], axis=-1).reshape(K, Dh)
+    cos_q = jnp.tile(cos_i, (1, cfg.fast_n_head))
+    sin_q = jnp.tile(sin_i, (1, cfg.fast_n_head))
+    cos_k = jnp.tile(cos_i, (1, cfg.fast_n_local_heads))
+    sin_k = jnp.tile(sin_i, (1, cfg.fast_n_local_heads))
+    return cos_q, sin_q, cos_k, sin_k
+
+
+def _segment_masks(cfg: DualARConfig):
+    H, Dh = cfg.fast_n_head, cfg.fast_head_dim
+    seg = np.kron(np.eye(H, dtype=np.float32), np.ones((Dh, 1), np.float32))
+    return jnp.asarray(seg), jnp.asarray(seg.T)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "window", "interpret"))
+def fast_decode_frame(
+    params: Params,
+    cfg: DualARConfig,
+    rope_fast: jnp.ndarray,   # (K, Dh/2, 2)
+    h_fast: jnp.ndarray,      # (1, D) slow hidden (already projected)
+    a0: jnp.ndarray,          # (1,) int32 first codebook code
+    prev_rows: jnp.ndarray,   # (1, K-1, W) int32 penalty windows
+    gumbel: jnp.ndarray,      # (1, K-1, Vr) f32
+    temperature: jnp.ndarray,
+    top_p: jnp.ndarray,
+    repetition_penalty: jnp.ndarray,
+    *,
+    window: int,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Run the fused per-frame codebook loop (B=1).
+
+    Returns (codes (1, K-1) int32, penalized_logits (1, K-1, Vr) f32).
+    """
+    K = cfg.num_codebooks
+    Vr = cfg.residual_codebook_size
+    L = cfg.n_fast_layer
+    fl = params["fast_layers"]
+
+    def smem(x):
+        return jnp.asarray(x, jnp.float32).reshape(1, 1)
+
+    head = params["fast_output"]
+    head_q = head["q"][:, :Vr]
+    head_s = head["s"][:, :Vr]
+    emb = params["fast_embeddings"]
+    cos_q, sin_q, cos_k, sin_k = rope_tables(cfg, rope_fast)
+    seg, seg_t = _segment_masks(cfg)
+
+    kernel = _make_kernel(cfg, window)
+    vmem_bytes = (
+        sum(int(fl[k]["q"].size) for k in ("wqkv", "wo", "w1", "w3", "w2"))
+        + int(head_q.size) + int(emb["q"].size)
+    )
+
+    specs = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem_spec = pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)
+
+    codes, logits = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((1, K - 1), jnp.int32),
+            jax.ShapeDtypeStruct((K - 1, Vr), jnp.float32),
+        ),
+        in_specs=[smem_spec] * 3 + [specs] * 27,
+        out_specs=(specs, specs),
+        scratch_shapes=[
+            pltpu.VMEM((L, K, cfg.fast_n_head * cfg.fast_head_dim), jnp.float32),
+            pltpu.VMEM((L, K, cfg.fast_n_head * cfg.fast_head_dim), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(128 * 1024 * 1024,
+                                 vmem_bytes + 48 * 1024 * 1024),
+        ),
+        interpret=interpret,
+    )(
+        smem(temperature), smem(top_p), smem(repetition_penalty),
+        h_fast.astype(jnp.float32),
+        a0.reshape(1, 1).astype(jnp.int32),
+        prev_rows.reshape(1, (K - 1) * window).astype(jnp.int32),
+        gumbel.reshape(K - 1, Vr).astype(jnp.float32),
+        cos_q, sin_q, cos_k, sin_k, seg, seg_t,
+        fl["attention_norm"].astype(jnp.float32),
+        fl["ffn_norm"].astype(jnp.float32),
+        fl["wqkv"]["q"], fl["wqkv"]["s"].astype(jnp.float32),
+        fl["wo"]["q"], fl["wo"]["s"].astype(jnp.float32),
+        fl["w1"]["q"], fl["w1"]["s"].astype(jnp.float32),
+        fl["w3"]["q"], fl["w3"]["s"].astype(jnp.float32),
+        fl["w2"]["q"], fl["w2"]["s"].astype(jnp.float32),
+        params["fast_norm"].astype(jnp.float32)[None, :],
+        head_q, head_s.astype(jnp.float32),
+        emb["q"], emb["s"].astype(jnp.float32).reshape(1, -1),
+    )
+    return codes, logits[None]

@@ -148,6 +148,12 @@ class FishTTS:
         self._vocoder_jit_cache: dict[int, object] = {}
         self._encode_jit = None
 
+        from fish_tts_tpu.utils.profiling import hbm_bytes_in_use
+
+        hbm = hbm_bytes_in_use()
+        if hbm:  # TPU analog of the reference VRAM log (synthesizer.py:184-186)
+            logger.info("Device memory in use: %.2f GB", hbm / 2**30)
+
         if warmup:
             self._run_warmup()
 
@@ -506,15 +512,17 @@ class FishTTS:
     def _force_pcm(self, audio, n_frames: int) -> bytes:
         from fish_tts_tpu.utils.audio import to_pcm_bytes
 
-        arr = np.asarray(audio, dtype=np.float32)[0, 0]
+        with self._engine.metrics.span("vocoder"):
+            arr = np.asarray(audio, dtype=np.float32)[0, 0]
         arr = arr[: n_frames * self._vocoder_cfg.frame_length]
         return to_pcm_bytes(arr)
 
     def _decode_codes(self, codes: np.ndarray) -> np.ndarray:
         """codes (K, n) -> float32 audio (reference _decode_codes,
         synthesizer.py:597-611)."""
-        audio, n = self._decode_codes_async(codes)
-        arr = np.asarray(audio, dtype=np.float32)[0, 0]
+        with self._engine.metrics.span("vocoder"):
+            audio, n = self._decode_codes_async(codes)
+            arr = np.asarray(audio, dtype=np.float32)[0, 0]
         return arr[: n * self._vocoder_cfg.frame_length]
 
     def _decode_to_wav(self, codes: np.ndarray) -> bytes:
@@ -558,6 +566,21 @@ class FishTTS:
         return VoiceProfile(codes=codes, text=text)
 
     # ------------------------------------------------------------------
+
+    @property
+    def metrics(self):
+        """Engine metrics registry (prefill/decode/vocoder spans, tokens)."""
+        return self._engine.metrics
+
+    def get_metrics(self) -> dict:
+        """Structured timing/throughput summary plus device memory usage."""
+        from fish_tts_tpu.utils.profiling import hbm_bytes_in_use
+
+        out = self._engine.metrics.summary()
+        hbm = hbm_bytes_in_use()
+        if hbm:
+            out["hbm_gb"] = round(hbm / 2**30, 2)
+        return out
 
     @property
     def sample_rate(self) -> int:

@@ -2,9 +2,11 @@
 
 Replaces the reference's manual ``time.perf_counter`` +
 ``torch.cuda.synchronize`` spans (scripts/benchmark.py:114-171) with a small
-timer registry plus optional ``jax.profiler`` traces.  Metrics are engine
-first-class: the synthesizer records prefill / decode / vocoder spans on
-every call.
+timer registry plus optional ``jax.profiler`` traces.  Wired into the engine:
+``GenerationEngine.metrics`` records prefill/decode spans and token counts on
+every generate call, ``FishTTS`` adds vocoder spans and exposes
+``get_metrics()`` (with HBM usage — the analog of the reference's VRAM
+logging, synthesizer.py:184-186).
 """
 
 from __future__ import annotations
@@ -85,6 +87,19 @@ class Metrics:
         self.phases.clear()
         self.tokens_generated = 0
         self.audio_seconds = 0.0
+
+
+def hbm_bytes_in_use() -> int:
+    """Bytes allocated on the default device (0 when the backend does not
+    report memory stats).  TPU analog of ``torch.cuda.memory_allocated``
+    (reference synthesizer.py:184-186)."""
+    try:
+        import jax
+
+        stats = jax.devices()[0].memory_stats()
+        return int(stats.get("bytes_in_use", 0)) if stats else 0
+    except Exception:  # pragma: no cover - backend-dependent
+        return 0
 
 
 @contextlib.contextmanager

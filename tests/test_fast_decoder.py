@@ -1,0 +1,154 @@
+"""Fused Pallas fast-decoder tests (interpret mode on CPU, tiny config).
+
+The kernel must reproduce the XLA fast-codebook loop: per-step logits to fp
+tolerance, the greedy (argmax) code chain exactly, nucleus membership under
+random Gumbel noise, and repetition-penalty behavior.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fish_tts_tpu.config import TINY_CONFIG
+from fish_tts_tpu.engine import decode as decode_mod
+from fish_tts_tpu.engine.sampling import logits_to_probs_exact
+from fish_tts_tpu.models import dual_ar
+from fish_tts_tpu.models.dual_ar import TokenIds
+from fish_tts_tpu.ops import fast_decoder
+from fish_tts_tpu.utils.quantize import qgather, quantize_lm_params
+
+CFG = TINY_CONFIG
+IDS = TokenIds(semantic_begin=400, semantic_end=447, im_end=5)
+K = CFG.num_codebooks
+Vr = CFG.residual_codebook_size
+W = decode_mod.WINDOW
+
+
+@pytest.fixture(scope="module")
+def qsetup():
+    params = dual_ar.init_params(jax.random.PRNGKey(0), CFG, jnp.float32)
+    qp = quantize_lm_params(params)
+    rope = dual_ar.make_rope_tables(CFG)
+    return qp, rope
+
+
+def _xla_chain(qp, rope, h, a0, codes_override=None):
+    """XLA fast loop fed a fixed code path; returns per-step logits."""
+    dt = jnp.float32
+    cache = dual_ar.new_fast_cache(qp, CFG, 1)
+    _, cache = dual_ar.fast_step(qp, CFG, rope, h[:, None], jnp.int32(0), cache)
+    emb = qgather(qp["fast_embeddings"], a0, dt)[:, None]
+    out = []
+    for cb in range(1, K):
+        lg, cache = dual_ar.fast_step(qp, CFG, rope, emb, jnp.int32(cb), cache)
+        short = np.asarray(lg[:, -1, :Vr], np.float32)
+        out.append(short)
+        nxt = (
+            np.asarray([codes_override[cb - 1]])
+            if codes_override is not None
+            else short.argmax(-1)
+        )
+        emb = qgather(qp["fast_embeddings"], jnp.asarray(nxt), dt)[:, None]
+    return out
+
+
+def _run_kernel(qp, rope, h, a0, prev=None, gumbel=None,
+                t=1e-4, p=0.8, r=1.0):
+    if prev is None:
+        prev = jnp.zeros((1, K - 1, W), jnp.int32)
+    if gumbel is None:
+        gumbel = jnp.zeros((1, K - 1, Vr), jnp.float32)
+    return fast_decoder.fast_decode_frame(
+        qp, CFG, rope["fast"], h, a0, prev, gumbel,
+        jnp.float32(t), jnp.float32(p), jnp.float32(r),
+        window=W, interpret=True,
+    )
+
+
+def test_kernel_matches_xla_argmax_chain(qsetup):
+    """Deterministic sampling (tiny temperature, zero Gumbel): the kernel's
+    greedy code chain and per-step logits match the XLA loop."""
+    qp, rope = qsetup
+    h = jax.random.normal(jax.random.PRNGKey(1), (1, CFG.fast_dim)) * 0.3
+    a0 = jnp.asarray([7], jnp.int32)
+    codes, klogits = _run_kernel(qp, rope, h, a0)
+    codes = np.asarray(codes)[0]
+    klogits = np.asarray(klogits)[0]
+
+    xl = _xla_chain(qp, rope, h, a0, codes_override=codes)
+    for cb in range(1, K):
+        np.testing.assert_allclose(
+            klogits[cb - 1], xl[cb - 1][0], rtol=2e-3, atol=5e-3
+        )
+        assert codes[cb - 1] == xl[cb - 1].argmax(-1)[0]
+
+
+def test_kernel_codes_stay_in_nucleus(qsetup):
+    """Random Gumbel draws: every sampled code is a member of the exact
+    top-p nucleus of the kernel's own (penalized) logits."""
+    qp, rope = qsetup
+    h = jax.random.normal(jax.random.PRNGKey(2), (1, CFG.fast_dim)) * 0.5
+    a0 = jnp.asarray([3], jnp.int32)
+    top_p = 0.8
+    for seed in range(5):
+        g = jax.random.gumbel(jax.random.PRNGKey(100 + seed), (1, K - 1, Vr))
+        codes, klogits = _run_kernel(
+            qp, rope, h, a0, gumbel=g, t=0.7, p=top_p, r=1.0
+        )
+        codes = np.asarray(codes)[0]
+        klogits = np.asarray(klogits)[0]
+        for cb in range(K - 1):
+            probs = np.asarray(
+                logits_to_probs_exact(
+                    jnp.asarray(klogits[cb]), jnp.float32(0.7),
+                    jnp.float32(top_p), jnp.float32(1.0),
+                )
+            )
+            assert probs[codes[cb]] > 0, (
+                f"step {cb}: code {codes[cb]} outside the exact nucleus"
+            )
+
+
+def test_kernel_repetition_penalty_applied(qsetup):
+    """A window full of the greedy code with a strong penalty must change
+    the logits exactly as the reference formula prescribes."""
+    qp, rope = qsetup
+    h = jax.random.normal(jax.random.PRNGKey(3), (1, CFG.fast_dim)) * 0.4
+    a0 = jnp.asarray([5], jnp.int32)
+    _, base_logits = _run_kernel(qp, rope, h, a0, r=1.0)
+    base = np.asarray(base_logits)[0, 0]  # step cb=1, unpenalized
+    target = int(base.argmax())
+
+    prev = jnp.full((1, K - 1, W), target, jnp.int32)
+    _, pen_logits = _run_kernel(qp, rope, h, a0, prev=prev, r=1.9)
+    pen = np.asarray(pen_logits)[0, 0]
+    expected = base[target] * 1.9 if base[target] < 0 else base[target] / 1.9
+    np.testing.assert_allclose(pen[target], expected, rtol=1e-4)
+    others = np.delete(np.arange(Vr), target)
+    np.testing.assert_allclose(pen[others], base[others], rtol=1e-5)
+
+
+def test_decode_chunk_with_fast_kernel_interpret(qsetup):
+    """decode_chunk(fast_kernel=True) runs end-to-end and emits frames with
+    the same validity contract as the XLA path."""
+    qp, rope = qsetup
+    state = decode_mod.init_state(qp, CFG, batch=1)
+    state["pos"] = jnp.asarray([8], jnp.int32)
+    t, p, r = jnp.float32(0.7), jnp.float32(0.8), jnp.float32(1.1)
+    state, frames, emitted = decode_mod.decode_chunk(
+        qp, rope, state, jax.random.PRNGKey(1), t, p, r,
+        cfg=CFG, ids=IDS, num_frames=2, top_k=16, fast_kernel=True,
+    )
+    frames = np.asarray(frames)
+    assert frames.shape == (1, 2, 1 + K)
+    assert (frames[:, :, 1] >= 0).all() and (frames[:, :, 1] < CFG.codebook_size).all()
+    assert (frames[:, :, 2:] >= 0).all() and (frames[:, :, 2:] < Vr).all()
+
+
+def test_supports_gates():
+    params = dual_ar.init_params(jax.random.PRNGKey(0), CFG, jnp.float32)
+    qp = quantize_lm_params(params)
+    assert fast_decoder.supports(CFG, qp, batch=1)
+    assert not fast_decoder.supports(CFG, qp, batch=2)  # single-stream only
+    assert not fast_decoder.supports(CFG, params, batch=1)  # bf16/fp32 params
