@@ -124,7 +124,7 @@ def main() -> None:
     state, first = decode_mod.prefill(
         params, rope, state, jnp.asarray(prompt), lengths,
         jax.random.PRNGKey(1), t, p, r, cfg=cfg, ids=ids, top_k=top_k,
-        approx=args.approx, kv_bucket=0, fast_kernel=fast_k,
+        approx=args.approx, kv_bucket=0,
     )
     state, frames, _ = decode_mod.decode_chunk(
         params, rope, state, jax.random.PRNGKey(2), t, p, r,

@@ -426,3 +426,58 @@ def decode_chunk(
     state, (frames, emitted) = jax.lax.scan(body, state, keys)
     # (T, B, ...) -> (B, T, ...)
     return state, jnp.swapaxes(frames, 0, 1), jnp.swapaxes(emitted, 0, 1)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "ids", "num_frames", "top_k", "approx",
+                     "kv_bucket_prefill", "kv_bucket", "fast_kernel"),
+    donate_argnames=("state",),
+)
+def prefill_chunk(
+    params: Params,
+    rope: Params,
+    state: State,
+    prompt: jnp.ndarray,  # (B, 1+K, Tb)
+    lengths: jnp.ndarray,  # (B,)
+    key: jax.Array,
+    temperature: jnp.ndarray,
+    top_p: jnp.ndarray,
+    repetition_penalty: jnp.ndarray,
+    *,
+    cfg: DualARConfig,
+    ids: TokenIds,
+    num_frames: int,
+    top_k: int = 0,
+    approx: bool = False,
+    kv_bucket_prefill: int | None = None,
+    kv_bucket: int | None = None,
+    fast_kernel: bool = False,
+) -> tuple[State, jnp.ndarray, jnp.ndarray]:
+    """Prefill + the first ``num_frames`` decode steps in ONE device call.
+
+    The latency path (time-to-first-audio) pays a fixed per-call dispatch
+    cost on top of compute; fusing the prompt forward with the first chunk
+    halves the round trips before the first vocoder input exists.
+
+    Returns (state, frames (B, 1+num_frames, 1+K), emitted) where frame 0 is
+    the prefill-sampled frame (always emitted).
+    """
+    k1, k2 = jax.random.split(key)
+    state, first = prefill(
+        params, rope, state, prompt, lengths, k1,
+        temperature, top_p, repetition_penalty,
+        cfg=cfg, ids=ids, top_k=top_k, approx=approx,
+        kv_bucket=kv_bucket_prefill,
+    )
+    state, frames, emitted = decode_chunk(
+        params, rope, state, k2, temperature, top_p, repetition_penalty,
+        cfg=cfg, ids=ids, num_frames=num_frames, top_k=top_k, approx=approx,
+        kv_bucket=kv_bucket, fast_kernel=fast_kernel,
+    )
+    B = first.shape[0]
+    frames_all = jnp.concatenate([first[:, None], frames], axis=1)
+    emitted_all = jnp.concatenate(
+        [jnp.ones((B, 1), jnp.bool_), emitted], axis=1
+    )
+    return state, frames_all, emitted_all

@@ -192,7 +192,9 @@ class GenerationEngine:
             jnp.float32(repetition_penalty),
             cfg=self.cfg, ids=self.ids, top_k=self.engine_cfg.sample_top_k,
             approx=self.engine_cfg.approx_top_k, kv_bucket=kv_bucket,
-            fast_kernel=self._fast_kernel,
+            # prefill samples one frame: the fused kernel would only save one
+            # fast-loop pass but costs a Mosaic compile per prompt bucket
+            fast_kernel=False,
         )
         if sample:
             return state, first
@@ -295,33 +297,59 @@ class GenerationEngine:
         else:
             max_new = max_length - prompt_len
 
-        with self.metrics.span("prefill"):
-            state, first = self._prefill_padded(
-                state, enc.values, temperature, top_p, repetition_penalty,
-                prefix_len=prompt_len - enc.values.shape[1] if use_cached_prefix else 0,
-            )
-            first_np = np.asarray(first)  # (1, 1+K) — host fetch = barrier
         t_dev = jnp.float32(temperature)
         p_dev = jnp.float32(top_p)
         r_dev = jnp.float32(repetition_penalty)
-        produced = 1
-        done = bool(np.asarray(state["done"])[0])
 
-        if streaming:
-            # Yield the prefill frame immediately (reference yields
-            # first_token before the decode loop, inference.py:720-721).
-            codes0 = np.maximum(first_np[0, 1:], 0)[:, None]
-            yield GenerateResponse(
-                action="sample", codes=codes0.astype(np.int64), text=text
+        # Prefill + the first (streaming-threshold-sized) chunk in one device
+        # call: the time-to-first-audio path pays per-call dispatch latency,
+        # so the first vocoder input should exist after a single round trip.
+        n0 = max(1, min(ecfg.first_chunk - 1, ecfg.decode_chunk, max_new - 1))
+        T = enc.values.shape[1]
+        if T == 0:
+            raise ValueError("Empty prompt")
+        bucket = _pick_bucket(ecfg.prompt_buckets, T, cfg.max_seq_len - 1)
+        padded = np.zeros((1, enc.values.shape[0], bucket), np.int32)
+        padded[0, :, :T] = enc.values
+        prefix_len = prompt_len - T if use_cached_prefix else 0
+        kv_pre = (
+            0 if prefix_len == 0
+            else _kv_bucket(prefix_len, ecfg.kv_bucket_step, cfg.max_seq_len)
+        )
+        with self.metrics.span("prefill"):
+            state, frames, emitted = decode_mod.prefill_chunk(
+                self.params, self.rope, state,
+                jnp.asarray(padded), jnp.asarray([T], jnp.int32),
+                self._next_key(), t_dev, p_dev, r_dev,
+                cfg=cfg, ids=self.ids, num_frames=n0,
+                top_k=ecfg.sample_top_k, approx=ecfg.approx_top_k,
+                kv_bucket_prefill=kv_pre,
+                kv_bucket=_kv_bucket(
+                    prompt_len + n0, ecfg.kv_bucket_step, cfg.max_seq_len
+                ),
+                fast_kernel=self._fast_kernel,
             )
+            frames_np = np.asarray(frames)  # (1, 1+n0, 1+K)
+            emitted_np = np.asarray(emitted)[0]
+            done = bool(np.asarray(state["done"])[0])
+        self.metrics.record_tokens(int(emitted_np.sum()))
 
-        collected: list[np.ndarray] = [first_np[:, None, :]]  # (1, n, 1+K)
+        produced = 0
+        collected: list[np.ndarray] = []
+        valid = frames_np[:, emitted_np]
+        if valid.shape[1] > max_new:
+            valid = valid[:, :max_new]
+        produced += valid.shape[1]
+        if valid.shape[1]:
+            collected.append(valid)
+            if streaming:
+                codes = np.maximum(valid[0, :, 1:], 0)
+                yield GenerateResponse(
+                    action="sample", codes=codes.T.astype(np.int64), text=text
+                )
 
-        first_chunk = True
         while produced < max_new and not done:
-            n = ecfg.first_chunk - 1 if first_chunk else ecfg.decode_chunk
-            n = max(1, min(n, ecfg.decode_chunk))
-            first_chunk = False
+            n = ecfg.decode_chunk
             with self.metrics.span("decode"):
                 state, frames, emitted = decode_mod.decode_chunk(
                     self.params, self.rope, state, self._next_key(),

@@ -91,16 +91,20 @@ _SEMANTIC_RE = re.compile(r"<\|semantic:(\d+)\|>")
 
 
 def load_tiktoken_bpe(tiktoken_bpe_file: str | Path) -> dict[bytes, int]:
-    """Parse a base64 ``token rank`` vocab file (reference tokenizer.py:118-128)."""
-    data: dict[bytes, int] = {}
-    for line in open(tiktoken_bpe_file).read().splitlines():
-        if not line:
-            continue
-        token, rank = line.split()
-        if token == "=":
-            continue
-        data[base64.b64decode(token)] = int(rank)
-    return data
+    """Parse a ``.tiktoken`` vocab: one ``<base64-token> <rank>`` pair per
+    line.  Some published vocabs carry a literal ``=`` placeholder row, which
+    is not a valid token and is dropped (matching how the reference
+    checkpoints are loaded)."""
+    pairs = (
+        line.split()
+        for line in Path(tiktoken_bpe_file).read_text().splitlines()
+        if line
+    )
+    return {
+        base64.b64decode(tok): int(rank)
+        for tok, rank in pairs
+        if tok != "="
+    }
 
 
 class FishTokenizer:
@@ -112,34 +116,34 @@ class FishTokenizer:
     """
 
     def __init__(self, model_path: str | Path, special_tokens: list[str] | None = None):
-        if special_tokens is None:
-            special_tokens = ALL_SPECIAL_TOKENS
+        specials = list(special_tokens) if special_tokens is not None else ALL_SPECIAL_TOKENS
 
-        mergeable_ranks = load_tiktoken_bpe(model_path)
-        special_token_begin = len(mergeable_ranks)
-        self.all_special_tokens_with_ids = {
-            token: special_token_begin + i for i, token in enumerate(special_tokens)
+        ranks = load_tiktoken_bpe(model_path)
+        # id layout contract: specials follow the mergeable ranks, in list
+        # order, so ``<|semantic:i|>`` ids form one contiguous block
+        self.all_special_tokens_with_ids = dict(
+            zip(specials, range(len(ranks), len(ranks) + len(specials)))
+        )
+
+        self.semantic_id_to_token_id = {
+            int(m.group(1)): tid
+            for tok, tid in self.all_special_tokens_with_ids.items()
+            if (m := _SEMANTIC_RE.match(tok))
         }
-
-        self.semantic_id_to_token_id: dict[int, int] = {}
-        end_idx = 0
-        for token in special_tokens:
-            m = _SEMANTIC_RE.match(token)
-            if token.startswith("<|semantic:") and m:
-                idx = int(m.group(1))
-                self.semantic_id_to_token_id[idx] = self.all_special_tokens_with_ids[token]
-                end_idx = max(end_idx, idx)
-
+        if not self.semantic_id_to_token_id:
+            raise ValueError("special-token list has no <|semantic:i|> entries")
+        self.num_semantic_tokens = max(self.semantic_id_to_token_id) + 1
         self.semantic_begin_id = self.semantic_id_to_token_id[0]
-        self.semantic_end_id = self.semantic_id_to_token_id[end_idx]
-        self.num_semantic_tokens = end_idx + 1
+        self.semantic_end_id = self.semantic_id_to_token_id[
+            self.num_semantic_tokens - 1
+        ]
 
         import tiktoken
 
         self.tkt_model = tiktoken.core.Encoding(
             name=Path(model_path).stem,
             pat_str=FISH_TIKTOKEN_PATTERN,
-            mergeable_ranks=mergeable_ranks,
+            mergeable_ranks=ranks,
             special_tokens=self.all_special_tokens_with_ids,
         )
 
@@ -163,21 +167,25 @@ class FishTokenizer:
         return self.get_token_id(IM_END_TOKEN)
 
     def encode(self, s: str, allowed_special: bool | set[str] = True) -> list[int]:
-        assert isinstance(s, str)
-        subs = [
-            s[i : i + TIKTOKEN_MAX_ENCODE_CHARS]
-            for i in range(0, len(s), TIKTOKEN_MAX_ENCODE_CHARS)
-        ]
+        """Encode text, splitting very long inputs into fixed-size spans
+        (tiktoken's regex engine degrades on multi-hundred-kB strings).  The
+        span boundary can in principle split a BPE merge, which matches the
+        reference's behavior for equally long inputs."""
+        if not isinstance(s, str):
+            raise TypeError(f"encode expects str, got {type(s).__name__}")
         if allowed_special is True:
-            allowed_special = self.tkt_model.special_tokens_set
-        elif allowed_special is False:
-            allowed_special = set()
-        return sum(
-            self.tkt_model.encode_batch(
-                subs, allowed_special=allowed_special, disallowed_special=set()
-            ),
-            start=[],
-        )
+            allowed = self.tkt_model.special_tokens_set
+        else:
+            allowed = allowed_special or set()
+        out: list[int] = []
+        for start in range(0, len(s), TIKTOKEN_MAX_ENCODE_CHARS):
+            span = s[start:start + TIKTOKEN_MAX_ENCODE_CHARS]
+            out.extend(
+                self.tkt_model.encode(
+                    span, allowed_special=allowed, disallowed_special=set()
+                )
+            )
+        return out
 
     def decode(self, tokens: list[int]) -> str:
         return self.tkt_model.decode(tokens)

@@ -91,7 +91,7 @@ def _make_kernel(cfg: DualARConfig, window: int):
         temp_ref, top_p_ref, rep_ref,              # SMEM scalars
         h_ref,            # (1, D) slow hidden, already fast-projected
         a0_ref,           # (1, 1) int32 first codebook code
-        prev_ref,         # (1, (K-1)*W) int32 penalty windows, flattened
+        prev_ref,         # (K-1, W) int32 penalty windows
         gumbel_ref,       # (K-1, Vr) f32
         cos_q_ref, sin_q_ref,                     # (K, q_size)
         cos_k_ref, sin_k_ref,                     # (K, kv_size)
@@ -105,16 +105,10 @@ def _make_kernel(cfg: DualARConfig, window: int):
         emb_q, emb_s,                             # (C, D) int8, (1, C) scales
         codes_ref,        # (1, K-1) int32 out
         logits_out_ref,   # (K-1, Vr) f32 out (penalized, pre-mask)
-        kc_ref, vc_ref,   # (L, K, q_size) f32 scratch
     ):
         temp = temp_ref[0, 0]
         top_p = top_p_ref[0, 0]
         rep = rep_ref[0, 0]
-
-        # zero the KV scratch: masked softmax weights are 0, but 0 * garbage
-        # (NaN/inf) would still poison the weighted sum
-        kc_ref[...] = jnp.zeros_like(kc_ref)
-        vc_ref[...] = jnp.zeros_like(vc_ref)
 
         def qdot(x, wq, ws, layer):
             w = wq[layer].astype(jnp.bfloat16)
@@ -122,31 +116,60 @@ def _make_kernel(cfg: DualARConfig, window: int):
                           preferred_element_type=jnp.float32)
             return out * ws[layer]
 
+        t_col = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)  # cache rows
         t_iota = jax.lax.broadcasted_iota(jnp.int32, (K, H), 0)
+        C = emb_q.shape[0]
+        c_iota = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+        v_iota = jax.lax.broadcasted_iota(jnp.int32, (1, Vr), 1)
+        r_col = jax.lax.broadcasted_iota(jnp.int32, (K - 1, 1), 0)
+        o_col = jax.lax.broadcasted_iota(jnp.int32, (1, K - 1), 1)
 
-        def layer_stack(x, pos):
-            """x: (1, D) f32 -> (1, D) f32; writes KV at codebook ``pos``."""
-            cos_q = cos_q_ref[pl.ds(pos, 1), :]
-            sin_q = sin_q_ref[pl.ds(pos, 1), :]
-            cos_k = cos_k_ref[pl.ds(pos, 1), :]
-            sin_k = sin_k_ref[pl.ds(pos, 1), :]
+        def select_row(table, row_mask):
+            """Dynamic row pick without unaligned ref indexing: zero-mask and
+            sum over the (small) row axis."""
+            return jnp.sum(jnp.where(row_mask, table, 0.0),
+                           axis=0, keepdims=True)
+
+        def embed(code):
+            # one-hot matmul gather: dynamic int8 row loads are not provably
+            # tile-aligned for Mosaic, but a (1, C) @ (C, D) MXU pass over the
+            # VMEM-resident table is cheap and exact
+            onehot = (c_iota == code).astype(jnp.bfloat16)
+            row = jnp.dot(onehot, emb_q[...].astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+            s = jnp.sum(jnp.where(c_iota == code, emb_s[...], 0.0),
+                        axis=-1, keepdims=True)
+            return row * s
+
+        def layer_stack(x, pos, kcs, vcs):
+            """One traced pass over all layers at codebook position ``pos``
+            (traced scalar).  KV caches are loop-carried (K, q_size) arrays
+            updated with a where-mask — no dynamically-indexed ref writes."""
+            pmask = t_col == pos  # (K, 1)
+            cos_q = select_row(cos_q_ref[...], pmask)
+            sin_q = select_row(sin_q_ref[...], pmask)
+            cos_k = select_row(cos_k_ref[...], pmask)
+            sin_k = select_row(sin_k_ref[...], pmask)
+            new_kcs, new_vcs = [], []
             for layer in range(L):
                 h = _rms(x, attn_norm_ref[layer])
                 qkv = qdot(h, wqkv_q, wqkv_s, layer)  # (1, q+2kv)
                 q = _rope(qkv[:, :q_size], cos_q, sin_q)
                 k = _rope(qkv[:, q_size:q_size + kv_size], cos_k, sin_k)
                 v = qkv[:, q_size + kv_size:]
-                # write K/V duplicated per query head (GQA in lane layout)
-                for hq in range(H):
-                    src = (hq // G) * Dh
-                    kc_ref[layer, pl.ds(pos, 1), hq * Dh:(hq + 1) * Dh] = (
-                        k[:, src:src + Dh]
-                    )
-                    vc_ref[layer, pl.ds(pos, 1), hq * Dh:(hq + 1) * Dh] = (
-                        v[:, src:src + Dh]
-                    )
-                kc = kc_ref[layer]  # (K, q_size)
-                vc = vc_ref[layer]
+                # duplicate K/V per query head (GQA in lane layout)
+                k_rep = jnp.concatenate(
+                    [k[:, (hq // G) * Dh:(hq // G + 1) * Dh] for hq in range(H)],
+                    axis=-1,
+                )
+                v_rep = jnp.concatenate(
+                    [v[:, (hq // G) * Dh:(hq // G + 1) * Dh] for hq in range(H)],
+                    axis=-1,
+                )
+                kc = jnp.where(pmask, k_rep, kcs[layer])  # (K, q_size)
+                vc = jnp.where(pmask, v_rep, vcs[layer])
+                new_kcs.append(kc)
+                new_vcs.append(vc)
                 s = jnp.dot(kc * q, seg_ref[...],
                             preferred_element_type=jnp.float32) * scale  # (K, H)
                 s = jnp.where(t_iota <= pos, s, _NEG)
@@ -160,30 +183,21 @@ def _make_kernel(cfg: DualARConfig, window: int):
                 up = qdot(f, w3_q, w3_s, layer)
                 x = x + qdot(gate * jax.lax.logistic(gate) * up,
                              w2_q, w2_s, layer)
-            return x
+            return x, new_kcs, new_vcs
 
-        C = emb_q.shape[0]
-        c_iota = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+        h_row = h_ref[...].astype(jnp.float32)
+        prev_all = prev_ref[...]      # (K-1, W) int32
+        gumbel_all = gumbel_ref[...]  # (K-1, Vr) f32
 
-        def embed(code):
-            # one-hot matmul gather: dynamic int8 row loads are not provably
-            # tile-aligned for Mosaic, but a (1, C) @ (C, D) MXU pass over the
-            # VMEM-resident table is cheap and exact
-            onehot = (c_iota == code).astype(jnp.bfloat16)
-            row = jnp.dot(onehot, emb_q[...].astype(jnp.bfloat16),
-                          preferred_element_type=jnp.float32)
-            s = jnp.sum(jnp.where(c_iota == code, emb_s[...], 0.0),
-                        axis=-1, keepdims=True)
-            return row * s
+        def body(cb, carry):
+            code, codes_acc, logits_acc, kv_flat = carry
+            kcs = list(kv_flat[:L])
+            vcs = list(kv_flat[L:])
+            # pos 0 consumes the slow hidden, output discarded
+            # (inference.py:121-122); later steps consume the last embedding
+            x_in = jnp.where(cb == 0, h_row, embed(code))
+            x, kcs, vcs = layer_stack(x_in, cb, kcs, vcs)
 
-        # position 0: slow hidden in, output discarded (inference.py:121-122)
-        layer_stack(h_ref[...].astype(jnp.float32), 0)
-
-        code = a0_ref[0, 0]
-        v_iota = jax.lax.broadcasted_iota(jnp.int32, (1, Vr), 1)
-
-        for cb in range(1, K):
-            x = layer_stack(embed(code), cb)
             hn = _rms(x, fast_norm_ref[...])
             logits = jnp.dot(
                 hn.astype(jnp.bfloat16), head_q[...].astype(jnp.bfloat16),
@@ -192,19 +206,18 @@ def _make_kernel(cfg: DualARConfig, window: int):
 
             # repetition penalty over window row cb+1 (inference.py:39-45);
             # rep == 1.0 makes this an exact no-op (prefill path)
+            rmask = r_col == cb - 1  # (K-1, 1)
+            win = jnp.sum(jnp.where(rmask, prev_all, 0),
+                          axis=0, keepdims=True)  # (1, W)
             hit = jnp.zeros((1, Vr), jnp.bool_)
             for w in range(window):
-                idx = prev_ref[0, (cb - 1) * window + w]
-                hit = hit | (v_iota == idx)
+                hit = hit | (v_iota == win[0, w])
             logits = jnp.where(
                 hit, jnp.where(logits < 0, logits * rep, logits / rep), logits
             )
-            logits_out_ref[pl.ds(cb - 1, 1), :] = logits
 
             # exact sort-free top-p on unscaled logits (inference.py:47-57)
-            z = jax.lax.stop_gradient(
-                jax.nn.logsumexp(logits, axis=-1, keepdims=True)
-            )
+            z = jax.nn.logsumexp(logits, axis=-1, keepdims=True)
             p = jnp.exp(logits - z)  # (1, Vr)
             TILE = 256
             keep_parts = []
@@ -214,16 +227,30 @@ def _make_kernel(cfg: DualARConfig, window: int):
                 gt = logits[:, None, :] > li[:, :, None]  # (1, TILE, Vr)
                 s_above = jnp.sum(jnp.where(gt, p[:, None, :], 0.0), axis=-1)
                 pi = p[:, t0:t0 + TILE]
-                keep_parts.append(
-                    (s_above + pi <= top_p) | (li >= amax)
-                )
+                keep_parts.append((s_above + pi <= top_p) | (li >= amax))
             keep = jnp.concatenate(keep_parts, axis=-1)  # (1, Vr)
             masked = jnp.where(keep, logits, _NEG)
 
             scaled = masked / jnp.maximum(temp, 1e-5)
-            g = gumbel_ref[pl.ds(cb - 1, 1), :]
-            code = jnp.argmax(scaled + g, axis=-1)[0].astype(jnp.int32)
-            codes_ref[0, pl.ds(cb - 1, 1)] = code[None]
+            g = select_row(gumbel_all, rmask)
+            sampled = jnp.argmax(scaled + g, axis=-1)[0].astype(jnp.int32)
+
+            live = cb >= 1
+            new_code = jnp.where(live, sampled, code)
+            codes_acc = jnp.where((o_col == cb - 1) & live, sampled, codes_acc)
+            logits_acc = jnp.where(rmask & live, logits, logits_acc)
+            return new_code, codes_acc, logits_acc, tuple(kcs) + tuple(vcs)
+
+        kv0 = tuple(jnp.zeros((K, q_size), jnp.float32) for _ in range(2 * L))
+        init = (
+            a0_ref[0, 0],
+            jnp.zeros((1, K - 1), jnp.int32),
+            jnp.zeros((K - 1, Vr), jnp.float32),
+            kv0,
+        )
+        _, codes_acc, logits_acc, _ = jax.lax.fori_loop(0, K, body, init)
+        codes_ref[...] = codes_acc
+        logits_out_ref[...] = logits_acc
 
     return kernel
 
@@ -321,10 +348,6 @@ def fast_decode_frame(
         ),
         in_specs=[smem_spec] * 3 + [specs] * 27,
         out_specs=(specs, specs),
-        scratch_shapes=[
-            pltpu.VMEM((L, K, cfg.fast_n_head * cfg.fast_head_dim), jnp.float32),
-            pltpu.VMEM((L, K, cfg.fast_n_head * cfg.fast_head_dim), jnp.float32),
-        ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(128 * 1024 * 1024,
                                  vmem_bytes + 48 * 1024 * 1024),
@@ -334,7 +357,7 @@ def fast_decode_frame(
         smem(temperature), smem(top_p), smem(repetition_penalty),
         h_fast.astype(jnp.float32),
         a0.reshape(1, 1).astype(jnp.int32),
-        prev_rows.reshape(1, (K - 1) * window).astype(jnp.int32),
+        prev_rows.reshape(K - 1, window).astype(jnp.int32),
         gumbel.reshape(K - 1, Vr).astype(jnp.float32),
         cos_q, sin_q, cos_k, sin_k, seg, seg_t,
         fl["attention_norm"].astype(jnp.float32),

@@ -456,11 +456,17 @@ class FishTTS:
                 total += response.codes.shape[1]
                 threshold = min_first_chunk if is_first else chunk_tokens
                 if total >= threshold:
-                    if in_flight is not None:
-                        yield self._force_pcm(*in_flight)
-                    in_flight = flush(buffer)
+                    handle = flush(buffer)
                     buffer = []
                     total = 0
+                    if is_first:
+                        # first audio is latency-critical: force it now
+                        # instead of holding it for pipeline overlap
+                        yield self._force_pcm(*handle)
+                    else:
+                        if in_flight is not None:
+                            yield self._force_pcm(*in_flight)
+                        in_flight = handle
                     is_first = False
             elif response.action == "next":
                 if buffer:

@@ -86,3 +86,40 @@ def to_pcm_bytes(audio: np.ndarray) -> bytes:
     synthesizer.py:591-595 — note: no clipping there; we replicate)."""
     audio_int16 = (np.asarray(audio, dtype=np.float32) * 32767).astype(np.int16)
     return audio_int16.tobytes()
+
+
+def transcode_to_wav(path, sample_rate: int = DEFAULT_SAMPLE_RATE) -> bytes:
+    """Decode an arbitrary audio file to mono 16-bit WAV bytes via ffmpeg.
+
+    Used by the CLI scripts for non-WAV reference audio (the reference CLIs
+    shell out to ffmpeg the same way).  Raises RuntimeError with the decoder
+    output when ffmpeg is missing or fails.
+    """
+    import shutil
+    import subprocess
+
+    if shutil.which("ffmpeg") is None:
+        raise RuntimeError(
+            "ffmpeg is required to read non-WAV audio; install it or "
+            "provide a .wav file"
+        )
+    cmd = [
+        "ffmpeg", "-v", "error", "-i", str(path),
+        "-ac", "1", "-ar", str(sample_rate), "-sample_fmt", "s16",
+        "-f", "wav", "pipe:1",
+    ]
+    proc = subprocess.run(cmd, capture_output=True)
+    if proc.returncode != 0:
+        detail = proc.stderr.decode(errors="replace").strip()
+        raise RuntimeError(f"ffmpeg could not decode {path}: {detail}")
+    return proc.stdout
+
+
+def load_audio_bytes(path, sample_rate: int = DEFAULT_SAMPLE_RATE) -> bytes:
+    """Read WAV files directly; transcode everything else through ffmpeg."""
+    from pathlib import Path as _Path
+
+    p = _Path(path)
+    if p.suffix.lower() == ".wav":
+        return p.read_bytes()
+    return transcode_to_wav(p, sample_rate)

@@ -1,142 +1,190 @@
 #!/usr/bin/env python3
-"""Benchmark script for fish-tts-tpu (parity with reference
-scripts/benchmark.py: RTF per length bucket, streaming first-chunk latency,
-component profile)."""
+"""End-to-end benchmark for fish-tts-tpu.
+
+Covers the same measurement surface as the reference benchmark script
+(RTF across utterance lengths, streaming first-chunk latency, component
+breakdown — /root/reference/scripts/benchmark.py), re-expressed around the
+engine's built-in metrics registry: the component profile comes from
+``FishTTS.get_metrics()`` (prefill/decode/vocoder spans) rather than ad-hoc
+stopwatches, and results can be emitted as JSON for dashboards.
+
+Usage:
+    python scripts/benchmark.py --tiny            # hermetic CPU run
+    python scripts/benchmark.py --model-dir DIR   # real checkpoint
+    python scripts/benchmark.py --tiny --json
+"""
 
 from __future__ import annotations
 
+# Allow running straight from a source checkout without installation.
+import sys as _sys
+from pathlib import Path as _Path
+
+try:
+    import fish_tts_tpu  # noqa: F401
+except ModuleNotFoundError:
+    _sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))
+
 import argparse
-import sys
+import json
 import time
+from dataclasses import dataclass, field
+
+SAMPLE_RATE = 44100
+WAV_HEADER_BYTES = 44
+
+# Same utterance set as the reference benchmark so RTF numbers stay
+# comparable across implementations.
+WORKLOADS = (
+    ("short", "Hello world!"),
+    ("medium", "The quick brown fox jumps over the lazy dog."),
+    ("long",
+     "In a world where technology advances rapidly, artificial intelligence "
+     "has emerged as a transformative force reshaping how we live and work."),
+)
 
 
-def benchmark(model_dir: str | None, precision: str, profile: bool, tiny: bool):
-    if tiny:
+@dataclass
+class Report:
+    """Accumulates benchmark rows; renders a table or JSON."""
+
+    init_s: float = 0.0
+    rows: list[dict] = field(default_factory=list)
+    streaming: dict = field(default_factory=dict)
+    components: dict = field(default_factory=dict)
+
+    def add_row(self, **kw) -> None:
+        self.rows.append(kw)
+
+    @property
+    def mean_rtf(self) -> float:
+        audio = sum(r["audio_s"] for r in self.rows)
+        wall = sum(r["wall_s"] for r in self.rows)
+        return wall / audio if audio else 0.0
+
+    def render(self) -> str:
+        lines = [
+            f"init: {self.init_s:.1f}s",
+            "",
+            f"{'workload':<10}{'chars':>6}{'audio_s':>9}{'wall_s':>8}{'rtf':>7}",
+        ]
+        for r in self.rows:
+            lines.append(
+                f"{r['name']:<10}{r['chars']:>6}{r['audio_s']:>9.2f}"
+                f"{r['wall_s']:>8.2f}{r['rtf']:>7.3f}"
+            )
+        lines.append(f"{'mean':<10}{'':>6}{'':>9}{'':>8}{self.mean_rtf:>7.3f}")
+        if self.streaming:
+            s = self.streaming
+            lines += [
+                "",
+                f"streaming: first chunk {s['ttfa_s']:.3f}s, "
+                f"{s['audio_s']:.2f}s audio in {s['wall_s']:.2f}s "
+                f"(rtf {s['rtf']:.3f}, {s['chunks']} chunks)",
+            ]
+        if self.components:
+            lines.append("")
+            lines.append("engine spans (from FishTTS.get_metrics()):")
+            for name, ph in self.components.get("phases", {}).items():
+                lines.append(
+                    f"  {name:<9} {ph['count']:>4}x  mean {ph['mean_ms']:>8.2f} ms"
+                    f"  total {ph['total_s']:>7.2f} s"
+                )
+            lines.append(
+                f"  engine throughput: "
+                f"{self.components.get('tokens_per_sec', 0):.1f} tok/s"
+            )
+        return "\n".join(lines)
+
+    def as_json(self) -> str:
+        return json.dumps(
+            {
+                "init_s": round(self.init_s, 2),
+                "mean_rtf": round(self.mean_rtf, 4),
+                "rows": self.rows,
+                "streaming": self.streaming,
+                "components": self.components,
+            }
+        )
+
+
+def wav_seconds(wav: bytes) -> float:
+    return (len(wav) - WAV_HEADER_BYTES) / (SAMPLE_RATE * 2)
+
+
+def build_synth(args):
+    if args.tiny:
         from fish_tts_tpu.testing import make_tiny_tts
 
-        print("Using tiny random-weight model (--tiny)")
+        return make_tiny_tts(warmup=True)
+    from fish_tts_tpu import FishTTS
+
+    return FishTTS(model_dir=args.model_dir, precision=args.precision)
+
+
+def run(args) -> Report:
+    rep = Report()
+    t0 = time.perf_counter()
+    synth = build_synth(args)
+    rep.init_s = time.perf_counter() - t0
+
+    synth.synthesize("Test", max_tokens=32)  # make sure compiles are warm
+    synth.metrics.reset()
+
+    max_tokens = 64 if args.tiny else 2048
+    for name, text in WORKLOADS:
+        if args.tiny:
+            # the tiny config's context (128) can't fit the long utterances
+            text = text[:40]
         t0 = time.perf_counter()
-        synth = make_tiny_tts(warmup=True)
-    else:
-        from fish_tts_tpu import FishTTS
-
-        t0 = time.perf_counter()
-        synth = FishTTS(model_dir=model_dir, precision=precision)
-    init_time = time.perf_counter() - t0
-
-    print("=" * 60)
-    print("fish-tts-tpu Benchmark")
-    print("=" * 60)
-    print(f"Init time: {init_time:.1f}s  (precision={synth.precision})")
-    print()
-
-    print("Warming up...")
-    _ = synth.synthesize("Test", max_tokens=32)
-    print()
-
-    tests = [
-        ("Short", "Hello world!"),
-        ("Medium", "The quick brown fox jumps over the lazy dog."),
-        (
-            "Long",
-            "In a world where technology advances rapidly, artificial intelligence "
-            "has emerged as a transformative force reshaping how we live and work.",
-        ),
-    ]
-
-    print("Synthesis Benchmark:")
-    print("-" * 60)
-    total_audio = 0.0
-    total_time = 0.0
-    for name, text in tests:
-        t0 = time.perf_counter()
-        audio = synth.synthesize(text)
-        elapsed = time.perf_counter() - t0
-        audio_duration = (len(audio) - 44) / (44100 * 2)
-        rtf = elapsed / audio_duration if audio_duration > 0 else 0
-        total_audio += audio_duration
-        total_time += elapsed
-        print(
-            f"{name:8s}: {len(text):3d} chars -> {audio_duration:5.1f}s audio "
-            f"in {elapsed:5.2f}s (RTF={rtf:.3f})"
+        wav = synth.synthesize(text, max_tokens=max_tokens)
+        wall = time.perf_counter() - t0
+        audio = wav_seconds(wav)
+        rep.add_row(
+            name=name, chars=len(text), audio_s=round(audio, 3),
+            wall_s=round(wall, 3),
+            rtf=round(wall / audio, 4) if audio else 0.0,
         )
-    avg_rtf = total_time / total_audio if total_audio > 0 else 0
-    print("-" * 60)
-    print(f"Average RTF: {avg_rtf:.3f}")
-    print()
 
-    if profile:
-        print("Component profile (Long text):")
-        print("-" * 60)
-        profile_synthesis(synth, tests[2][1])
-        print()
+    # component breakdown accumulated by the engine across the runs above
+    rep.components = synth.get_metrics()
 
-    print("Streaming Benchmark:")
-    print("-" * 60)
-    text = tests[2][1]
-    chunks = []
+    # streaming: time-to-first-chunk + sustained RTF on the long utterance
+    text = WORKLOADS[-1][1][:40] if args.tiny else WORKLOADS[-1][1]
+    ttfa = None
+    n_bytes = 0
+    n_chunks = 0
     t0 = time.perf_counter()
-    first_chunk_time = None
-    for chunk in synth.synthesize_stream(text):
-        if first_chunk_time is None:
-            first_chunk_time = time.perf_counter() - t0
-        chunks.append(chunk)
-    total_stream_time = time.perf_counter() - t0
-    total_pcm = sum(len(c) for c in chunks)
-    audio_duration = total_pcm / (44100 * 2)
-    rtf = total_stream_time / audio_duration if audio_duration > 0 else 0
-    print(f"First chunk (TTFA): {first_chunk_time:.3f}s")
-    print(
-        f"Total: {audio_duration:.1f}s audio in {total_stream_time:.2f}s "
-        f"(RTF={rtf:.3f}), {len(chunks)} chunks"
-    )
+    for chunk in synth.synthesize_stream(text, max_tokens=max_tokens):
+        if ttfa is None:
+            ttfa = time.perf_counter() - t0
+        n_bytes += len(chunk)
+        n_chunks += 1
+    wall = time.perf_counter() - t0
+    audio = n_bytes / (SAMPLE_RATE * 2)
+    rep.streaming = {
+        "ttfa_s": round(ttfa or 0.0, 4),
+        "audio_s": round(audio, 3),
+        "wall_s": round(wall, 3),
+        "rtf": round(wall / audio, 4) if audio else 0.0,
+        "chunks": n_chunks,
+    }
+    return rep
 
 
-def profile_synthesis(synth, text: str):
-    """Split timing into token generation vs vocoder decode."""
-    import numpy as np
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--model-dir", default=None, help="checkpoint directory")
+    ap.add_argument("--precision", default="bf16",
+                    choices=["bf16", "fp16", "fp32", "int8"])
+    ap.add_argument("--tiny", action="store_true",
+                    help="hermetic tiny random-weight model")
+    ap.add_argument("--json", action="store_true", help="machine-readable output")
+    args = ap.parse_args()
 
-    prompt_text, prompt_tokens, use_prefix = synth._get_prompt_data(None)
-    codes_list = []
-    t0 = time.perf_counter()
-    token_count = 0
-    for response in synth._engine.generate_long(
-        text, max_new_tokens=2048, temperature=0.7, top_p=0.8,
-        repetition_penalty=1.1, prompt_text=prompt_text,
-        prompt_tokens=prompt_tokens, use_prefix_cache=use_prefix,
-    ):
-        if response.action == "sample":
-            codes_list.append(response.codes)
-            token_count += response.codes.shape[1]
-        elif response.action == "next":
-            break
-    gen_time = time.perf_counter() - t0
-
-    vocoder_time = 0.0
-    if codes_list:
-        codes = np.concatenate(codes_list, axis=1)
-        t0 = time.perf_counter()
-        _ = synth._decode_codes(codes)
-        vocoder_time = time.perf_counter() - t0
-
-    total = gen_time + vocoder_time
-    tps = token_count / gen_time if gen_time > 0 else 0
-    print(f"Token generation: {gen_time:.2f}s ({token_count} tokens, {tps:.1f} tok/s)")
-    print(f"Vocoder decode:   {vocoder_time:.2f}s")
-    print(f"Total:            {total:.2f}s  (gen {gen_time/total*100:.1f}%)")
-
-
-def main():
-    parser = argparse.ArgumentParser(description="Benchmark fish-tts-tpu")
-    parser.add_argument("--model-dir", default=None)
-    parser.add_argument(
-        "--precision", default="bf16", choices=["bf16", "fp16", "fp32"]
-    )
-    parser.add_argument("--profile", action="store_true")
-    parser.add_argument("--tiny", action="store_true", help="tiny random model")
-    args = parser.parse_args()
-    benchmark(args.model_dir, args.precision, args.profile, args.tiny)
+    rep = run(args)
+    print(rep.as_json() if args.json else rep.render())
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    main()

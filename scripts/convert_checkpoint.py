@@ -6,6 +6,15 @@ codec.pth + tokenizer.tiktoken) to fish-tts-tpu native format
 Usage: python scripts/convert_checkpoint.py <model_dir> <out_dir>
 """
 
+# Allow running straight from a source checkout without installation.
+import sys as _sys
+from pathlib import Path as _Path
+
+try:
+    import fish_tts_tpu  # noqa: F401
+except ModuleNotFoundError:
+    _sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))
+
 import argparse
 
 

@@ -1,97 +1,85 @@
 #!/usr/bin/env python3
-"""Encode reference audio into a voice profile (.npy) for voice cloning.
+"""Create a voice profile (.npy) from reference audio.
 
-CLI parity with reference scripts/encode_reference.py: ffmpeg transcode of
-non-WAV input, transcript from arg or file, auto output naming.
+Feature parity with the reference encode CLI (transcode non-WAV input via
+ffmpeg, transcript from argument or file, default output next to the audio),
+built on the package helpers: audio loading lives in
+``fish_tts_tpu.utils.audio`` and encoding in ``FishTTS.encode_reference``.
+
+    python scripts/encode_reference.py voice.wav "What the speaker says"
+    python scripts/encode_reference.py voice.mp3 -t transcript.txt -o out.npy
 """
 
 from __future__ import annotations
 
+# Allow running straight from a source checkout without installation.
+import sys as _sys
+from pathlib import Path as _Path
+
+try:
+    import fish_tts_tpu  # noqa: F401
+except ModuleNotFoundError:
+    _sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))
+
 import argparse
-import subprocess
 import sys
 from pathlib import Path
 
 
-def convert_to_wav(audio_path: Path) -> bytes:
-    """Convert any audio file to 44.1 kHz mono WAV via ffmpeg."""
-    try:
-        result = subprocess.run(
-            [
-                "ffmpeg", "-i", str(audio_path),
-                "-f", "wav", "-ar", "44100", "-ac", "1",
-                "-acodec", "pcm_s16le", "-",
-            ],
-            capture_output=True,
-            check=True,
-        )
-        return result.stdout
-    except subprocess.CalledProcessError as e:
-        print(f"Error converting audio: {e.stderr.decode()}", file=sys.stderr)
-        sys.exit(1)
-    except FileNotFoundError:
-        print(
-            "Error: ffmpeg not found. Please install ffmpeg to convert non-WAV audio.",
-            file=sys.stderr,
-        )
-        sys.exit(1)
+def parse_args(argv=None) -> argparse.Namespace:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("audio", type=Path, help="reference audio (any ffmpeg format)")
+    ap.add_argument("transcript", nargs="?", default=None,
+                    help="what the reference audio says")
+    ap.add_argument("-t", "--transcript-file", type=Path,
+                    help="read the transcript from a text file")
+    ap.add_argument("-o", "--output", type=Path,
+                    help="profile path (default: alongside the audio)")
+    ap.add_argument("--name", default="", help="profile display name")
+    ap.add_argument("--model-dir", default=None)
+    ap.add_argument("--device", default="tpu", choices=["cpu", "tpu", "cuda"])
+    ap.add_argument("--precision", default="bf16",
+                    choices=["bf16", "fp16", "fp32", "int8"])
+    return ap.parse_args(argv)
 
 
-def main():
-    parser = argparse.ArgumentParser(
-        description="Encode reference audio into a voice profile for voice cloning.",
-        formatter_class=argparse.RawDescriptionHelpFormatter,
-        epilog="""
-Examples:
-  %(prog)s reference.wav "Hello, this is the reference transcript." -o voice.npy
-  %(prog)s reference.wav -t transcript.txt -o voice.npy
-  %(prog)s reference.wav "Hello world"        # -> saves to reference.npy
-""",
-    )
-    parser.add_argument("audio", type=Path, help="Input audio file (WAV, MP3, FLAC, ...)")
-    parser.add_argument("transcript", nargs="?", help="Reference transcript text")
-    parser.add_argument("-t", "--transcript-file", type=Path,
-                        help="Read transcript from file instead of argument")
-    parser.add_argument("-o", "--output", type=Path,
-                        help="Output .npy path (default: <audio>.npy)")
-    parser.add_argument("--model-dir", default=None)
-    parser.add_argument("--device", default="tpu", choices=["cpu", "tpu", "cuda"])
-    parser.add_argument("--precision", default="bf16",
-                        choices=["bf16", "fp16", "fp32"])
-    args = parser.parse_args()
+def resolve_transcript(args) -> str:
+    if args.transcript_file is not None:
+        return args.transcript_file.read_text(encoding="utf-8").strip()
+    if args.transcript:
+        return args.transcript
+    raise SystemExit("a transcript is required (positional or --transcript-file)")
 
-    if args.transcript_file:
-        transcript = args.transcript_file.read_text().strip()
-    elif args.transcript:
-        transcript = args.transcript
-    else:
-        parser.error("Provide a transcript (positional or --transcript-file)")
 
+def main(argv=None) -> int:
+    args = parse_args(argv)
+    transcript = resolve_transcript(args)
     if not args.audio.exists():
-        print(f"Error: {args.audio} not found", file=sys.stderr)
-        sys.exit(1)
-
-    if args.audio.suffix.lower() == ".wav":
-        wav_bytes = args.audio.read_bytes()
-    else:
-        print(f"Converting {args.audio.name} to WAV...")
-        wav_bytes = convert_to_wav(args.audio)
-
-    output = args.output or args.audio.with_suffix(".npy")
+        raise SystemExit(f"audio file not found: {args.audio}")
 
     from fish_tts_tpu import get_instance
+    from fish_tts_tpu.utils.audio import load_audio_bytes
 
-    print("Loading model...")
+    try:
+        wav_bytes = load_audio_bytes(args.audio)
+    except RuntimeError as e:
+        raise SystemExit(str(e)) from e
+
     synth = get_instance(
-        model_dir=args.model_dir, device=args.device, precision=args.precision,
-        warmup=False,
+        model_dir=args.model_dir, device=args.device,
+        precision=args.precision, warmup=False,
     )
-
-    print("Encoding reference...")
     profile = synth.encode_reference(wav_bytes, transcript)
-    profile.save(output)
-    print(f"Saved voice profile to {output}  (codes {profile.codes.shape})")
+    if args.name:
+        profile.name = args.name
+
+    out = args.output or args.audio.with_suffix(".npy")
+    profile.save(out)
+    n_frames = profile.codes.shape[1]
+    print(f"{out}: {profile.codes.shape[0]} codebooks x {n_frames} frames "
+          f"({n_frames / 21.53:.1f}s of reference audio)")
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

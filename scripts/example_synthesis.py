@@ -1,133 +1,123 @@
 #!/usr/bin/env python3
-"""fish-tts-tpu synthesis example (CLI parity with reference
-scripts/example_synthesis.py): basic synthesis, voice cloning from a
-reference WAV or a pre-encoded .npy profile, streaming mode."""
+"""Synthesis walkthrough: plain TTS, voice cloning, and streaming.
+
+Feature parity with the reference example CLI (synthesize to WAV, clone from
+reference audio or a saved .npy profile, streaming mode with first-chunk
+latency), built on the package helpers.
+
+    python scripts/example_synthesis.py --text "Hello there"
+    python scripts/example_synthesis.py --text "Hi" --reference v.mp3 --transcript "..."
+    python scripts/example_synthesis.py --text "Hi" --profile v.npy --transcript "..." --stream
+"""
 
 from __future__ import annotations
 
+# Allow running straight from a source checkout without installation.
+import sys as _sys
+from pathlib import Path as _Path
+
+try:
+    import fish_tts_tpu  # noqa: F401
+except ModuleNotFoundError:
+    _sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))
+
 import argparse
-import logging
-import subprocess
 import sys
 import time
 from pathlib import Path
 
-logging.basicConfig(level=logging.INFO)
-logger = logging.getLogger("example_synthesis")
+DEFAULT_TEXT = "Hello, this is a test of Fish TTS text to speech synthesis."
 
 
-def convert_to_wav(audio_path: Path) -> bytes:
-    try:
-        result = subprocess.run(
-            [
-                "ffmpeg", "-i", str(audio_path),
-                "-f", "wav", "-ar", "44100", "-ac", "1",
-                "-acodec", "pcm_s16le", "-",
-            ],
-            capture_output=True, check=True,
-        )
-        return result.stdout
-    except subprocess.CalledProcessError as e:
-        logger.error("Error converting audio: %s", e.stderr.decode())
-        sys.exit(1)
-    except FileNotFoundError:
-        logger.error("ffmpeg not found. Install ffmpeg to convert non-WAV audio.")
-        sys.exit(1)
+def parse_args(argv=None) -> argparse.Namespace:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--text", default=DEFAULT_TEXT)
+    ap.add_argument("-o", "--output", type=Path, default=Path("output.wav"))
+    ap.add_argument("--model-dir", default=None)
+    ap.add_argument("--device", default="tpu", choices=["cpu", "tpu", "cuda"])
+    ap.add_argument("--precision", default="bf16",
+                    choices=["bf16", "fp16", "fp32", "int8"])
+    ap.add_argument("--temperature", type=float, default=0.7)
+    ap.add_argument("--top-p", type=float, default=0.8)
+    ap.add_argument("--stream", action="store_true",
+                    help="stream PCM chunks and report first-chunk latency")
 
-
-def main():
-    parser = argparse.ArgumentParser(
-        description="fish-tts-tpu synthesis example",
-        formatter_class=argparse.RawDescriptionHelpFormatter,
-        epilog="""
-Examples:
-  %(prog)s --text "Hello world"
-  %(prog)s --text "Nice to meet you" --reference voice.wav --transcript "..."
-  %(prog)s --text "Nice to meet you" --profile voice.npy --transcript "..."
-  %(prog)s --text "Long text here..." --stream --profile voice.npy --transcript "..."
-""",
-    )
-    parser.add_argument("--text", type=str,
-                        default="Hello, this is a test of Fish TTS text to speech synthesis.")
-    parser.add_argument("--output", "-o", type=str, default="output.wav")
-    parser.add_argument("--model-dir", default=None)
-    parser.add_argument("--device", type=str, default="tpu",
-                        choices=["cpu", "tpu", "cuda"])
-    parser.add_argument("--precision", type=str, default="bf16",
-                        choices=["bf16", "fp16", "fp32"])
-    parser.add_argument("--temperature", type=float, default=0.7)
-    parser.add_argument("--top-p", type=float, default=0.8)
-
-    ref_group = parser.add_argument_group("Voice Cloning")
-    ref_group.add_argument("--reference", "-r", type=Path,
-                           help="Reference audio for voice cloning")
-    ref_group.add_argument("--profile", "-p", type=Path,
-                           help="Pre-encoded voice profile (.npy)")
-    ref_group.add_argument("--transcript", "-t", type=str,
-                           help="Transcript of the reference audio")
-
-    parser.add_argument("--stream", action="store_true", help="Streaming mode")
-    args = parser.parse_args()
+    clone = ap.add_argument_group("voice cloning")
+    clone.add_argument("-r", "--reference", type=Path,
+                       help="reference audio to clone (any ffmpeg format)")
+    clone.add_argument("-p", "--profile", type=Path,
+                       help="saved voice profile (.npy)")
+    clone.add_argument("-t", "--transcript",
+                       help="what the reference audio says (required to clone)")
+    args = ap.parse_args(argv)
 
     if args.reference and args.profile:
-        parser.error("Cannot use both --reference and --profile. Choose one.")
+        ap.error("--reference and --profile are mutually exclusive")
     if (args.reference or args.profile) and not args.transcript:
-        parser.error("--transcript is required for voice cloning")
+        ap.error("cloning needs --transcript")
+    return args
 
-    from fish_tts_tpu import VoiceProfile, get_instance
 
-    logger.info("Loading model...")
+def build_references(args, synth):
+    """None, or a one-element list with the requested voice."""
+    if args.reference:
+        from fish_tts_tpu.utils.audio import load_audio_bytes
+
+        return [synth.encode_reference(load_audio_bytes(args.reference),
+                                       args.transcript)]
+    if args.profile:
+        from fish_tts_tpu import VoiceProfile
+
+        return [VoiceProfile.load(args.profile, text=args.transcript)]
+    return None
+
+
+def synthesize_streaming(args, synth, references) -> bytes:
+    import numpy as np
+
+    from fish_tts_tpu.utils.audio import to_wav_bytes
+
+    pcm = bytearray()
+    started = time.perf_counter()
+    ttfa = None
+    for chunk in synth.synthesize_stream(
+        args.text, references=references,
+        temperature=args.temperature, top_p=args.top_p,
+    ):
+        if ttfa is None:
+            ttfa = time.perf_counter() - started
+            print(f"first audio after {ttfa * 1e3:.0f} ms")
+        pcm.extend(chunk)
+    samples = np.frombuffer(bytes(pcm), np.int16).astype(np.float32) / 32767.0
+    return to_wav_bytes(samples)
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv)
+
+    from fish_tts_tpu import get_instance
+
     synth = get_instance(
         model_dir=args.model_dir, device=args.device, precision=args.precision
     )
-
-    references = None
-    if args.reference:
-        logger.info("Encoding reference audio %s", args.reference)
-        wav_bytes = (
-            args.reference.read_bytes()
-            if args.reference.suffix.lower() == ".wav"
-            else convert_to_wav(args.reference)
-        )
-        references = [synth.encode_reference(wav_bytes, args.transcript)]
-    elif args.profile:
-        logger.info("Loading voice profile %s", args.profile)
-        references = [VoiceProfile.load(args.profile, text=args.transcript)]
+    references = build_references(args, synth)
 
     t0 = time.perf_counter()
     if args.stream:
-        logger.info("Streaming synthesis...")
-        pcm_chunks = []
-        first = None
-        for chunk in synth.synthesize_stream(
-            args.text, references=references,
-            temperature=args.temperature, top_p=args.top_p,
-        ):
-            if first is None:
-                first = time.perf_counter() - t0
-                logger.info("First audio chunk after %.3fs", first)
-            pcm_chunks.append(chunk)
-        import numpy as np
-
-        from fish_tts_tpu.utils.audio import to_wav_bytes
-
-        pcm = b"".join(pcm_chunks)
-        audio = np.frombuffer(pcm, dtype=np.int16).astype(np.float32) / 32767.0
-        wav = to_wav_bytes(audio)
+        wav = synthesize_streaming(args, synth, references)
     else:
         wav = synth.synthesize(
             args.text, references=references,
             temperature=args.temperature, top_p=args.top_p,
         )
-    elapsed = time.perf_counter() - t0
+    wall = time.perf_counter() - t0
 
-    Path(args.output).write_bytes(wav)
-    duration = (len(wav) - 44) / (44100 * 2)
-    logger.info(
-        "Wrote %s: %.1fs audio in %.2fs (RTF=%.3f)",
-        args.output, duration, elapsed, elapsed / duration if duration else 0,
-    )
+    args.output.write_bytes(wav)
+    audio_s = (len(wav) - 44) / (44100 * 2)
+    rtf = wall / audio_s if audio_s else float("inf")
+    print(f"{args.output}: {audio_s:.1f}s audio in {wall:.2f}s (RTF {rtf:.3f})")
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

@@ -8,6 +8,15 @@ All timings use host fetches as barriers (axon block_until_ready is a no-op).
 
 from __future__ import annotations
 
+# Allow running straight from a source checkout without installation.
+import sys as _sys
+from pathlib import Path as _Path
+
+try:
+    import fish_tts_tpu  # noqa: F401
+except ModuleNotFoundError:
+    _sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))
+
 import argparse
 import sys
 import time
