@@ -44,7 +44,7 @@ from fish_tts_tpu.config import DualARConfig
 from fish_tts_tpu.engine.sampling import sample
 from fish_tts_tpu.models import dual_ar
 from fish_tts_tpu.models.dual_ar import Params, TokenIds
-from fish_tts_tpu.ops import fast_decoder
+from fish_tts_tpu.ops import fast_decoder, slow_stack
 from fish_tts_tpu.utils.quantize import qgather
 
 _NEG_INF = float(np.finfo(np.float32).min)
@@ -325,17 +325,40 @@ def _decode_one(
 
     inp = state["frame"][:, :, None]  # (B, 1+K, 1)
     positions = pos[:, None]  # (B, 1)
-    # Cache valid strictly below pos; the current token is the block self-key.
-    k_pos = jnp.arange(R, dtype=jnp.int32)
-    cache_bias = jnp.where(
-        k_pos[None, None, None, :] < pos[:, None, None, None], 0.0, _NEG_INF
-    ).astype(jnp.float32)  # (B, 1, 1, R)
-    block_bias = jnp.zeros((1, 1, 1, 1), jnp.float32)
 
-    hidden, kv = dual_ar.slow_forward(
-        params, cfg, ids, rope, inp, positions, state["kv"],
-        cache_bias, block_bias, read_len=kv_bucket,
-    )
+    if fast_kernel and slow_stack.supports(cfg, params, B):
+        # Fused weight-streaming Pallas step (ops/slow_stack.py): embeds in
+        # XLA, runs the 28-layer stack in one kernel against the read-only
+        # cache slice, then scatters the returned K/V rows — numerically the
+        # two-part-attention path below, at streaming HBM bandwidth.
+        x_emb = dual_ar.embed_inputs(params, cfg, ids, inp)  # (1, 1, D)
+        hidden, new_k, new_v = slow_stack.slow_stack_step(
+            params, cfg, rope["slow"], x_emb[:, 0], state["kv"], pos,
+            read_len=R, interpret=jax.default_backend() != "tpu",
+        )
+        cdt = state["kv"]["k"].dtype
+        start = (0, 0, 0, pos[0], 0)
+        kv = {
+            "k": jax.lax.dynamic_update_slice(
+                state["kv"]["k"], new_k.astype(cdt), start
+            ),
+            "v": jax.lax.dynamic_update_slice(
+                state["kv"]["v"], new_v.astype(cdt), start
+            ),
+        }
+        hidden = hidden.astype(params["norm"].dtype)
+    else:
+        # Cache valid strictly below pos; current token is the block self-key.
+        k_pos = jnp.arange(R, dtype=jnp.int32)
+        cache_bias = jnp.where(
+            k_pos[None, None, None, :] < pos[:, None, None, None], 0.0, _NEG_INF
+        ).astype(jnp.float32)  # (B, 1, 1, R)
+        block_bias = jnp.zeros((1, 1, 1, 1), jnp.float32)
+
+        hidden, kv = dual_ar.slow_forward(
+            params, cfg, ids, rope, inp, positions, state["kv"],
+            cache_bias, block_bias, read_len=kv_bucket,
+        )
     logits = dual_ar.lm_logits(params, cfg, hidden)[:, -1]  # (B, V)
 
     frame = _sample_frame(

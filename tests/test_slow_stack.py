@@ -1,0 +1,134 @@
+"""Pallas slow-stack decode-step kernel tests (interpret mode, tiny config).
+
+The kernel must reproduce dual_ar.slow_forward's single-token decode step:
+same hidden state, same new K/V rows, against the same read-only cache.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fish_tts_tpu.config import TINY_CONFIG
+from fish_tts_tpu.engine import decode as decode_mod
+from fish_tts_tpu.models import dual_ar
+from fish_tts_tpu.models.dual_ar import TokenIds
+from fish_tts_tpu.ops import slow_stack
+from fish_tts_tpu.utils.quantize import quantize_lm_params
+
+CFG = TINY_CONFIG
+IDS = TokenIds(semantic_begin=400, semantic_end=447, im_end=5)
+NEG = float(np.finfo(np.float32).min)
+
+
+@pytest.fixture(scope="module")
+def qsetup():
+    params = dual_ar.init_params(jax.random.PRNGKey(0), CFG, jnp.float32)
+    qp = quantize_lm_params(params)
+    rope = dual_ar.make_rope_tables(CFG)
+    # prefill a few positions so the cache has live rows
+    state = decode_mod.init_state(qp, CFG, batch=1)
+    rng = np.random.RandomState(0)
+    prompt = np.zeros((1, 1 + CFG.num_codebooks, 16), np.int32)
+    prompt[0, 0, :12] = rng.randint(0, 300, 12)
+    state, _ = decode_mod.prefill(
+        qp, rope, state, jnp.asarray(prompt), jnp.asarray([12], jnp.int32),
+        jax.random.PRNGKey(1), jnp.float32(0.7), jnp.float32(0.8),
+        jnp.float32(1.1), cfg=CFG, ids=IDS, kv_bucket=0,
+    )
+    return qp, rope, state
+
+
+def _xla_step(qp, rope, state, frame, pos, read_len):
+    S = state["kv"]["k"].shape[3]
+    R = read_len
+    k_pos = jnp.arange(R, dtype=jnp.int32)
+    cache_bias = jnp.where(
+        k_pos[None, None, None, :] < pos[:, None, None, None], 0.0, NEG
+    ).astype(jnp.float32)
+    hidden, kv = dual_ar.slow_forward(
+        qp, CFG, IDS, rope, frame[:, :, None], pos[:, None], state["kv"],
+        cache_bias, jnp.zeros((1, 1, 1, 1), jnp.float32), read_len=R,
+    )
+    return hidden, kv
+
+
+def test_slow_stack_matches_xla_step(qsetup):
+    qp, rope, state = qsetup
+    pos = jnp.asarray([12], jnp.int32)
+    frame = jnp.zeros((1, 1 + CFG.num_codebooks), jnp.int32)
+    frame = frame.at[0, 0].set(417).at[0, 1].set(17)  # semantic token + code
+    R = 32
+
+    hidden_x, kv_x = _xla_step(qp, rope, state, frame, pos, R)
+
+    x_emb = dual_ar.embed_inputs(qp, CFG, IDS, frame[:, :, None])
+    hidden_k, new_k, new_v = slow_stack.slow_stack_step(
+        qp, CFG, rope["slow"], x_emb[:, 0], state["kv"], pos,
+        read_len=R, interpret=True,
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(hidden_k)[0, 0], np.asarray(hidden_x)[0, -1],
+        rtol=2e-3, atol=5e-3,
+    )
+    # new rows must match what the XLA path scattered at pos
+    k_rows_x = np.asarray(kv_x["k"][:, 0, :, 12])  # (L, Hkv, Dh)
+    v_rows_x = np.asarray(kv_x["v"][:, 0, :, 12])
+    np.testing.assert_allclose(
+        np.asarray(new_k)[:, 0, :, 0], k_rows_x, rtol=2e-3, atol=5e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_v)[:, 0, :, 0], v_rows_x, rtol=2e-3, atol=5e-3
+    )
+
+
+def test_slow_stack_position_mask(qsetup):
+    """Rows at and beyond pos must not influence the output: poisoning them
+    with huge values changes nothing."""
+    qp, rope, state = qsetup
+    pos = jnp.asarray([12], jnp.int32)
+    frame = jnp.zeros((1, 1 + CFG.num_codebooks), jnp.int32)
+    frame = frame.at[0, 0].set(100)
+    x_emb = dual_ar.embed_inputs(qp, CFG, IDS, frame[:, :, None])
+    R = 32
+
+    clean, _, _ = slow_stack.slow_stack_step(
+        qp, CFG, rope["slow"], x_emb[:, 0], state["kv"], pos,
+        read_len=R, interpret=True,
+    )
+    poisoned_cache = {
+        "k": state["kv"]["k"].at[:, :, :, 12:R].set(1e4),
+        "v": state["kv"]["v"].at[:, :, :, 12:R].set(1e4),
+    }
+    poisoned, _, _ = slow_stack.slow_stack_step(
+        qp, CFG, rope["slow"], x_emb[:, 0], poisoned_cache, pos,
+        read_len=R, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(clean), np.asarray(poisoned), rtol=1e-6, atol=1e-6
+    )
+
+
+def test_decode_chunk_slow_kernel_integration(qsetup):
+    """decode_chunk with the Pallas slow path emits valid frames."""
+    qp, rope, state0 = qsetup
+    state = jax.tree_util.tree_map(jnp.copy, state0)
+    t, p, r = jnp.float32(0.7), jnp.float32(0.8), jnp.float32(1.1)
+    state, frames, emitted = decode_mod.decode_chunk(
+        qp, rope, state, jax.random.PRNGKey(3), t, p, r,
+        cfg=CFG, ids=IDS, num_frames=2, top_k=16, kv_bucket=32,
+        fast_kernel=True,
+    )
+    frames = np.asarray(frames)
+    assert frames.shape == (1, 2, 1 + CFG.num_codebooks)
+    assert (frames >= 0).all()
+    assert (frames[:, :, 1] < CFG.codebook_size).all()
+
+
+def test_supports_gates():
+    params = dual_ar.init_params(jax.random.PRNGKey(0), CFG, jnp.float32)
+    qp = quantize_lm_params(params)
+    assert slow_stack.supports(CFG, qp, batch=1)
+    assert not slow_stack.supports(CFG, qp, batch=2)
+    assert not slow_stack.supports(CFG, params, batch=1)
