@@ -38,6 +38,8 @@ def main() -> None:
     ap.add_argument("--int8", action="store_true", help="weight-only int8 LM")
     ap.add_argument("--approx", action="store_true",
                     help="approximate top-k candidate search (opt-in)")
+    ap.add_argument("--topk", type=int, default=None,
+                    help="top-k truncation for the slow-token sampler")
     args = ap.parse_args()
 
     import jax
@@ -98,6 +100,10 @@ def main() -> None:
         return p
 
     params = jax.jit(build_params)(jax.random.PRNGKey(0))
+    if args.int8 and not args.cpu and not args.tiny:
+        from fish_tts_tpu.ops import slow_stack
+
+        params = jax.jit(lambda p: slow_stack.prepare_head(p, cfg))(params)
     rope = dual_ar.make_rope_tables(cfg)
     force(jax.tree_util.tree_leaves(params)[0][:1])
     init_s = time.perf_counter() - t0
@@ -109,7 +115,7 @@ def main() -> None:
     prompt = np.zeros((1, 1 + cfg.num_codebooks, T), np.int32)
     prompt[0, 0] = np.random.RandomState(0).randint(0, 1000, T)
     lengths = jnp.asarray([48], jnp.int32)
-    top_k = 1024 if not args.tiny else 32
+    top_k = args.topk or (512 if not args.tiny else 32)
 
     def fresh_state():
         return decode_mod.init_state(params, cfg, batch=1)

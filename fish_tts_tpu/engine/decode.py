@@ -332,7 +332,7 @@ def _decode_one(
         # cache slice, then scatters the returned K/V rows — numerically the
         # two-part-attention path below, at streaming HBM bandwidth.
         x_emb = dual_ar.embed_inputs(params, cfg, ids, inp)  # (1, 1, D)
-        hidden, new_k, new_v = slow_stack.slow_stack_step(
+        hidden, new_k, new_v, klogits = slow_stack.slow_stack_step(
             params, cfg, rope["slow"], x_emb[:, 0], state["kv"], pos,
             read_len=R, interpret=jax.default_backend() != "tpu",
         )
@@ -348,6 +348,7 @@ def _decode_one(
         }
         hidden = hidden.astype(params["norm"].dtype)
     else:
+        klogits = None
         # Cache valid strictly below pos; current token is the block self-key.
         k_pos = jnp.arange(R, dtype=jnp.int32)
         cache_bias = jnp.where(
@@ -359,7 +360,10 @@ def _decode_one(
             params, cfg, ids, rope, inp, positions, state["kv"],
             cache_bias, block_bias, read_len=kv_bucket,
         )
-    logits = dual_ar.lm_logits(params, cfg, hidden)[:, -1]  # (B, V)
+    if klogits is not None:
+        logits = klogits.astype(params["norm"].dtype)  # fused head (B, V)
+    else:
+        logits = dual_ar.lm_logits(params, cfg, hidden)[:, -1]  # (B, V)
 
     frame = _sample_frame(
         params, cfg, ids, rope, key, hidden, logits,

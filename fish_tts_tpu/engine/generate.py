@@ -92,6 +92,13 @@ class GenerationEngine:
         self._fast_kernel = (
             self.engine_cfg.fast_kernel and jax.default_backend() == "tpu"
         )
+        if self._fast_kernel:
+            from fish_tts_tpu.ops import slow_stack
+
+            if slow_stack.supports(cfg, params, 1):
+                # pre-pad the tied LM head into vocab tiles so the fused
+                # slow-stack kernel can stream it (one-time cost)
+                self.params = params = slow_stack.prepare_head(params, cfg)
         self._key = jax.random.PRNGKey(seed)
         self.metrics = Metrics()
         # Prefix (voice-profile) cache: state snapshot after prefilling the

@@ -1,12 +1,12 @@
 """Pallas weight-streaming slow-stack decode step.
 
 One fused kernel for the 28-layer slow transformer's single-token decode
-forward.  XLA's GEMV path leaves most of the HBM bandwidth on the table for
-M=1 matmuls; here the grid iterates over layers and each layer's int8
-matmul stack (~15.7 MB at S1-mini shapes) is a BlockSpec input, so Pallas
-double-buffers the next layer's weights while the current layer computes —
-the textbook weight-streaming pattern.  The activation is carried across
-grid steps in a VMEM scratch.
+forward, optionally including the tied LM head.  XLA's GEMV path leaves most
+of the HBM bandwidth on the table for M=1 matmuls; here the grid iterates
+over layers (then vocab tiles) and each step's int8 weights are BlockSpec
+inputs, so Pallas double-buffers the next step's weights while the current
+step computes — the textbook weight-streaming pattern.  The activation is
+carried across grid steps in a VMEM scratch.
 
 Scope and contracts:
 - single token, single stream (B=1, T=1) — the latency decode path; prefill
@@ -23,7 +23,10 @@ Scope and contracts:
   like ops/fast_decoder.py;
 - RoPE rows for the current position are gathered *outside* (XLA handles the
   dynamic position gather); the kernel sees interleaved cos / signed-sin
-  lane tables (ops/fast_decoder.rope_tables layout).
+  lane tables (ops/fast_decoder.rope_tables layout);
+- with ``prepare_head`` applied, grid steps L.. stream the tied LM head
+  (reference llama.py:446-451) in HEAD_TILE-row vocab tiles and the kernel
+  additionally returns full logits (padded vocab; caller slices).
 """
 
 from __future__ import annotations
@@ -44,8 +47,10 @@ Params = dict[str, Any]
 
 _NEG = -1e30
 
+HEAD_TILE = 8192  # vocab rows per head grid step (8 MB int8 tiles)
 
-def _make_kernel(cfg: DualARConfig, read_len: int):
+
+def _make_kernel(cfg: DualARConfig, read_len: int, with_head: bool):
     D = cfg.dim
     H = cfg.n_head
     Hkv = cfg.n_local_heads
@@ -77,29 +82,23 @@ def _make_kernel(cfg: DualARConfig, read_len: int):
             axis=-1,
         )
 
-    def kernel(
-        pos_ref,          # SMEM (1, 1) int32 current position
-        x_ref,            # (1, D) f32 embedded input token
-        cos_q_ref, sin_q_ref,    # (1, q_size) rope rows at pos
-        cos_k_ref, sin_k_ref,    # (1, kv_size)
-        seg_ref, seg_t_ref,      # (q_size, H), (H, q_size)
-        attn_norm_ref, ffn_norm_ref,            # (1, 1, D) per-layer blocks
-        kcache_ref, vcache_ref,  # (1, 1, Hkv, R, Dh) per-layer cache slices
-        wqkv_q, wqkv_s, wo_q, wo_s,             # (1, D, .) int8 + (1, 1, .) f32
-        w1_q, w1_s, w3_q, w3_s, w2_q, w2_s,
-        x_out_ref,        # (1, D) f32 final hidden (pre-final-norm)
-        new_k_ref,        # (1, 1, kv_size) f32 this layer's K row
-        new_v_ref,        # (1, 1, kv_size) f32
-        x_scr,            # VMEM (1, D) f32 carried activation
-    ):
-        layer_is_first = pl.program_id(0) == 0
+    def kernel(*refs):
+        if with_head:
+            (pos_ref, x_ref, cos_q_ref, sin_q_ref, cos_k_ref, sin_k_ref,
+             seg_ref, seg_t_ref, attn_norm_ref, ffn_norm_ref,
+             kcache_ref, vcache_ref,
+             wqkv_q, wqkv_s, wo_q, wo_s, w1_q, w1_s, w3_q, w3_s, w2_q, w2_s,
+             final_norm_ref, head_q, head_s,
+             x_out_ref, new_k_ref, new_v_ref, logits_ref, x_scr) = refs
+        else:
+            (pos_ref, x_ref, cos_q_ref, sin_q_ref, cos_k_ref, sin_k_ref,
+             seg_ref, seg_t_ref, attn_norm_ref, ffn_norm_ref,
+             kcache_ref, vcache_ref,
+             wqkv_q, wqkv_s, wo_q, wo_s, w1_q, w1_s, w3_q, w3_s, w2_q, w2_s,
+             x_out_ref, new_k_ref, new_v_ref, x_scr) = refs
+
+        step = pl.program_id(0)
         pos = pos_ref[0, 0]
-
-        @pl.when(layer_is_first)
-        def _():
-            x_scr[...] = x_ref[...]
-
-        x = x_scr[...]
 
         def qdot(xv, wq, ws):
             w = wq[0].astype(jnp.bfloat16)
@@ -107,57 +106,82 @@ def _make_kernel(cfg: DualARConfig, read_len: int):
                           preferred_element_type=jnp.float32)
             return out * ws[0]
 
-        h = _rms(x, attn_norm_ref[0])
-        qkv = qdot(h, wqkv_q, wqkv_s)  # (1, q+2kv)
-        q = _rope(qkv[:, :q_size], cos_q_ref[...], sin_q_ref[...])
-        k = _rope(qkv[:, q_size:q_size + kv_size], cos_k_ref[...], sin_k_ref[...])
-        v = qkv[:, q_size + kv_size:]
-        new_k_ref[...] = k[None]
-        new_v_ref[...] = v[None]
+        def layer_body():
+            x = x_scr[...]
+            h = _rms(x, attn_norm_ref[0])
+            qkv = qdot(h, wqkv_q, wqkv_s)  # (1, q+2kv)
+            q = _rope(qkv[:, :q_size], cos_q_ref[...], sin_q_ref[...])
+            k = _rope(qkv[:, q_size:q_size + kv_size],
+                      cos_k_ref[...], sin_k_ref[...])
+            v = qkv[:, q_size + kv_size:]
+            new_k_ref[...] = k[None]
+            new_v_ref[...] = v[None]
 
-        # cache attention (read-only past, mask rows >= pos) + self-key,
-        # one joint softmax (ops/attention.gqa_attention_two_part semantics)
-        kc = kcache_ref[0, 0]  # (Hkv, R, Dh)
-        vc = vcache_ref[0, 0]
-        kc_flat = jnp.concatenate([kc[hh] for hh in range(Hkv)], axis=-1)
-        vc_flat = jnp.concatenate([vc[hh] for hh in range(Hkv)], axis=-1)
-        kc_rep = _dup_heads(kc_flat.astype(jnp.float32))  # (R, q_size)
-        vc_rep = _dup_heads(vc_flat.astype(jnp.float32))
-        k_rep = _dup_heads(k)[0:1]  # (1, q_size)
-        v_rep = _dup_heads(v)[0:1]
+            # cache attention (read-only past, mask rows >= pos) + self-key,
+            # one joint softmax (gqa_attention_two_part semantics)
+            kc = kcache_ref[0, 0]  # (Hkv, R, Dh)
+            vc = vcache_ref[0, 0]
+            kc_flat = jnp.concatenate([kc[hh] for hh in range(Hkv)], axis=-1)
+            vc_flat = jnp.concatenate([vc[hh] for hh in range(Hkv)], axis=-1)
+            kc_rep = _dup_heads(kc_flat.astype(jnp.float32))  # (R, q_size)
+            vc_rep = _dup_heads(vc_flat.astype(jnp.float32))
+            k_rep = _dup_heads(k)[0:1]  # (1, q_size)
+            v_rep = _dup_heads(v)[0:1]
 
-        s_cache = jnp.dot(kc_rep * q, seg_ref[...],
-                          preferred_element_type=jnp.float32) * scale  # (R, H)
-        r_iota = jax.lax.broadcasted_iota(jnp.int32, (R, H), 0)
-        s_cache = jnp.where(r_iota < pos, s_cache, _NEG)
-        s_self = jnp.dot(k_rep * q, seg_ref[...],
-                         preferred_element_type=jnp.float32) * scale  # (1, H)
+            s_cache = jnp.dot(kc_rep * q, seg_ref[...],
+                              preferred_element_type=jnp.float32) * scale
+            r_iota = jax.lax.broadcasted_iota(jnp.int32, (R, H), 0)
+            s_cache = jnp.where(r_iota < pos, s_cache, _NEG)  # (R, H)
+            s_self = jnp.dot(k_rep * q, seg_ref[...],
+                             preferred_element_type=jnp.float32) * scale
 
-        m = jnp.maximum(jnp.max(s_cache, axis=0, keepdims=True), s_self)
-        p_cache = jnp.exp(s_cache - m)          # (R, H)
-        p_self = jnp.exp(s_self - m)            # (1, H)
-        denom = jnp.sum(p_cache, axis=0, keepdims=True) + p_self  # (1, H)
+            m = jnp.maximum(jnp.max(s_cache, axis=0, keepdims=True), s_self)
+            p_cache = jnp.exp(s_cache - m)          # (R, H)
+            p_self = jnp.exp(s_self - m)            # (1, H)
+            denom = jnp.sum(p_cache, axis=0, keepdims=True) + p_self
 
-        pc_exp = jnp.dot(p_cache, seg_t_ref[...],
-                         preferred_element_type=jnp.float32)  # (R, q_size)
-        ps_exp = jnp.dot(p_self, seg_t_ref[...],
-                         preferred_element_type=jnp.float32)  # (1, q_size)
-        den_exp = jnp.dot(denom, seg_t_ref[...],
-                          preferred_element_type=jnp.float32)
-        o = (jnp.sum(pc_exp * vc_rep, axis=0, keepdims=True)
-             + ps_exp * v_rep) / den_exp  # (1, q_size)
+            pc_exp = jnp.dot(p_cache, seg_t_ref[...],
+                             preferred_element_type=jnp.float32)  # (R, q_size)
+            ps_exp = jnp.dot(p_self, seg_t_ref[...],
+                             preferred_element_type=jnp.float32)
+            den_exp = jnp.dot(denom, seg_t_ref[...],
+                              preferred_element_type=jnp.float32)
+            o = (jnp.sum(pc_exp * vc_rep, axis=0, keepdims=True)
+                 + ps_exp * v_rep) / den_exp  # (1, q_size)
 
-        x = x + qdot(o, wo_q, wo_s)
-        f = _rms(x, ffn_norm_ref[0])
-        gate = qdot(f, w1_q, w1_s)
-        up = qdot(f, w3_q, w3_s)
-        x = x + qdot(gate * jax.lax.logistic(gate) * up, w2_q, w2_s)
+            x = x + qdot(o, wo_q, wo_s)
+            f = _rms(x, ffn_norm_ref[0])
+            gate = qdot(f, w1_q, w1_s)
+            up = qdot(f, w3_q, w3_s)
+            x = x + qdot(gate * jax.lax.logistic(gate) * up, w2_q, w2_s)
 
-        x_scr[...] = x
+            x_scr[...] = x
 
-        @pl.when(pl.program_id(0) == L - 1)
+            @pl.when(step == L - 1)
+            def _():
+                x_out_ref[...] = x
+
+        def head_body():
+            # tied LM head, one vocab tile per grid step
+            # (reference llama.py:446-451)
+            x = x_scr[...]
+            hn = _rms(x, final_norm_ref[...])
+            lg = jax.lax.dot_general(
+                hn.astype(jnp.bfloat16), head_q[...].astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (1, HEAD_TILE)
+            logits_ref[...] = lg * head_s[...]
+
+        @pl.when(step == 0)
         def _():
-            x_out_ref[...] = x
+            x_scr[...] = x_ref[...]
+
+        if with_head:
+            pl.when(step < L)(layer_body)
+            pl.when(step >= L)(head_body)
+        else:
+            layer_body()
 
     return kernel
 
@@ -174,6 +198,27 @@ def supports(cfg: DualARConfig, params: Params, batch: int) -> bool:
         and not cfg.attention_o_bias
         and not cfg.attention_qk_norm
     )
+
+
+def prepare_head(params: Params, cfg: DualARConfig) -> Params:
+    """Pad the tied LM head into HEAD_TILE-aligned vocab tiles for the fused
+    head phase (``_slow_head`` entry).  One-time cost at engine init; no-op
+    when the head cannot be fused (untied head, non-quantized table)."""
+    from fish_tts_tpu.utils.quantize import is_quantized
+
+    emb = params.get("embeddings")
+    if ("_slow_head" in params or not cfg.tie_word_embeddings
+            or not is_quantized(emb)):
+        return params
+    V, D = emb["q"].shape
+    Vp = -(-V // HEAD_TILE) * HEAD_TILE
+    q = jnp.zeros((Vp, D), jnp.int8).at[:V].set(emb["q"])
+    s = jnp.zeros((1, Vp), jnp.float32).at[0, :V].set(
+        emb["s"][:, 0].astype(jnp.float32)
+    )
+    out = dict(params)
+    out["_slow_head"] = {"q": q, "s": s}
+    return out
 
 
 def _segment_masks(cfg: DualARConfig):
@@ -207,17 +252,22 @@ def slow_stack_step(
     *,
     read_len: int,
     interpret: bool = False,
-) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+):
     """Fused 1-token slow forward.
 
     Returns (hidden (1, 1, D) pre-final-norm, new_k (L, 1, Hkv, 1, Dh),
-    new_v) — the caller scatters new rows into the cache at ``pos``.
+    new_v, logits) — logits is (1, V) when the head was prepared via
+    :func:`prepare_head`, else None; the caller scatters the new K/V rows
+    into the cache at ``pos``.
     """
     layers = params["layers"]
     L = cfg.n_layer
     Dh = cfg.head_dim
     Hkv = cfg.n_local_heads
     R = read_len
+    head = params.get("_slow_head")
+    with_head = head is not None
+    n_tiles = head["q"].shape[0] // HEAD_TILE if with_head else 0
 
     cos_q, sin_q, cos_k, sin_k = _rope_rows(cfg, rope_slow, pos[0])
     seg, seg_t = _segment_masks(cfg)
@@ -229,9 +279,15 @@ def slow_stack_step(
     smem_spec = pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)
     whole = pl.BlockSpec(memory_space=pltpu.VMEM)
 
+    def layer_idx(l):
+        # clamp so head-phase steps keep revisiting the last layer's blocks
+        # (revisited blocks are not re-copied)
+        return jnp.minimum(l, L - 1) if with_head else l
+
     def per_layer(shape):
-        block = (1,) + shape[1:]
-        return pl.BlockSpec(block, lambda l: (l,) + (0,) * (len(shape) - 1),
+        block = (1,) + tuple(shape[1:])
+        nzero = len(shape) - 1
+        return pl.BlockSpec(block, lambda l: (layer_idx(l),) + (0,) * nzero,
                             memory_space=pltpu.VMEM)
 
     lw = layers
@@ -249,32 +305,19 @@ def slow_stack_step(
             per_layer(lw["w2"]["q"].shape), per_layer(lw["w2"]["s"].shape),
         ]
     )
-
-    kernel = _make_kernel(cfg, R)
-    x_out, new_k, new_v = pl.pallas_call(
-        kernel,
-        grid=(L,),
-        out_shape=(
-            jax.ShapeDtypeStruct((1, cfg.dim), jnp.float32),
-            jax.ShapeDtypeStruct((L, 1, Hkv * Dh), jnp.float32),
-            jax.ShapeDtypeStruct((L, 1, Hkv * Dh), jnp.float32),
-        ),
-        in_specs=in_specs,
-        out_specs=(
-            pl.BlockSpec((1, cfg.dim), lambda l: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Hkv * Dh), lambda l: (l, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Hkv * Dh), lambda l: (l, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        scratch_shapes=[pltpu.VMEM((1, cfg.dim), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-        interpret=interpret,
-    )(
+    out_shape = [
+        jax.ShapeDtypeStruct((1, cfg.dim), jnp.float32),
+        jax.ShapeDtypeStruct((L, 1, Hkv * Dh), jnp.float32),
+        jax.ShapeDtypeStruct((L, 1, Hkv * Dh), jnp.float32),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, cfg.dim), lambda l: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, Hkv * Dh), lambda l: (layer_idx(l), 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, Hkv * Dh), lambda l: (layer_idx(l), 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = [
         pos_smem,
         x.astype(jnp.float32),
         cos_q, sin_q, cos_k, sin_k, seg, seg_t,
@@ -286,8 +329,52 @@ def slow_stack_step(
         lw["w1"]["q"], lw["w1"]["s"].astype(jnp.float32),
         lw["w3"]["q"], lw["w3"]["s"].astype(jnp.float32),
         lw["w2"]["q"], lw["w2"]["s"].astype(jnp.float32),
-    )
+    ]
+    grid = L
+    if with_head:
+        Vp = head["q"].shape[0]
+        grid = L + n_tiles
+        in_specs += [
+            whole,  # final norm (1, D)
+            pl.BlockSpec((HEAD_TILE, cfg.dim),
+                         lambda l: (jnp.maximum(l - L, 0), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, HEAD_TILE),
+                         lambda l: (0, jnp.maximum(l - L, 0)),
+                         memory_space=pltpu.VMEM),
+        ]
+        inputs += [
+            params["norm"].astype(jnp.float32)[None, :],
+            head["q"], head["s"],
+        ]
+        out_shape.append(jax.ShapeDtypeStruct((1, Vp), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((1, HEAD_TILE),
+                         lambda l: (0, jnp.maximum(l - L, 0)),
+                         memory_space=pltpu.VMEM)
+        )
+
+    kernel = _make_kernel(cfg, R, with_head)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        out_shape=tuple(out_shape),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        scratch_shapes=[pltpu.VMEM((1, cfg.dim), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*inputs)
+
+    x_out, new_k, new_v = outs[0], outs[1], outs[2]
+    logits = None
+    if with_head:
+        V = params["embeddings"]["q"].shape[0]
+        logits = outs[3][:, :V]
     hidden = x_out[None]  # (1, 1, D)
     new_k = new_k.reshape(L, 1, Hkv, 1, Dh)
     new_v = new_v.reshape(L, 1, Hkv, 1, Dh)
-    return hidden, new_k, new_v
+    return hidden, new_k, new_v, logits

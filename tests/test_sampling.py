@@ -151,3 +151,31 @@ def test_exact_probs_nucleus_boundary():
     # uniform 0.25 each; cumsum 0.25, 0.5, 0.75, 1.0; remove where cum > 0.5
     assert np.count_nonzero(probs) == 2
     np.testing.assert_allclose(probs[probs > 0], 0.5)
+
+
+def test_default_top_k_covers_tts_nucleus():
+    """The engine default (sample_top_k=512) must cover the exact top-p
+    nucleus of a peaked 155k-vocab distribution (std-4 Gaussian logits keep
+    the top_p=0.8 nucleus near 400; trained TTS posteriors are far more
+    peaked than that)."""
+    from fish_tts_tpu.config import EngineConfig
+
+    k_default = EngineConfig().sample_top_k
+    assert k_default == 512
+    logits = jax.random.normal(jax.random.PRNGKey(11), (155776,)) * 4.0
+    probs = np.asarray(
+        logits_to_probs_exact(
+            logits, jnp.float32(0.7), jnp.float32(0.8), jnp.float32(1.0)
+        )
+    )
+    nucleus_size = int((probs > 0).sum())
+    assert nucleus_size < k_default, nucleus_size
+    # truncated sampler agrees with the exact full sort under the same key
+    l2 = logits[None]
+    for seed in range(10):
+        k = jax.random.PRNGKey(2000 + seed)
+        exact = top_p_gumbel_sample(k, l2, jnp.float32(0.7), jnp.float32(0.8), top_k=0)
+        trunc = top_p_gumbel_sample(
+            k, l2, jnp.float32(0.7), jnp.float32(0.8), top_k=k_default
+        )
+        assert int(exact[0]) == int(trunc[0])

@@ -63,7 +63,7 @@ def test_slow_stack_matches_xla_step(qsetup):
     hidden_x, kv_x = _xla_step(qp, rope, state, frame, pos, R)
 
     x_emb = dual_ar.embed_inputs(qp, CFG, IDS, frame[:, :, None])
-    hidden_k, new_k, new_v = slow_stack.slow_stack_step(
+    hidden_k, new_k, new_v, _ = slow_stack.slow_stack_step(
         qp, CFG, rope["slow"], x_emb[:, 0], state["kv"], pos,
         read_len=R, interpret=True,
     )
@@ -93,7 +93,7 @@ def test_slow_stack_position_mask(qsetup):
     x_emb = dual_ar.embed_inputs(qp, CFG, IDS, frame[:, :, None])
     R = 32
 
-    clean, _, _ = slow_stack.slow_stack_step(
+    clean, _, _, _ = slow_stack.slow_stack_step(
         qp, CFG, rope["slow"], x_emb[:, 0], state["kv"], pos,
         read_len=R, interpret=True,
     )
@@ -101,7 +101,7 @@ def test_slow_stack_position_mask(qsetup):
         "k": state["kv"]["k"].at[:, :, :, 12:R].set(1e4),
         "v": state["kv"]["v"].at[:, :, :, 12:R].set(1e4),
     }
-    poisoned, _, _ = slow_stack.slow_stack_step(
+    poisoned, _, _, _ = slow_stack.slow_stack_step(
         qp, CFG, rope["slow"], x_emb[:, 0], poisoned_cache, pos,
         read_len=R, interpret=True,
     )
@@ -132,3 +132,24 @@ def test_supports_gates():
     assert slow_stack.supports(CFG, qp, batch=1)
     assert not slow_stack.supports(CFG, qp, batch=2)
     assert not slow_stack.supports(CFG, params, batch=1)
+
+
+def test_fused_head_logits_match_lm_logits(qsetup):
+    """prepare_head + head grid phase must reproduce dual_ar.lm_logits."""
+    qp, rope, state = qsetup
+    qph = slow_stack.prepare_head(qp, CFG)
+    assert "_slow_head" in qph
+    pos = jnp.asarray([12], jnp.int32)
+    frame = jnp.zeros((1, 1 + CFG.num_codebooks), jnp.int32)
+    frame = frame.at[0, 0].set(433).at[0, 1].set(5)
+    x_emb = dual_ar.embed_inputs(qph, CFG, IDS, frame[:, :, None])
+
+    hidden, _, _, logits = slow_stack.slow_stack_step(
+        qph, CFG, rope["slow"], x_emb[:, 0], state["kv"], pos,
+        read_len=32, interpret=True,
+    )
+    assert logits is not None and logits.shape == (1, CFG.vocab_size)
+    ref = np.asarray(dual_ar.lm_logits(qp, CFG, hidden))[0, -1]
+    np.testing.assert_allclose(np.asarray(logits)[0], ref, rtol=2e-3, atol=5e-3)
+    # argmax (the sampling-critical statistic) must agree
+    assert int(np.asarray(logits)[0].argmax()) == int(ref.argmax())
