@@ -6,7 +6,8 @@ Prints ONE JSON line:
    "vs_baseline": N/120, ...extras}
 
 Runs the S1-mini-shaped model (random weights — throughput is weight-agnostic)
-in bf16 (or weight-only int8 with --int8) on whatever accelerator JAX sees.
+in the production serving config — weight-only int8 with the fused Pallas
+decode kernels — on whatever accelerator JAX sees (--bf16 to opt out).
 The reference baseline is ~120 tok/s and RTF ~0.26 on torch.compile CUDA
 (/root/reference/README.md:9,71).
 
@@ -14,7 +15,7 @@ TTFA is measured through the real user path: a FishTTS instance (S1-mini
 LM + full-size vocoder, synthetic tokenizer) driving ``synthesize_stream``,
 reporting the p50 wall time from call to first PCM bytes on the host.
 
-Usage:  python bench.py [--tiny] [--frames N] [--no-ttfa] [--int8] [--approx]
+Usage:  python bench.py [--tiny] [--frames N] [--no-ttfa] [--bf16] [--approx]
 """
 
 from __future__ import annotations
@@ -35,12 +36,17 @@ def main() -> None:
     ap.add_argument("--frames", type=int, default=200, help="frames to time")
     ap.add_argument("--no-ttfa", action="store_true", help="skip vocoder/TTFA")
     ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--int8", action="store_true", help="weight-only int8 LM")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 weights (default is weight-only int8 + fused "
+                         "Pallas decode kernels, the production serving config)")
     ap.add_argument("--approx", action="store_true",
                     help="approximate top-k candidate search (opt-in)")
     ap.add_argument("--topk", type=int, default=None,
                     help="top-k truncation for the slow-token sampler")
     args = ap.parse_args()
+    # int8 + fused kernels is the serving configuration and the bench default;
+    # --bf16 opts out (tiny/CPU runs are fp32 and never use int8)
+    args.int8 = not args.bf16 and not args.tiny and not args.cpu
 
     import jax
 

@@ -222,6 +222,7 @@ class GenerationEngine:
         prompt_tokens: list[np.ndarray] | None = None,
         streaming: bool = False,
         use_prefix_cache: bool = True,
+        show_progress: bool = False,
     ) -> Iterator[GenerateResponse]:
         """Generate vocoder codes for ``text`` (reference generate_long,
         inference.py:741-846).
@@ -247,6 +248,7 @@ class GenerationEngine:
                 prompt_tokens=prompt_tokens,
                 streaming=streaming,
                 use_prefix_cache=use_prefix_cache,
+                show_progress=show_progress,
             )
             yield GenerateResponse(action="next")
 
@@ -262,6 +264,7 @@ class GenerationEngine:
         prompt_tokens: list[np.ndarray] | None,
         streaming: bool,
         use_prefix_cache: bool,
+        show_progress: bool = False,
     ) -> Iterator[GenerateResponse]:
         """One sample of generate_long, without the trailing "next"."""
         prompt_text = prompt_text or []
@@ -372,6 +375,13 @@ class GenerationEngine:
                 emitted_np = np.asarray(emitted)[0]  # (n,)
                 done = bool(np.asarray(state["done"])[0])
             self.metrics.record_tokens(int(emitted_np.sum()))
+            if show_progress:
+                # chunk-level progress (the reference shows per-token tqdm,
+                # inference.py:184; chunks are the host-visible granularity)
+                logger.info(
+                    "decoded %d/%d frames%s", produced + int(emitted_np.sum()),
+                    max_new, " (EOS)" if done else "",
+                )
 
             valid = frames_np[:, emitted_np]  # (1, m, 1+K)
             # Cap at the token budget.

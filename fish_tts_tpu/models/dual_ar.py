@@ -41,7 +41,7 @@ import numpy as np
 from fish_tts_tpu.config import DualARConfig
 from fish_tts_tpu.ops.attention import gqa_attention, gqa_attention_two_part
 from fish_tts_tpu.utils.quantize import qgather, qhead, qmm
-from fish_tts_tpu.ops.norms import rms_norm, swiglu
+from fish_tts_tpu.ops.norms import rms_norm
 from fish_tts_tpu.ops.rope import apply_rotary_emb, precompute_freqs_cis
 
 Params = dict[str, Any]

@@ -41,15 +41,6 @@ def silu(x: jnp.ndarray) -> jnp.ndarray:
     return x * lax.logistic(x)
 
 
-def swiglu(x: jnp.ndarray, w1: jnp.ndarray, w3: jnp.ndarray, w2: jnp.ndarray) -> jnp.ndarray:
-    """SwiGLU FFN: ``w2(silu(x@w1) * (x@w3))`` (reference llama.py:180-190).
-
-    Weights are stored ``(in, out)`` so the matmuls map directly onto the MXU
-    with no transposes.
-    """
-    return (silu(x @ w1) * (x @ w3)) @ w2
-
-
 def snake(x: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
     """Snake activation ``x + sin^2(alpha*x)/alpha`` used throughout the codec
     (dac.nn.layers.Snake1d, referenced at vocoder.py:20).  ``x`` is
