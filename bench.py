@@ -121,7 +121,8 @@ def main() -> None:
     prompt = np.zeros((1, 1 + cfg.num_codebooks, T), np.int32)
     prompt[0, 0] = np.random.RandomState(0).randint(0, 1000, T)
     lengths = jnp.asarray([48], jnp.int32)
-    top_k = args.topk or (512 if not args.tiny else 32)
+    # -1 = sort-free exact full-vocab top-p (the engine default)
+    top_k = args.topk if args.topk is not None else (-1 if not args.tiny else 32)
 
     def fresh_state():
         return decode_mod.init_state(params, cfg, batch=1)

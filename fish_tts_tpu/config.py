@@ -220,14 +220,12 @@ class EngineConfig:
     - ``decode_chunk``: frames decoded per jitted device call.  The host checks
       the EOS flag once per chunk instead of once per token (the reference syncs
       every step, inference.py:210).
-    - ``sample_top_k``: top-p sampling runs over the top-k logits instead of
-      a full vocab sort; cumulative probabilities stay exact (full-vocab
-      normalizer), only nucleus members beyond rank k are unreachable.  TTS
-      posteriors are strongly peaked — even a synthetic std-4 Gaussian over
-      the 155k vocab keeps the top_p=0.8 nucleus near 400 — so 512 covers
-      realistic nuclei with margin while keeping the selection cheap (the
-      k=1024 sort alone costs ~0.5 ms/frame on v5e).  Set 0 for an exact
-      full sort.
+    - ``sample_top_k``: slow-token nucleus selection strategy.  -1 (default)
+      is the sort-free threshold path: *exact* full-vocab top-p (bisection
+      for the nucleus boundary, engine/sampling.top_p_threshold_mask) at a
+      fraction of the cost of sorting 155k logits.  0 is the exact full
+      sort; k > 0 truncates the candidate set to the top-k logits (exact
+      cumulative probabilities, nucleus members beyond rank k unreachable).
     - ``approx_top_k``: route the candidate search through
       ``lax.approx_max_k`` (recall_target=0.99) instead of exact
       ``lax.top_k``.  Off by default: the approximation can drop nucleus
@@ -238,7 +236,7 @@ class EngineConfig:
     prompt_buckets: tuple[int, ...] = (64, 128, 256, 512, 1024, 2048)
     decode_chunk: int = 20
     first_chunk: int = 10
-    sample_top_k: int = 512
+    sample_top_k: int = -1
     approx_top_k: bool = False
     # Static upper bound granularity on the live KV prefix: attention reads
     # stream only ceil(pos/step)*step cache rows instead of max_seq_len.

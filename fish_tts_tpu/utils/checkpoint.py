@@ -361,10 +361,26 @@ def unflatten_params(flat: Mapping[str, np.ndarray]) -> Params:
     return listify(root)
 
 
-def save_params(path: str | Path, params: Params) -> None:
+def save_params(path: str | Path, params: Params, dtype: str = "bf16") -> None:
+    """Save a pytree as safetensors.
+
+    ``dtype="bf16"`` stores float32 weight leaves as bfloat16 (via ml_dtypes;
+    safetensors has a native BF16 dtype) — half the bytes on disk and through
+    the host at load time, matching the precision the reference torch
+    checkpoints ship in.  1-D leaves (norm gains, biases) keep float32.
+    Pass ``dtype="fp32"`` for a lossless dump.
+    """
     from safetensors.numpy import save_file
 
     flat = flatten_params(params)
+    if dtype == "bf16":
+        import ml_dtypes
+
+        flat = {
+            k: (v.astype(ml_dtypes.bfloat16)
+                if v.dtype == np.float32 and v.ndim > 1 else v)
+            for k, v in flat.items()
+        }
     save_file({k: np.ascontiguousarray(v) for k, v in flat.items()}, str(path))
 
 

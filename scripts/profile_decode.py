@@ -1,9 +1,14 @@
 #!/usr/bin/env python3
-"""Component-level decode profiling: time slow forward, fast loop, and
-sampling separately to find the per-frame budget.
+"""Component-level decode profiling on the current device.
 
-The working equivalent of the reference's (stale) scripts/profile_detailed.py.
-All timings use host fetches as barriers (axon block_until_ready is a no-op).
+Times the pieces of the per-frame budget separately — the full decode chunk
+with the Pallas kernels vs the XLA paths, plus slow-token sampling — so
+regressions can be attributed.  All timings run N frames inside jitted
+scans (per-call dispatch would otherwise dominate) and synchronize with a
+host fetch (on the tunneled TPU platform block_until_ready alone is not a
+barrier).
+
+Usage:  python scripts/profile_decode.py [--tiny] [--cpu] [--bf16] [-n N]
 """
 
 from __future__ import annotations
@@ -18,31 +23,18 @@ except ModuleNotFoundError:
     _sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))
 
 import argparse
-import sys
 import time
 from functools import partial
 
 import numpy as np
 
 
-def bench_fn(fn, args, n=20, warmup=2):
-    import jax
-
-    for _ in range(warmup):
-        out = fn(*args)
-    np.asarray(jax.tree_util.tree_leaves(out)[0])
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args)
-    np.asarray(jax.tree_util.tree_leaves(out)[0])
-    return (time.perf_counter() - t0) / n
-
-
-def main():
+def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("-n", type=int, default=20)
+    ap.add_argument("--bf16", action="store_true", help="skip int8 + kernels")
+    ap.add_argument("-n", type=int, default=5, help="timing repetitions")
     args = ap.parse_args()
 
     import jax
@@ -53,117 +45,83 @@ def main():
 
     from fish_tts_tpu.config import S1_MINI_CONFIG, TINY_CONFIG
     from fish_tts_tpu.engine import decode as decode_mod
-    from fish_tts_tpu.engine.sampling import sample
     from fish_tts_tpu.models import dual_ar
     from fish_tts_tpu.models.dual_ar import TokenIds
     from fish_tts_tpu.utils.compile_cache import setup_compile_cache
+    from fish_tts_tpu.utils.quantize import quantize_lm_params
 
     setup_compile_cache()
-    cfg = TINY_CONFIG if args.tiny else S1_MINI_CONFIG
-    ids = (
-        TokenIds(400, 447, 5)
-        if args.tiny
-        else TokenIds(151672, 155767, 151661)
-    )
-    dtype = jnp.float32 if args.tiny else jnp.bfloat16
-    n = args.n
+    tiny = args.tiny or args.cpu
+    cfg = TINY_CONFIG if tiny else S1_MINI_CONFIG
+    ids = TokenIds(400, 447, 5) if tiny else TokenIds(151672, 155767, 151661)
+    dtype = jnp.float32 if tiny else jnp.bfloat16
+    int8 = not args.bf16 and not tiny
+    top_k = 32 if tiny else 512
+    kv_b = min(cfg.max_seq_len, 512)
+    FRAMES = 20
+    on_tpu = jax.default_backend() == "tpu"
 
-    params = dual_ar.init_params(jax.random.PRNGKey(0), cfg, dtype=dtype)
+    def build(key):
+        p = dual_ar.init_params(key, cfg, dtype=dtype)
+        if int8:
+            from fish_tts_tpu.ops import slow_stack
+
+            p = slow_stack.prepare_head(quantize_lm_params(p), cfg)
+        return p
+
+    params = jax.jit(build)(jax.random.PRNGKey(0))
     rope = dual_ar.make_rope_tables(cfg)
-    state = decode_mod.init_state(params, cfg, batch=1)
-    state["pos"] = jnp.asarray([48], jnp.int32)
-    S = cfg.max_seq_len
-    NEG = float(np.finfo(np.float32).min)
+    np.asarray(params["norm"][:1])
+    print(f"# device={jax.devices()[0]} int8={int8} kernels={int8 and on_tpu}")
 
-    # --- 1. slow forward (1 token) + lm head ------------------------------
-    @jax.jit
-    def slow_step(params, rope, kv, frame, pos):
-        inp = frame[:, :, None]
-        positions = pos[:, None]
-        k_pos = jnp.arange(S, dtype=jnp.int32)
-        cache_bias = jnp.where(
-            k_pos[None, None, None, :] < pos[:, None, None, None], 0.0, NEG
-        ).astype(jnp.float32)
-        block_bias = jnp.zeros((1, 1, 1, 1), jnp.float32)
-        hidden, kv = dual_ar.slow_forward(
-            params, cfg, ids, rope, inp, positions, kv, cache_bias, block_bias
-        )
-        logits = dual_ar.lm_logits(params, cfg, hidden)[:, -1]
-        return hidden, logits, kv
-
-    frame = jnp.zeros((1, 1 + cfg.num_codebooks), jnp.int32)
-    pos = jnp.asarray([48], jnp.int32)
-    dt = bench_fn(slow_step, (params, rope, state["kv"], frame, pos), n)
-    print(f"slow_forward+head : {dt*1e3:8.2f} ms")
-    hidden, logits, _ = slow_step(params, rope, state["kv"], frame, pos)
-
-    # --- 2. lm head alone -------------------------------------------------
-    @jax.jit
-    def head_only(params, hidden):
-        return dual_ar.lm_logits(params, cfg, hidden)[:, -1]
-
-    dt = bench_fn(head_only, (params, hidden), n)
-    print(f"lm head (tied)    : {dt*1e3:8.2f} ms   (vocab {cfg.vocab_size})")
-
-    # --- 3. sampling: top_k path over full vocab --------------------------
-    @partial(jax.jit, static_argnames=("top_k",))
-    def sample_only(logits, key, top_k):
-        return sample(
-            key, logits, jnp.float32(0.7), jnp.float32(0.8), jnp.float32(1.1),
-            prev_idx=jnp.zeros((1, 16), jnp.int32), top_k=top_k,
-        )
-
-    for tk in (1024, 64, 0):
-        dt = bench_fn(sample_only, (logits, jax.random.PRNGKey(0)), n=n) if False else \
-             bench_fn(lambda l, k: sample_only(l, k, tk), (logits, jax.random.PRNGKey(0)), n)
-        label = f"top_k={tk}" if tk else "full sort"
-        print(f"sample slow ({label:9s}): {dt*1e3:6.2f} ms")
-
-    # --- 4. fast loop (10 sequential steps) -------------------------------
-    @jax.jit
-    def fast_loop(params, rope, hidden):
-        h_fast = dual_ar.project_fast_in(params, hidden).astype(dtype)
-        cache = dual_ar.new_fast_cache(params, cfg, 1)
-        _, cache = dual_ar.fast_step(params, cfg, rope, h_fast, jnp.int32(0), cache)
-        emb = params["fast_embeddings"][jnp.zeros((1,), jnp.int32)][:, None]
-
-        def body(carry, cb):
-            emb, cache = carry
-            lg, cache = dual_ar.fast_step(params, cfg, rope, emb, cb, cache)
-            code = jnp.argmax(lg[:, -1, : cfg.residual_codebook_size], axis=-1)
-            emb = params["fast_embeddings"][code][:, None]
-            return (emb, cache), code
-
-        (_, _), codes = jax.lax.scan(
-            body, (emb, cache), jnp.arange(1, cfg.num_codebooks, dtype=jnp.int32)
-        )
-        return codes
-
-    dt = bench_fn(fast_loop, (params, rope, hidden), n)
-    print(f"fast loop (argmax): {dt*1e3:8.2f} ms   ({cfg.num_codebooks} steps, "
-          f"{cfg.n_fast_layer} layers)")
-
-    # --- 5. full decode chunk per-frame -----------------------------------
     t_, p_, r_ = jnp.float32(0.7), jnp.float32(0.8), jnp.float32(1.1)
-    st = decode_mod.init_state(params, cfg, batch=1)
-    st["pos"] = jnp.asarray([48], jnp.int32)
-    CH = 20
 
-    def chunk20(st, key):
-        return decode_mod.decode_chunk(
-            params, rope, st, key, t_, p_, r_,
-            cfg=cfg, ids=ids, num_frames=CH, top_k=1024,
+    def fresh():
+        st = decode_mod.init_state(params, cfg, batch=1)
+        st["pos"] = jnp.asarray([64 if not tiny else 16], jnp.int32)
+        return st
+
+    def time_chunk(label, **kw):
+        fn = partial(
+            decode_mod.decode_chunk, cfg=cfg, ids=ids, num_frames=FRAMES,
+            top_k=top_k, kv_bucket=kv_b, **kw,
         )
+        st = fresh()
+        st, fr, _ = fn(params, rope, st, jax.random.PRNGKey(0), t_, p_, r_)
+        np.asarray(fr)  # compile + warm
+        t0 = time.perf_counter()
+        for i in range(args.n):
+            st, fr, _ = fn(params, rope, st, jax.random.PRNGKey(i), t_, p_, r_)
+        np.asarray(fr)
+        dt = (time.perf_counter() - t0) / (args.n * FRAMES)
+        print(f"{label:34s}: {dt*1e3:6.2f} ms/frame -> {1/dt:6.1f} tok/s")
+        return dt
 
-    st, fr, _ = chunk20(st, jax.random.PRNGKey(0))  # compile
-    np.asarray(fr)
+    full_xla = time_chunk("decode chunk (XLA paths)", fast_kernel=False)
+    if int8 and on_tpu:
+        full_k = time_chunk("decode chunk (Pallas kernels)", fast_kernel=True)
+        print(f"{'kernel speedup':34s}: {full_xla / full_k:6.2f}x")
+
+    # sampling alone (slow-token top-p over the full vocab)
+    from fish_tts_tpu.engine.sampling import sample
+
+    def sample_scan(logits, key):
+        def body(c, k):
+            tok = sample(k, c, t_, p_, r_, prev_idx=None, top_k=top_k)
+            return c + (tok[0] * 0).astype(c.dtype), tok
+        return jax.lax.scan(body, logits, jax.random.split(key, FRAMES))
+
+    logits = jax.random.normal(
+        jax.random.PRNGKey(2), (1, cfg.vocab_size), jnp.float32
+    ) * 4.0
+    jfn = jax.jit(sample_scan)
+    np.asarray(jfn(logits, jax.random.PRNGKey(0))[1])
     t0 = time.perf_counter()
-    for i in range(5):
-        st, fr, _ = chunk20(st, jax.random.PRNGKey(i))
-    np.asarray(fr)
-    per_frame = (time.perf_counter() - t0) / (5 * CH)
-    print(f"full decode frame : {per_frame*1e3:8.2f} ms   -> "
-          f"{1/per_frame:.1f} tok/s")
+    for i in range(args.n):
+        _, toks = jfn(logits, jax.random.PRNGKey(i))
+    np.asarray(toks)
+    dt = (time.perf_counter() - t0) / (args.n * FRAMES)
+    print(f"{'slow sampling (top_k=%d)' % top_k:34s}: {dt*1e3:6.2f} ms/frame")
 
 
 if __name__ == "__main__":

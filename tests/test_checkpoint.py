@@ -159,3 +159,31 @@ def test_safetensors_roundtrip(tmp_path):
     assert jax.tree_util.tree_structure(loaded) == jax.tree_util.tree_structure(tree)
     np.testing.assert_array_equal(loaded["a"], tree["a"])
     np.testing.assert_array_equal(loaded["list"][1]["w"], tree["list"][1]["w"])
+
+
+def test_safetensors_bf16_storage(tmp_path):
+    """Weight leaves (ndim>1 f32) store as bfloat16 (half the bytes, the
+    precision the reference torch checkpoints ship in); 1-D leaves and
+    non-f32 leaves keep their dtype; fp32 mode is lossless."""
+    import ml_dtypes
+
+    tree = {
+        "w": np.random.RandomState(0).randn(64, 64).astype(np.float32),
+        "norm": np.random.RandomState(1).randn(64).astype(np.float32),
+        "codes": np.arange(8, dtype=np.int32),
+    }
+    p16 = tmp_path / "bf16.safetensors"
+    p32 = tmp_path / "fp32.safetensors"
+    ckpt.save_params(p16, tree)                 # bf16 default
+    ckpt.save_params(p32, tree, dtype="fp32")
+    assert p16.stat().st_size < 0.65 * p32.stat().st_size
+
+    l16 = ckpt.load_params(p16)
+    assert l16["w"].dtype == ml_dtypes.bfloat16
+    assert l16["norm"].dtype == np.float32      # 1-D stays f32
+    assert l16["codes"].dtype == np.int32
+    np.testing.assert_allclose(
+        l16["w"].astype(np.float32), tree["w"], rtol=1e-2, atol=1e-2
+    )
+    l32 = ckpt.load_params(p32)
+    np.testing.assert_array_equal(l32["w"], tree["w"])

@@ -153,15 +153,15 @@ def test_exact_probs_nucleus_boundary():
     np.testing.assert_allclose(probs[probs > 0], 0.5)
 
 
-def test_default_top_k_covers_tts_nucleus():
-    """The engine default (sample_top_k=512) must cover the exact top-p
-    nucleus of a peaked 155k-vocab distribution (std-4 Gaussian logits keep
-    the top_p=0.8 nucleus near 400; trained TTS posteriors are far more
-    peaked than that)."""
+def test_default_sampler_is_exact_threshold_path():
+    """The engine default is the sort-free threshold sampler (-1): exact
+    full-vocab top-p, no candidate truncation at all.  The k=512 truncated
+    path stays available and covers a peaked 155k-vocab nucleus (std-4
+    Gaussian logits keep the top_p=0.8 nucleus near 400)."""
     from fish_tts_tpu.config import EngineConfig
 
-    k_default = EngineConfig().sample_top_k
-    assert k_default == 512
+    assert EngineConfig().sample_top_k == -1
+    k_default = 512
     logits = jax.random.normal(jax.random.PRNGKey(11), (155776,)) * 4.0
     probs = np.asarray(
         logits_to_probs_exact(
@@ -179,3 +179,51 @@ def test_default_top_k_covers_tts_nucleus():
             k, l2, jnp.float32(0.7), jnp.float32(0.8), top_k=k_default
         )
         assert int(exact[0]) == int(trunc[0])
+
+
+def test_threshold_mask_equals_sorted_nucleus():
+    """The sort-free threshold mask must select exactly the sorted-cumsum
+    nucleus (reference inference.py:48-57) across spreads and top_p values."""
+    from fish_tts_tpu.engine.sampling import top_p_threshold_mask
+
+    for seed, std in ((0, 0.5), (1, 2.0), (2, 4.0), (3, 8.0)):
+        for tp in (0.3, 0.8, 0.95):
+            logits = jax.random.normal(jax.random.PRNGKey(seed), (4096,)) * std
+            probs = np.asarray(
+                logits_to_probs_exact(
+                    logits, jnp.float32(0.7), jnp.float32(tp), jnp.float32(1.0)
+                )
+            )
+            expected = probs > 0
+            got = np.asarray(
+                top_p_threshold_mask(logits[None].astype(jnp.float32),
+                                     jnp.float32(tp))
+            )[0]
+            np.testing.assert_array_equal(got, expected, err_msg=f"{std=} {tp=}")
+
+
+def test_threshold_mask_top_p_one_keeps_all():
+    from fish_tts_tpu.engine.sampling import top_p_threshold_mask
+
+    logits = jax.random.normal(jax.random.PRNGKey(5), (1, 512)) * 3.0
+    mask = np.asarray(top_p_threshold_mask(logits, jnp.float32(1.0)))
+    assert mask.all()
+
+
+def test_threshold_sample_distribution_matches_exact():
+    """Threshold-path empirical frequencies track the exact distribution."""
+    from fish_tts_tpu.engine.sampling import top_p_threshold_sample
+
+    logits_1d = jnp.array([2.0, 1.0, 0.0, -1.0, -30.0])
+    probs = np.asarray(
+        logits_to_probs_exact(
+            logits_1d, jnp.float32(0.9), jnp.float32(0.95), jnp.float32(1.0)
+        )
+    )
+    counts = np.zeros(5)
+    n = 3000
+    fn = jax.jit(lambda k: top_p_threshold_sample(
+        k, logits_1d[None], jnp.float32(0.9), jnp.float32(0.95)))
+    for k in jax.random.split(jax.random.PRNGKey(7), n):
+        counts[int(fn(k)[0])] += 1
+    np.testing.assert_allclose(counts / n, probs, atol=0.03)
