@@ -43,6 +43,8 @@ def main() -> None:
                     help="approximate top-k candidate search (opt-in)")
     ap.add_argument("--topk", type=int, default=None,
                     help="top-k truncation for the slow-token sampler")
+    ap.add_argument("--batch", type=int, default=1,
+                    help="decode N concurrent streams (XLA path; aggregate tok/s)")
     args = ap.parse_args()
     # int8 + fused kernels is the serving configuration and the bench default;
     # --bf16 opts out (tiny/CPU runs are fp32 and never use int8)
@@ -118,14 +120,17 @@ def main() -> None:
 
     t, p, r = jnp.float32(0.7), jnp.float32(0.8), jnp.float32(1.1)
     T = 64  # prompt bucket
-    prompt = np.zeros((1, 1 + cfg.num_codebooks, T), np.int32)
-    prompt[0, 0] = np.random.RandomState(0).randint(0, 1000, T)
-    lengths = jnp.asarray([48], jnp.int32)
+    B0 = max(1, args.batch)
+    prompt = np.zeros((B0, 1 + cfg.num_codebooks, T), np.int32)
+    prompt[:, 0] = np.random.RandomState(0).randint(0, 1000, (B0, T))
+    lengths = jnp.asarray([48] * B0, jnp.int32)
     # -1 = sort-free exact full-vocab top-p (the engine default)
     top_k = args.topk if args.topk is not None else (-1 if not args.tiny else 32)
 
+    B = max(1, args.batch)
+
     def fresh_state():
-        return decode_mod.init_state(params, cfg, batch=1)
+        return decode_mod.init_state(params, cfg, batch=B)
 
     # -- compile/warmup ----------------------------------------------------
     CHUNK = 20
@@ -133,6 +138,8 @@ def main() -> None:
     state = fresh_state()
     kv_b = min(cfg.max_seq_len, 512)
     # fused Pallas fast decoder: TPU + int8 single-stream only
+    # both Pallas kernels gate themselves to B=1 (batched serving measured
+    # faster on the XLA path, which amortizes weight streaming across rows)
     fast_k = args.int8 and not args.cpu and not args.tiny
     state, first = decode_mod.prefill(
         params, rope, state, jnp.asarray(prompt), lengths,
@@ -161,7 +168,7 @@ def main() -> None:
     force(frames)
     dt = time.perf_counter() - t0
     n_frames = n_chunks * CHUNK
-    tok_per_sec = n_frames / dt
+    tok_per_sec = n_frames * B / dt  # aggregate across concurrent streams
     rtf = (dt / n_frames) * AUDIO_TOKENS_PER_SEC
     print(f"# decode: {tok_per_sec:.1f} tok/s, RTF={rtf:.4f}", file=sys.stderr)
 
@@ -178,6 +185,7 @@ def main() -> None:
 
     extras = {
         "rtf": round(rtf, 4),
+        "batch": B,
         "prefill_ms": round(prefill_ms, 1),
         "frames_timed": n_frames,
         "compile_s": round(compile_s, 1),

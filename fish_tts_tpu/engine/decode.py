@@ -331,20 +331,20 @@ def _decode_one(
         # XLA, runs the 28-layer stack in one kernel against the read-only
         # cache slice, then scatters the returned K/V rows — numerically the
         # two-part-attention path below, at streaming HBM bandwidth.
-        x_emb = dual_ar.embed_inputs(params, cfg, ids, inp)  # (1, 1, D)
+        x_emb = dual_ar.embed_inputs(params, cfg, ids, inp)  # (B, 1, D)
         hidden, new_k, new_v, klogits = slow_stack.slow_stack_step(
             params, cfg, rope["slow"], x_emb[:, 0], state["kv"], pos,
             read_len=R, interpret=jax.default_backend() != "tpu",
         )
         cdt = state["kv"]["k"].dtype
-        start = (0, 0, 0, pos[0], 0)
+        # per-stream scatter at positions (same advanced-index pattern as
+        # dual_ar.transformer_stack): target view (B, T=1, L, Hkv, Dh)
+        b_idx = jnp.arange(B)[:, None]
+        rows_k = jnp.transpose(new_k.astype(cdt), (1, 3, 0, 2, 4))
+        rows_v = jnp.transpose(new_v.astype(cdt), (1, 3, 0, 2, 4))
         kv = {
-            "k": jax.lax.dynamic_update_slice(
-                state["kv"]["k"], new_k.astype(cdt), start
-            ),
-            "v": jax.lax.dynamic_update_slice(
-                state["kv"]["v"], new_v.astype(cdt), start
-            ),
+            "k": state["kv"]["k"].at[:, b_idx, :, positions].set(rows_k),
+            "v": state["kv"]["v"].at[:, b_idx, :, positions].set(rows_v),
         }
         hidden = hidden.astype(params["norm"].dtype)
     else:

@@ -487,6 +487,7 @@ class GenerationEngine:
                     max_len + produced + ecfg.decode_chunk,
                     ecfg.kv_bucket_step, cfg.max_seq_len,
                 ),
+                fast_kernel=self._fast_kernel,
             )
             n = min(ecfg.decode_chunk, max_new - produced)
             frames_all.append(np.asarray(frames)[:, :n])

@@ -9,8 +9,10 @@ step computes — the textbook weight-streaming pattern.  The activation is
 carried across grid steps in a VMEM scratch.
 
 Scope and contracts:
-- single token, single stream (B=1, T=1) — the latency decode path; prefill
-  and batched serving keep the XLA path (weight streaming amortizes there);
+- single token (T=1), small batch (B <= 8): B=1 is the latency decode path;
+  B>1 amortizes the weight stream across concurrent streams for batched
+  serving (per-stream positions, independent attention); prefill keeps the
+  XLA path;
 - int8 weights per ``utils/quantize.py`` (per-output-channel scales);
 - the KV cache is *read-only*: the kernel consumes per-layer cache slices
   (bounded by the static ``read_len`` bucket) plus the current token's K/V
@@ -50,7 +52,8 @@ _NEG = -1e30
 HEAD_TILE = 8192  # vocab rows per head grid step (8 MB int8 tiles)
 
 
-def _make_kernel(cfg: DualARConfig, read_len: int, with_head: bool):
+def _make_kernel(cfg: DualARConfig, read_len: int, with_head: bool, batch: int):
+    B = batch
     D = cfg.dim
     H = cfg.n_head
     Hkv = cfg.n_local_heads
@@ -98,7 +101,6 @@ def _make_kernel(cfg: DualARConfig, read_len: int, with_head: bool):
              x_out_ref, new_k_ref, new_v_ref, x_scr) = refs
 
         step = pl.program_id(0)
-        pos = pos_ref[0, 0]
 
         def qdot(xv, wq, ws):
             w = wq[0].astype(jnp.bfloat16)
@@ -107,9 +109,9 @@ def _make_kernel(cfg: DualARConfig, read_len: int, with_head: bool):
             return out * ws[0]
 
         def layer_body():
-            x = x_scr[...]
+            x = x_scr[...]  # (B, D)
             h = _rms(x, attn_norm_ref[0])
-            qkv = qdot(h, wqkv_q, wqkv_s)  # (1, q+2kv)
+            qkv = qdot(h, wqkv_q, wqkv_s)  # (B, q+2kv)
             q = _rope(qkv[:, :q_size], cos_q_ref[...], sin_q_ref[...])
             k = _rope(qkv[:, q_size:q_size + kv_size],
                       cos_k_ref[...], sin_k_ref[...])
@@ -118,36 +120,47 @@ def _make_kernel(cfg: DualARConfig, read_len: int, with_head: bool):
             new_v_ref[...] = v[None]
 
             # cache attention (read-only past, mask rows >= pos) + self-key,
-            # one joint softmax (gqa_attention_two_part semantics)
-            kc = kcache_ref[0, 0]  # (Hkv, R, Dh)
-            vc = vcache_ref[0, 0]
-            kc_flat = jnp.concatenate([kc[hh] for hh in range(Hkv)], axis=-1)
-            vc_flat = jnp.concatenate([vc[hh] for hh in range(Hkv)], axis=-1)
-            kc_rep = _dup_heads(kc_flat.astype(jnp.float32))  # (R, q_size)
-            vc_rep = _dup_heads(vc_flat.astype(jnp.float32))
-            k_rep = _dup_heads(k)[0:1]  # (1, q_size)
-            v_rep = _dup_heads(v)[0:1]
-
-            s_cache = jnp.dot(kc_rep * q, seg_ref[...],
-                              preferred_element_type=jnp.float32) * scale
+            # one joint softmax (gqa_attention_two_part semantics); streams
+            # are independent — a static loop over the (small) batch reuses
+            # the lane-layout reduction per stream
             r_iota = jax.lax.broadcasted_iota(jnp.int32, (R, H), 0)
-            s_cache = jnp.where(r_iota < pos, s_cache, _NEG)  # (R, H)
-            s_self = jnp.dot(k_rep * q, seg_ref[...],
-                             preferred_element_type=jnp.float32) * scale
+            outs = []
+            for b in range(B):
+                pos_b = pos_ref[0, b]
+                kc = kcache_ref[0, b]  # (Hkv, R, Dh)
+                vc = vcache_ref[0, b]
+                kc_flat = jnp.concatenate(
+                    [kc[hh] for hh in range(Hkv)], axis=-1)
+                vc_flat = jnp.concatenate(
+                    [vc[hh] for hh in range(Hkv)], axis=-1)
+                kc_rep = _dup_heads(kc_flat.astype(jnp.float32))  # (R, q_size)
+                vc_rep = _dup_heads(vc_flat.astype(jnp.float32))
+                q_b = q[b:b + 1]
+                k_rep = _dup_heads(k[b:b + 1])  # (1, q_size)
+                v_rep = _dup_heads(v[b:b + 1])
 
-            m = jnp.maximum(jnp.max(s_cache, axis=0, keepdims=True), s_self)
-            p_cache = jnp.exp(s_cache - m)          # (R, H)
-            p_self = jnp.exp(s_self - m)            # (1, H)
-            denom = jnp.sum(p_cache, axis=0, keepdims=True) + p_self
+                s_cache = jnp.dot(kc_rep * q_b, seg_ref[...],
+                                  preferred_element_type=jnp.float32) * scale
+                s_cache = jnp.where(r_iota < pos_b, s_cache, _NEG)  # (R, H)
+                s_self = jnp.dot(k_rep * q_b, seg_ref[...],
+                                 preferred_element_type=jnp.float32) * scale
 
-            pc_exp = jnp.dot(p_cache, seg_t_ref[...],
-                             preferred_element_type=jnp.float32)  # (R, q_size)
-            ps_exp = jnp.dot(p_self, seg_t_ref[...],
-                             preferred_element_type=jnp.float32)
-            den_exp = jnp.dot(denom, seg_t_ref[...],
-                              preferred_element_type=jnp.float32)
-            o = (jnp.sum(pc_exp * vc_rep, axis=0, keepdims=True)
-                 + ps_exp * v_rep) / den_exp  # (1, q_size)
+                m = jnp.maximum(
+                    jnp.max(s_cache, axis=0, keepdims=True), s_self)
+                p_cache = jnp.exp(s_cache - m)          # (R, H)
+                p_self = jnp.exp(s_self - m)            # (1, H)
+                denom = jnp.sum(p_cache, axis=0, keepdims=True) + p_self
+
+                pc_exp = jnp.dot(p_cache, seg_t_ref[...],
+                                 preferred_element_type=jnp.float32)
+                ps_exp = jnp.dot(p_self, seg_t_ref[...],
+                                 preferred_element_type=jnp.float32)
+                den_exp = jnp.dot(denom, seg_t_ref[...],
+                                  preferred_element_type=jnp.float32)
+                outs.append(
+                    (jnp.sum(pc_exp * vc_rep, axis=0, keepdims=True)
+                     + ps_exp * v_rep) / den_exp)  # (1, q_size)
+            o = jnp.concatenate(outs, axis=0) if B > 1 else outs[0]
 
             x = x + qdot(o, wo_q, wo_s)
             f = _rms(x, ffn_norm_ref[0])
@@ -184,6 +197,15 @@ def _make_kernel(cfg: DualARConfig, read_len: int, with_head: bool):
             layer_body()
 
     return kernel
+
+
+# The kernel generalizes to small batches (per-stream attention loop,
+# tested to MAX_BATCH), but on v5e the per-stream cache duplication work
+# grows with B*R and measured *slower* than the XLA batched path at B=8
+# (483 vs 566 aggregate tok/s), so production use is gated to B=1 — the
+# latency path the kernel exists for.  Batched serving amortizes weight
+# streaming under XLA instead.
+MAX_BATCH = 8
 
 
 def supports(cfg: DualARConfig, params: Params, batch: int) -> bool:
@@ -228,12 +250,14 @@ def _segment_masks(cfg: DualARConfig):
 
 
 def _rope_rows(cfg: DualARConfig, rope_slow: jnp.ndarray, pos: jnp.ndarray):
-    """Interleaved cos / signed-sin lane rows at ``pos`` (XLA-side gather)."""
+    """Interleaved cos / signed-sin lane rows at per-stream positions
+    (XLA-side gather).  pos: (B,) -> rows (B, q_size) / (B, kv_size)."""
     Dh = cfg.head_dim
-    row = rope_slow[pos].astype(jnp.float32)  # (Dh/2, 2)
-    cs, sn = row[:, 0], row[:, 1]
-    cos_i = jnp.repeat(cs, 2)[None]  # (1, Dh)
-    sin_i = jnp.stack([-sn, sn], axis=-1).reshape(1, Dh)
+    B = pos.shape[0]
+    row = rope_slow[pos].astype(jnp.float32)  # (B, Dh/2, 2)
+    cs, sn = row[..., 0], row[..., 1]
+    cos_i = jnp.repeat(cs, 2, axis=-1)  # (B, Dh)
+    sin_i = jnp.stack([-sn, sn], axis=-1).reshape(B, Dh)
     cos_q = jnp.tile(cos_i, (1, cfg.n_head))
     sin_q = jnp.tile(sin_i, (1, cfg.n_head))
     cos_k = jnp.tile(cos_i, (1, cfg.n_local_heads))
@@ -246,37 +270,38 @@ def slow_stack_step(
     params: Params,
     cfg: DualARConfig,
     rope_slow: jnp.ndarray,   # (S, Dh/2, 2)
-    x: jnp.ndarray,           # (1, D) embedded input token (f32/bf16)
-    kv_cache: Params,         # {"k","v"}: (L, 1, Hkv, S, Dh)
-    pos: jnp.ndarray,         # (1,) int32 current position
+    x: jnp.ndarray,           # (B, D) embedded input tokens (f32/bf16)
+    kv_cache: Params,         # {"k","v"}: (L, B, Hkv, S, Dh)
+    pos: jnp.ndarray,         # (B,) int32 per-stream positions
     *,
     read_len: int,
     interpret: bool = False,
 ):
-    """Fused 1-token slow forward.
+    """Fused 1-token slow forward over B independent streams.
 
-    Returns (hidden (1, 1, D) pre-final-norm, new_k (L, 1, Hkv, 1, Dh),
-    new_v, logits) — logits is (1, V) when the head was prepared via
+    Returns (hidden (B, 1, D) pre-final-norm, new_k (L, B, Hkv, 1, Dh),
+    new_v, logits) — logits is (B, V) when the head was prepared via
     :func:`prepare_head`, else None; the caller scatters the new K/V rows
-    into the cache at ``pos``.
+    into the cache at each stream's ``pos``.
     """
     layers = params["layers"]
     L = cfg.n_layer
     Dh = cfg.head_dim
     Hkv = cfg.n_local_heads
     R = read_len
+    B = x.shape[0]
     head = params.get("_slow_head")
     with_head = head is not None
     n_tiles = head["q"].shape[0] // HEAD_TILE if with_head else 0
 
-    cos_q, sin_q, cos_k, sin_k = _rope_rows(cfg, rope_slow, pos[0])
+    cos_q, sin_q, cos_k, sin_k = _rope_rows(cfg, rope_slow, pos)
     seg, seg_t = _segment_masks(cfg)
-    pos_smem = pos.reshape(1, 1).astype(jnp.int32)
+    pos_smem = pos.reshape(1, B).astype(jnp.int32)
 
     k_read = kv_cache["k"][:, :, :, :R]  # (L, 1, Hkv, R, Dh)
     v_read = kv_cache["v"][:, :, :, :R]
 
-    smem_spec = pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)
+    smem_spec = pl.BlockSpec((1, B), memory_space=pltpu.SMEM)
     whole = pl.BlockSpec(memory_space=pltpu.VMEM)
 
     def layer_idx(l):
@@ -306,15 +331,15 @@ def slow_stack_step(
         ]
     )
     out_shape = [
-        jax.ShapeDtypeStruct((1, cfg.dim), jnp.float32),
-        jax.ShapeDtypeStruct((L, 1, Hkv * Dh), jnp.float32),
-        jax.ShapeDtypeStruct((L, 1, Hkv * Dh), jnp.float32),
+        jax.ShapeDtypeStruct((B, cfg.dim), jnp.float32),
+        jax.ShapeDtypeStruct((L, B, Hkv * Dh), jnp.float32),
+        jax.ShapeDtypeStruct((L, B, Hkv * Dh), jnp.float32),
     ]
     out_specs = [
-        pl.BlockSpec((1, cfg.dim), lambda l: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, Hkv * Dh), lambda l: (layer_idx(l), 0, 0),
+        pl.BlockSpec((B, cfg.dim), lambda l: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, B, Hkv * Dh), lambda l: (layer_idx(l), 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, Hkv * Dh), lambda l: (layer_idx(l), 0, 0),
+        pl.BlockSpec((1, B, Hkv * Dh), lambda l: (layer_idx(l), 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     inputs = [
@@ -347,21 +372,21 @@ def slow_stack_step(
             params["norm"].astype(jnp.float32)[None, :],
             head["q"], head["s"],
         ]
-        out_shape.append(jax.ShapeDtypeStruct((1, Vp), jnp.float32))
+        out_shape.append(jax.ShapeDtypeStruct((B, Vp), jnp.float32))
         out_specs.append(
-            pl.BlockSpec((1, HEAD_TILE),
+            pl.BlockSpec((B, HEAD_TILE),
                          lambda l: (0, jnp.maximum(l - L, 0)),
                          memory_space=pltpu.VMEM)
         )
 
-    kernel = _make_kernel(cfg, R, with_head)
+    kernel = _make_kernel(cfg, R, with_head, B)
     outs = pl.pallas_call(
         kernel,
         grid=(grid,),
         out_shape=tuple(out_shape),
         in_specs=in_specs,
         out_specs=tuple(out_specs),
-        scratch_shapes=[pltpu.VMEM((1, cfg.dim), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((B, cfg.dim), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -374,7 +399,7 @@ def slow_stack_step(
     if with_head:
         V = params["embeddings"]["q"].shape[0]
         logits = outs[3][:, :V]
-    hidden = x_out[None]  # (1, 1, D)
-    new_k = new_k.reshape(L, 1, Hkv, 1, Dh)
-    new_v = new_v.reshape(L, 1, Hkv, 1, Dh)
+    hidden = x_out[:, None]  # (B, 1, D)
+    new_k = new_k.reshape(L, B, Hkv, 1, Dh)
+    new_v = new_v.reshape(L, B, Hkv, 1, Dh)
     return hidden, new_k, new_v, logits

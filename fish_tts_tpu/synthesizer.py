@@ -91,9 +91,10 @@ class FishTTS:
         self,
         model_dir: str | Path | None = None,
         device: Literal["tpu", "cpu", "cuda"] = "tpu",
-        precision: Literal["bf16", "fp16", "fp32"] = "bf16",
+        precision: Literal["bf16", "fp16", "fp32", "int8"] = "bf16",
         warmup: bool = True,
         *,
+        engine_config=None,
         _testing_bundle=None,
     ):
         import jax
@@ -144,7 +145,9 @@ class FishTTS:
 
             self._vocoder_params = _cp(self._vocoder_params, self._dtype)
 
-        self._engine = GenerationEngine(params, self._cfg, self._tokenizer)
+        self._engine = GenerationEngine(
+            params, self._cfg, self._tokenizer, engine_cfg=engine_config
+        )
         self._vocoder_jit_cache: dict[int, object] = {}
         self._encode_jit = None
 
@@ -600,8 +603,9 @@ class FishTTS:
 def get_instance(
     model_dir: str | Path | None = None,
     device: Literal["tpu", "cpu", "cuda"] = "tpu",
-    precision: Literal["bf16", "fp16", "fp32"] = "bf16",
+    precision: Literal["bf16", "fp16", "fp32", "int8"] = "bf16",
     warmup: bool = True,
+    engine_config=None,
 ) -> FishTTS:
     """Get or create the singleton FishTTS instance (reference
     synthesizer.py:661-710: double-checked lock, one model per process)."""
@@ -613,7 +617,8 @@ def get_instance(
             return _instance
         logger.info("Creating singleton FishTTS instance...")
         _instance = FishTTS(
-            model_dir=model_dir, device=device, precision=precision, warmup=warmup
+            model_dir=model_dir, device=device, precision=precision,
+            warmup=warmup, engine_config=engine_config,
         )
         return _instance
 

@@ -210,3 +210,32 @@ def test_synthesize_batch_uses_cached_references(tts):
         np.testing.assert_array_equal(kwargs["prompt_tokens"][0], codes)
     finally:
         tts.clear_references()
+
+
+def test_int8_precision_public_path():
+    """precision='int8' drives the whole public path (XLA int8 on CPU)."""
+    from fish_tts_tpu.synthesizer import FishTTS
+    from fish_tts_tpu.testing import make_tiny_bundle
+    from fish_tts_tpu.utils.quantize import is_quantized
+
+    tts = FishTTS(precision="int8", warmup=False,
+                  _testing_bundle=make_tiny_bundle())
+    assert is_quantized(tts._engine.params["layers"]["wqkv"])
+    wav = tts.synthesize("int8 path", max_tokens=16)
+    assert wav[:4] == b"RIFF"
+    chunks = list(tts.synthesize_stream("int8 stream", max_tokens=24))
+    assert chunks
+
+
+def test_engine_config_passthrough():
+    """Serving knobs reach the engine through the public constructor."""
+    from fish_tts_tpu.config import EngineConfig
+    from fish_tts_tpu.synthesizer import FishTTS
+    from fish_tts_tpu.testing import make_tiny_bundle
+
+    cfg = EngineConfig(decode_chunk=8, sample_top_k=0)
+    tts = FishTTS(precision="fp32", warmup=False, engine_config=cfg,
+                  _testing_bundle=make_tiny_bundle())
+    assert tts._engine.engine_cfg.decode_chunk == 8
+    assert tts._engine.engine_cfg.sample_top_k == 0
+    assert tts.synthesize("knobs", max_tokens=12)[:4] == b"RIFF"

@@ -130,6 +130,8 @@ def test_supports_gates():
     params = dual_ar.init_params(jax.random.PRNGKey(0), CFG, jnp.float32)
     qp = quantize_lm_params(params)
     assert slow_stack.supports(CFG, qp, batch=1)
+    # B>1 is implemented + tested but gated off in production (measured
+    # slower than the XLA batched path on v5e; see slow_stack.MAX_BATCH)
     assert not slow_stack.supports(CFG, qp, batch=2)
     assert not slow_stack.supports(CFG, params, batch=1)
 
@@ -153,3 +155,44 @@ def test_fused_head_logits_match_lm_logits(qsetup):
     np.testing.assert_allclose(np.asarray(logits)[0], ref, rtol=2e-3, atol=5e-3)
     # argmax (the sampling-critical statistic) must agree
     assert int(np.asarray(logits)[0].argmax()) == int(ref.argmax())
+
+
+def test_slow_stack_batched_matches_per_stream(qsetup):
+    """B=3 with different per-stream positions must equal three independent
+    B=1 kernel runs (per-stream attention masks and rope rows)."""
+    qp, rope, state = qsetup
+    B = 3
+    rng = np.random.RandomState(7)
+    frames = np.zeros((B, 1 + CFG.num_codebooks), np.int32)
+    frames[:, 0] = rng.randint(400, 448, B)
+    frames[:, 1] = rng.randint(0, CFG.codebook_size, B)
+    pos = jnp.asarray([12, 7, 3], jnp.int32)
+
+    # batched cache: copy stream 0's prefilled cache and vary it per stream
+    kb = jnp.concatenate([state["kv"]["k"]] * B, axis=1)
+    vb = jnp.concatenate([state["kv"]["v"]] * B, axis=1)
+    kb = kb.at[:, 1].multiply(0.5).at[:, 2].multiply(-1.0)
+    vb = vb.at[:, 1].multiply(0.5).at[:, 2].multiply(-1.0)
+    cache_b = {"k": kb, "v": vb}
+
+    x_emb = dual_ar.embed_inputs(qp, CFG, IDS, jnp.asarray(frames)[:, :, None])
+    hid_b, nk_b, nv_b, _ = slow_stack.slow_stack_step(
+        qp, CFG, rope["slow"], x_emb[:, 0], cache_b, pos,
+        read_len=32, interpret=True,
+    )
+
+    for b in range(B):
+        cache_1 = {"k": kb[:, b:b + 1], "v": vb[:, b:b + 1]}
+        hid_1, nk_1, nv_1, _ = slow_stack.slow_stack_step(
+            qp, CFG, rope["slow"], x_emb[b:b + 1, 0], cache_1, pos[b:b + 1],
+            read_len=32, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(hid_b)[b], np.asarray(hid_1)[0], rtol=1e-5, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(nk_b)[:, b], np.asarray(nk_1)[:, 0], rtol=1e-5, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(nv_b)[:, b], np.asarray(nv_1)[:, 0], rtol=1e-5, atol=1e-5
+        )
