@@ -284,3 +284,32 @@ def test_kv_bucketed_prefix_continuation(setup):
         return np.asarray(first)
 
     np.testing.assert_array_equal(run(None), run(16))
+
+
+def test_generation_invariant_to_kv_bucket_step(tiny_tokenizer):
+    """Full generations crossing several kv-bucket boundaries are
+    bit-identical to running with a single max-size bucket."""
+    from fish_tts_tpu.config import EngineConfig
+    from fish_tts_tpu.engine.generate import GenerationEngine
+
+    params = dual_ar.init_params(jax.random.PRNGKey(3), CFG, dtype=jnp.float32)
+
+    def run(step):
+        eng = GenerationEngine(
+            params, CFG, tiny_tokenizer,
+            engine_cfg=EngineConfig(kv_bucket_step=step, decode_chunk=8,
+                                    first_chunk=4, max_new_tokens=48),
+            seed=11,
+        )
+        outs = []
+        for resp in eng.generate_long(
+            "cross the bucket boundary", max_new_tokens=48,
+            temperature=0.7, top_p=0.8, repetition_penalty=1.1,
+        ):
+            if resp.action == "sample":
+                outs.append(resp.codes)
+        return np.concatenate(outs, axis=1)
+
+    fine = run(16)       # buckets grow 16 -> 32 -> 48 ... during decode
+    coarse = run(10**6)  # capped at max_seq_len: one full-cache bucket
+    np.testing.assert_array_equal(fine, coarse)
