@@ -240,7 +240,10 @@ class EngineConfig:
     approx_top_k: bool = False
     # Static upper bound granularity on the live KV prefix: attention reads
     # stream only ceil(pos/step)*step cache rows instead of max_seq_len.
-    # Each distinct bucket is one extra XLA variant per chunk size.
+    # Each distinct bucket is one extra XLA variant per chunk size; a long
+    # generation compiles each bucket once as it crosses the boundary
+    # (~13 s on v5e for the Pallas decode step) and the persistent XLA
+    # cache makes that a once-per-machine cost.
     kv_bucket_step: int = 512
     # Fused Pallas fast-codebook decoder (ops/fast_decoder.py): used on TPU
     # for single-stream decode with int8 params; ignored otherwise.
