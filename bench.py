@@ -126,6 +126,8 @@ def main() -> None:
     lengths = jnp.asarray([48] * B0, jnp.int32)
     # -1 = sort-free exact full-vocab top-p (the engine default)
     top_k = args.topk if args.topk is not None else (-1 if not args.tiny else 32)
+    if args.approx and top_k <= 0:
+        top_k = 1024  # approx only applies to a truncated candidate search
 
     B = max(1, args.batch)
 
@@ -157,13 +159,18 @@ def main() -> None:
 
     # -- throughput --------------------------------------------------------
     n_chunks = max(1, args.frames // CHUNK)
-    # steady-state: time chunks only (prompt already prefilled)
+    # steady-state: time chunks only (prompt already prefilled); the kv
+    # bucket grows with the live prefix exactly as the engine grows it
+    # (decode_chunk requires max(pos)+num_frames <= kv_bucket)
+    step = 512
     t0 = time.perf_counter()
     for i in range(n_chunks):
+        need = 48 + CHUNK * (i + 2)
+        kv_i = min(cfg.max_seq_len, -(-need // step) * step)
         state, frames, _ = decode_mod.decode_chunk(
             params, rope, state, jax.random.PRNGKey(3 + i), t, p, r,
             cfg=cfg, ids=ids, num_frames=CHUNK, top_k=top_k, approx=args.approx,
-            kv_bucket=kv_b, fast_kernel=fast_k,
+            kv_bucket=max(kv_b, kv_i), fast_kernel=fast_k,
         )
     force(frames)
     dt = time.perf_counter() - t0

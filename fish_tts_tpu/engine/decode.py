@@ -181,10 +181,12 @@ def _sample_frame(
             prev_row = jax.lax.dynamic_index_in_dim(
                 prev, cb_idx + 1, axis=1, keepdims=False
             )  # (B, W) — inference.py:141-145
-        # When top-k truncation is enabled, also truncate the residual-book
+        # Truncated slow-token search also truncates the residual-book
         # nucleus to 256 candidates (a full top_k(1024) is a sort; the
-        # nucleus at top_p<=0.95 never comes close to 256 entries).
-        res_k = min(256, cfg.residual_codebook_size) if top_k else 0
+        # nucleus at top_p<=0.95 never comes close to 256 entries).  The
+        # exact modes propagate unchanged: -1 = sort-free threshold top-p
+        # (matching the fused kernel's math), 0 = exact full sort.
+        res_k = min(256, cfg.residual_codebook_size) if top_k > 0 else top_k
         code = sample(
             sub, short, temperature, top_p, repetition_penalty,
             prev_idx=prev_row, top_k=res_k, approx=approx,
@@ -337,29 +339,18 @@ def _decode_one(
             read_len=R, interpret=jax.default_backend() != "tpu",
         )
         cdt = state["kv"]["k"].dtype
-        if B == 1:
-            # dynamic_update_slice is much cheaper than a gather/scatter
-            # lowering on TPU (measured ~1.4 ms/frame difference at S1-mini
-            # shapes) — use it whenever the batch is a single stream
-            start = (0, 0, 0, pos[0], 0)
-            kv = {
-                "k": jax.lax.dynamic_update_slice(
-                    state["kv"]["k"], new_k.astype(cdt), start
-                ),
-                "v": jax.lax.dynamic_update_slice(
-                    state["kv"]["v"], new_v.astype(cdt), start
-                ),
-            }
-        else:
-            # per-stream scatter at positions (same advanced-index pattern
-            # as dual_ar.transformer_stack): view (B, T=1, L, Hkv, Dh)
-            b_idx = jnp.arange(B)[:, None]
-            rows_k = jnp.transpose(new_k.astype(cdt), (1, 3, 0, 2, 4))
-            rows_v = jnp.transpose(new_v.astype(cdt), (1, 3, 0, 2, 4))
-            kv = {
-                "k": state["kv"]["k"].at[:, b_idx, :, positions].set(rows_k),
-                "v": state["kv"]["v"].at[:, b_idx, :, positions].set(rows_v),
-            }
+        # the kernel path is B=1 only (slow_stack.supports gates it);
+        # dynamic_update_slice is far cheaper than a gather/scatter lowering
+        # on TPU (~1.4 ms/frame difference at S1-mini shapes)
+        start = (0, 0, 0, pos[0], 0)
+        kv = {
+            "k": jax.lax.dynamic_update_slice(
+                state["kv"]["k"], new_k.astype(cdt), start
+            ),
+            "v": jax.lax.dynamic_update_slice(
+                state["kv"]["v"], new_v.astype(cdt), start
+            ),
+        }
         hidden = hidden.astype(params["norm"].dtype)
     else:
         klogits = None

@@ -161,22 +161,12 @@ class GenerationEngine:
 
     # -- prefill helper ----------------------------------------------------
 
-    def _prefill_padded(
-        self,
-        state: decode_mod.State,
-        values: np.ndarray,  # (1+K, T)
-        temperature: float = 0.7,
-        top_p: float = 0.8,
-        repetition_penalty: float = 1.1,
-        sample: bool = True,
-        prefix_len: int = 0,
-    ):
-        """Pad to a bucket and run jitted prefill.  Returns the new state (and
-        the first frame when ``sample``).
+    def _pad_prompt(self, values: np.ndarray) -> tuple[np.ndarray, int]:
+        """Right-pad a (1+K, T) prompt matrix to the smallest bucket.
 
-        ``prefix_len`` is the number of live cache rows already written (a
-        cached voice-profile prefix); 0 means a fresh sequence, which lets the
-        jitted prefill skip cached-attention reads entirely.
+        The single place that owns the padding contract (bucket list capped
+        at max_seq_len - 1, zero padding) for both the plain prefill and the
+        fused prefill+first-chunk path.
         """
         T = values.shape[1]
         if T == 0:
@@ -185,11 +175,21 @@ class GenerationEngine:
         bucket = _pick_bucket(self.engine_cfg.prompt_buckets, T, cap)
         padded = np.zeros((1, values.shape[0], bucket), np.int32)
         padded[0, :, :T] = values
-        kv_bucket = (
-            0 if prefix_len == 0
-            else _kv_bucket(prefix_len, self.engine_cfg.kv_bucket_step,
-                            self.cfg.max_seq_len)
-        )
+        return padded, T
+
+    def _prefill_padded(
+        self,
+        state: decode_mod.State,
+        values: np.ndarray,  # (1+K, T)
+        temperature: float = 0.7,
+        top_p: float = 0.8,
+        repetition_penalty: float = 1.1,
+        sample: bool = True,
+    ):
+        """Pad to a bucket and run jitted prefill over a fresh sequence
+        (kv_bucket=0: no live cache rows — used by set_prefix).  Returns the
+        new state (and the first frame when ``sample``)."""
+        padded, T = self._pad_prompt(values)
 
         state, first = decode_mod.prefill(
             self.params, self.rope, state,
@@ -198,7 +198,7 @@ class GenerationEngine:
             jnp.float32(temperature), jnp.float32(top_p),
             jnp.float32(repetition_penalty),
             cfg=self.cfg, ids=self.ids, top_k=self.engine_cfg.sample_top_k,
-            approx=self.engine_cfg.approx_top_k, kv_bucket=kv_bucket,
+            approx=self.engine_cfg.approx_top_k, kv_bucket=0,
             # prefill samples one frame: the fused kernel would only save one
             # fast-loop pass but costs a Mosaic compile per prompt bucket
             fast_kernel=False,
@@ -315,12 +315,7 @@ class GenerationEngine:
         # call: the time-to-first-audio path pays per-call dispatch latency,
         # so the first vocoder input should exist after a single round trip.
         n0 = max(1, min(ecfg.first_chunk - 1, ecfg.decode_chunk, max_new - 1))
-        T = enc.values.shape[1]
-        if T == 0:
-            raise ValueError("Empty prompt")
-        bucket = _pick_bucket(ecfg.prompt_buckets, T, cfg.max_seq_len - 1)
-        padded = np.zeros((1, enc.values.shape[0], bucket), np.int32)
-        padded[0, :, :T] = enc.values
+        padded, T = self._pad_prompt(enc.values)
         prefix_len = prompt_len - T if use_cached_prefix else 0
         kv_pre = (
             0 if prefix_len == 0
@@ -342,7 +337,7 @@ class GenerationEngine:
             frames_np = np.asarray(frames)  # (1, 1+n0, 1+K)
             emitted_np = np.asarray(emitted)[0]
             done = bool(np.asarray(state["done"])[0])
-        self.metrics.record_tokens(int(emitted_np.sum()))
+        self.metrics.record_tokens(int(min(emitted_np.sum(), max_new)))
 
         produced = 0
         collected: list[np.ndarray] = []
@@ -374,7 +369,9 @@ class GenerationEngine:
                 frames_np = np.asarray(frames)  # (1, n, 1+K)
                 emitted_np = np.asarray(emitted)[0]  # (n,)
                 done = bool(np.asarray(state["done"])[0])
-            self.metrics.record_tokens(int(emitted_np.sum()))
+            self.metrics.record_tokens(
+                int(min(emitted_np.sum(), max_new - produced))
+            )
             if show_progress:
                 # chunk-level progress (the reference shows per-token tqdm,
                 # inference.py:184; chunks are the host-visible granularity)

@@ -66,7 +66,7 @@ def top_p_gumbel_sample(
     """
     logits = logits.astype(jnp.float32)
     V = logits.shape[-1]
-    if top_k and top_k < V:
+    if top_k > 0 and top_k < V:
         z = jax.nn.logsumexp(logits, axis=-1, keepdims=True)  # full-vocab normalizer
         if approx:
             vals, idx = jax.lax.approx_max_k(
@@ -157,7 +157,9 @@ def sample(
 
     ``top_k = -1`` selects the sort-free threshold path (exact full-vocab
     top-p, no truncation); ``top_k = 0`` the exact full sort; ``top_k > 0``
-    the truncated candidate search.
+    the truncated candidate search.  ``approx`` only applies to the
+    truncated search (``top_k > 0``) — the exact modes have no candidate
+    set to approximate.
     """
     if prev_idx is not None:
         logits = apply_repetition_penalty(

@@ -403,6 +403,7 @@ def load_torch_pickle(path: str | Path) -> Mapping[str, Any]:
 
 def convert_checkpoint_dir(
     model_dir: str | Path, out_dir: str | Path, cfg: DualARConfig | None = None,
+    lm_dtype: str = "bf16", vocoder_dtype: str = "fp32",
     vocoder_cfg: VocoderConfig | None = None,
 ) -> None:
     """Convert a reference checkpoint dir (config.json + model.pth +
@@ -418,7 +419,8 @@ def convert_checkpoint_dir(
         vocoder_cfg = VocoderConfig()
 
     lm = convert_lm_state_dict(load_torch_pickle(model_dir / "model.pth"), cfg)
-    save_params(out_dir / "lm.safetensors", lm)
+    # model.pth ships bf16, so bf16 storage is a lossless round trip
+    save_params(out_dir / "lm.safetensors", lm, dtype=lm_dtype)
 
     codec_path = model_dir / "codec.pth"
     if codec_path.exists():
@@ -431,7 +433,8 @@ def convert_checkpoint_dir(
             # state; fall back to full unpickling only if the safe load fails.
             raw = torch.load(str(codec_path), map_location="cpu", weights_only=False)
         voc = convert_vocoder_state_dict(raw, vocoder_cfg)
-        save_params(out_dir / "vocoder.safetensors", voc)
+        # codec.pth weights are fp32 — keep them lossless by default
+        save_params(out_dir / "vocoder.safetensors", voc, dtype=vocoder_dtype)
 
     for name in ("config.json", "tokenizer.tiktoken", "special_tokens.json"):
         src = model_dir / name

@@ -61,8 +61,13 @@ class Metrics:
 
     @property
     def tokens_per_sec(self) -> float:
-        d = self.phases.get("decode")
-        return self.tokens_generated / d.total_s if d and d.total_s else 0.0
+        """Engine throughput: generated tokens over the LM time that produced
+        them (prefill — which also emits the first chunk — plus decode)."""
+        lm_s = sum(
+            self.phases[n].total_s for n in ("prefill", "decode")
+            if n in self.phases
+        )
+        return self.tokens_generated / lm_s if lm_s else 0.0
 
     @property
     def rtf(self) -> float:

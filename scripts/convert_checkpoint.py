@@ -22,11 +22,19 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("model_dir")
     ap.add_argument("out_dir")
+    ap.add_argument("--lm-dtype", default="bf16", choices=["bf16", "fp32"],
+                    help="LM storage dtype (model.pth ships bf16, so the "
+                         "default round-trips losslessly)")
+    ap.add_argument("--vocoder-dtype", default="fp32",
+                    choices=["bf16", "fp32"],
+                    help="codec storage dtype (fp32 = lossless default)")
     args = ap.parse_args()
 
     from fish_tts_tpu.utils.checkpoint import convert_checkpoint_dir
 
-    convert_checkpoint_dir(args.model_dir, args.out_dir)
+    convert_checkpoint_dir(args.model_dir, args.out_dir,
+                           lm_dtype=args.lm_dtype,
+                           vocoder_dtype=args.vocoder_dtype)
     print(f"Converted {args.model_dir} -> {args.out_dir}")
 
 
