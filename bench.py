@@ -108,7 +108,7 @@ def main() -> None:
         return p
 
     params = jax.jit(build_params)(jax.random.PRNGKey(0))
-    if args.int8 and not args.cpu and not args.tiny:
+    if args.int8 and jax.default_backend() == "tpu":
         from fish_tts_tpu.ops import slow_stack
 
         params = jax.jit(lambda p: slow_stack.prepare_head(p, cfg))(params)
@@ -139,10 +139,15 @@ def main() -> None:
     t0 = time.perf_counter()
     state = fresh_state()
     kv_b = min(cfg.max_seq_len, 512)
-    # fused Pallas fast decoder: TPU + int8 single-stream only
-    # both Pallas kernels gate themselves to B=1 (batched serving measured
-    # faster on the XLA path, which amortizes weight streaming across rows)
-    fast_k = args.int8 and not args.cpu and not args.tiny
+    # fused Pallas kernels: gated on the *actual* backend, not the CLI flags —
+    # off-TPU they would run in interpret mode, orders of magnitude slower,
+    # and the numbers would be meaningless.  Both kernels also gate themselves
+    # to B=1 (batched serving measured faster on the XLA path, which amortizes
+    # weight streaming across rows).
+    fast_k = args.int8 and jax.default_backend() == "tpu"
+    if args.int8 and not fast_k:
+        print("# WARNING: int8 requested off-TPU; Pallas kernels disabled "
+              "(XLA fallback path timed instead)", file=sys.stderr)
     state, first = decode_mod.prefill(
         params, rope, state, jnp.asarray(prompt), lengths,
         jax.random.PRNGKey(1), t, p, r, cfg=cfg, ids=ids, top_k=top_k,

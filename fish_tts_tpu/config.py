@@ -248,10 +248,12 @@ class EngineConfig:
     # Fused Pallas fast-codebook decoder (ops/fast_decoder.py): used on TPU
     # for single-stream decode with int8 params; ignored otherwise.
     fast_kernel: bool = True
+    # Repetition-penalty window (reference hard-codes 16, inference.py:187);
+    # sizes the circular frame buffer in the decode state.
     rep_penalty_window: int = 16
-    max_new_tokens: int = 2048
-    # Parallelism
-    mesh_axes: tuple[str, ...] = ("dp", "tp")
+    # Parallelism: tp shards the LM weights/heads over the mesh minor axis,
+    # dp shards the batch of generate_batch streams.  tp_size * dp_size
+    # devices are used; both 1 = single-device (no mesh built at all).
     tp_size: int = 1
     dp_size: int = 1
 

@@ -49,7 +49,7 @@ from fish_tts_tpu.utils.quantize import qgather
 
 _NEG_INF = float(np.finfo(np.float32).min)
 
-WINDOW = 16  # repetition-penalty window (reference inference.py:187)
+WINDOW = 16  # default repetition-penalty window (reference inference.py:187)
 
 State = dict[str, Any]
 
@@ -59,14 +59,21 @@ def init_state(
     cfg: DualARConfig,
     batch: int,
     max_seq_len: int | None = None,
+    window: int = WINDOW,
 ) -> State:
-    """Fresh decode state: zero KV cache, zero penalty window, step 0."""
+    """Fresh decode state: zero KV cache, zero penalty window, step 0.
+
+    ``window`` sizes the repetition-penalty circular buffer
+    (``EngineConfig.rep_penalty_window``; the reference hard-codes 16 at
+    inference.py:187).  All decode functions derive the window from this
+    state shape, so the knob is set once here.
+    """
     dtype = params["norm"].dtype
     return {
         "kv": dual_ar.init_kv_cache(cfg, batch, max_seq_len, dtype),
         "frame": jnp.zeros((batch, 1 + cfg.num_codebooks), jnp.int32),
         "pos": jnp.zeros((batch,), jnp.int32),
-        "prev": jnp.zeros((batch, 1 + cfg.num_codebooks, WINDOW), jnp.int32),
+        "prev": jnp.zeros((batch, 1 + cfg.num_codebooks, window), jnp.int32),
         "step": jnp.zeros((), jnp.int32),
         "done": jnp.zeros((batch,), jnp.bool_),
     }
@@ -81,8 +88,10 @@ def penalty_column(prev: jnp.ndarray, step: jnp.ndarray) -> jnp.ndarray:
     ``previous_tokens[:, step-W:step]`` afterwards, where column 0 is the
     oldest frame in the window.  In our circular buffer (slot ``j % W`` holds
     step ``j``'s frame) those are slot 0 and slot ``step % W`` respectively.
+    The window size is carried by the state shape (see ``init_state``).
     """
-    col = jnp.where(step < WINDOW, 0, step % WINDOW)
+    W = prev.shape[2]
+    col = jnp.where(step < W, 0, step % W)
     return jax.lax.dynamic_index_in_dim(prev, col, axis=2, keepdims=False)
 
 
@@ -139,7 +148,11 @@ def _sample_frame(
     dt = params["norm"].dtype
     h_fast = dual_ar.project_fast_in(params, hidden_last).astype(dt)
 
-    if fast_kernel and fast_decoder.supports(cfg, params, B):
+    # The fused kernel always samples the residual books with exact
+    # full-vocab top-p; a truncated candidate search (top_k > 0) would
+    # diverge from it, so those calls take the XLA path below for uniform
+    # sampler behavior across batch sizes and precisions.
+    if fast_kernel and top_k <= 0 and fast_decoder.supports(cfg, params, B):
         a = jnp.clip(token - ids.semantic_begin, 0, cfg.codebook_size - 1)
         if prev is not None:
             prev_rows = prev[:, 2:, :]  # row cb+1 per residual step cb
@@ -154,7 +167,8 @@ def _sample_frame(
         codes, _ = fast_decoder.fast_decode_frame(
             params, cfg, rope["fast"], h_fast[:, 0], a, prev_rows, gumbel,
             temperature, top_p, rep,
-            window=WINDOW, interpret=jax.default_backend() != "tpu",
+            window=prev_rows.shape[-1],
+            interpret=jax.default_backend() != "tpu",
         )  # (B, K-1)
         frame = jnp.concatenate(
             [token[:, None], a[:, None], codes], axis=1
@@ -383,7 +397,7 @@ def _decode_one(
 
     # Record the frame in the circular window at slot (step % W)
     # (reference writes previous_tokens[:, i:i+1], inference.py:208).
-    slot = state["step"] % WINDOW
+    slot = state["step"] % state["prev"].shape[2]
     prev = jax.lax.dynamic_update_slice_in_dim(
         state["prev"], frame[:, :, None], slot, axis=2
     )
@@ -493,7 +507,9 @@ def prefill_chunk(
     halves the round trips before the first vocoder input exists.
 
     Returns (state, frames (B, 1+num_frames, 1+K), emitted) where frame 0 is
-    the prefill-sampled frame (always emitted).
+    the prefill-sampled frame (always emitted).  ``num_frames=0`` is valid
+    (prefill-only — e.g. a 1-token budget where the prefill frame already
+    fills it) and skips the decode scan entirely.
     """
     k1, k2 = jax.random.split(key)
     state, first = prefill(
@@ -502,6 +518,9 @@ def prefill_chunk(
         cfg=cfg, ids=ids, top_k=top_k, approx=approx,
         kv_bucket=kv_bucket_prefill,
     )
+    if num_frames == 0:
+        B = first.shape[0]
+        return state, first[:, None], jnp.ones((B, 1), jnp.bool_)
     state, frames, emitted = decode_chunk(
         params, rope, state, k2, temperature, top_p, repetition_penalty,
         cfg=cfg, ids=ids, num_frames=num_frames, top_k=top_k, approx=approx,

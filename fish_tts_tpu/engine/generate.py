@@ -135,7 +135,10 @@ class GenerationEngine:
             seq.append([TextPart(text=t), VQPart(codes=c)], add_end=True, speaker=0)
         enc = seq.encode_for_inference(self.tokenizer, self.cfg.num_codebooks)
 
-        state = decode_mod.init_state(self.params, self.cfg, batch=1)
+        state = decode_mod.init_state(
+            self.params, self.cfg, batch=1,
+            window=self.engine_cfg.rep_penalty_window,
+        )
         state = self._prefill_padded(state, enc.values, sample=False)
         # The frame sampled off the prefix end is meaningless — reset the
         # per-call fields so only the KV cache and position survive.
@@ -290,7 +293,9 @@ class GenerationEngine:
                 self.tokenizer, text, cfg.num_codebooks,
                 prompt_texts=prompt_text, prompt_codes=prompt_tokens,
             )
-            state = decode_mod.init_state(self.params, cfg, batch=1)
+            state = decode_mod.init_state(
+                self.params, cfg, batch=1, window=ecfg.rep_penalty_window,
+            )
             prompt_len = enc.values.shape[1]
 
         # Reserve room for generation (reference hard-codes 2048,
@@ -314,7 +319,8 @@ class GenerationEngine:
         # Prefill + the first (streaming-threshold-sized) chunk in one device
         # call: the time-to-first-audio path pays per-call dispatch latency,
         # so the first vocoder input should exist after a single round trip.
-        n0 = max(1, min(ecfg.first_chunk - 1, ecfg.decode_chunk, max_new - 1))
+        # n0 == 0 when the prefill frame alone fills the budget (max_new <= 1).
+        n0 = max(0, min(ecfg.first_chunk - 1, ecfg.decode_chunk, max_new - 1))
         padded, T = self._pad_prompt(enc.values)
         prefix_len = prompt_len - T if use_cached_prefix else 0
         kv_pre = (
@@ -458,7 +464,9 @@ class GenerationEngine:
         else:
             max_new = cfg.max_seq_len - int(lengths.max())
 
-        state = decode_mod.init_state(self.params, cfg, batch=B)
+        state = decode_mod.init_state(
+            self.params, cfg, batch=B, window=ecfg.rep_penalty_window,
+        )
         state, first = decode_mod.prefill(
             self.params, self.rope, state,
             jnp.asarray(prompt), jnp.asarray(lengths),

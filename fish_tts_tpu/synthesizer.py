@@ -41,6 +41,20 @@ _instance_lock = threading.Lock()
 _VOCODER_BUCKETS = (10, 20, 40, 80, 160, 320, 640, 1280, 2048)
 
 
+def _vocoder_bucket(n: int) -> int:
+    """Smallest decode bucket >= n frames.  Beyond the static list the
+    buckets keep doubling, so arbitrarily long non-streaming synthesize
+    calls compile at most O(log n) vocoder variants instead of one per
+    exact length."""
+    for b in _VOCODER_BUCKETS:
+        if b >= n:
+            return b
+    b = _VOCODER_BUCKETS[-1]
+    while b < n:
+        b *= 2
+    return b
+
+
 @dataclass
 class VoiceProfile:
     """Voice profile containing encoded reference audio codes.
@@ -309,7 +323,8 @@ class FishTTS:
 
     @property
     def num_references(self) -> int:
-        return len(self._prefill_cache.profiles)
+        with self._prefill_lock:
+            return len(self._prefill_cache.profiles)
 
     def _get_prompt_data(
         self, references: list[VoiceProfile] | None
@@ -512,7 +527,7 @@ class FishTTS:
         if self._vocoder_params is None:
             raise RuntimeError("Vocoder not loaded")
         n = codes.shape[-1]
-        bucket = next((b for b in _VOCODER_BUCKETS if b >= n), n)
+        bucket = _vocoder_bucket(n)
         padded = np.zeros((1, codes.shape[0], bucket), np.int32)
         padded[0, :, :n] = codes
         audio = self._vocoder_decode_fn(bucket)(jnp.asarray(padded))
@@ -567,7 +582,7 @@ class FishTTS:
         # a bounded set of shapes (frame buckets).
         fl = self._vocoder_cfg.frame_length
         n_frames = max(1, -(-len(audio) // fl))
-        bucket = next((b for b in _VOCODER_BUCKETS if b >= n_frames), n_frames)
+        bucket = _vocoder_bucket(n_frames)
         padded = np.zeros((1, 1, bucket * fl), np.float32)
         padded[0, 0, : len(audio)] = audio
         indices = self._encode_jit(self._vocoder_params, jnp.asarray(padded))

@@ -161,6 +161,25 @@ def test_synthesize_batch(tts):
     assert tts.synthesize_batch([]) == []
 
 
+def test_vocoder_long_utterance_buckets(tts, monkeypatch):
+    """Beyond the static bucket list, vocoder decode lengths keep doubling —
+    a long non-streaming synthesize compiles O(log n) variants, never one
+    per exact length."""
+    from fish_tts_tpu import synthesizer as synth_mod
+
+    assert synth_mod._vocoder_bucket(2048) == 2048
+    assert synth_mod._vocoder_bucket(2049) == 4096
+    assert synth_mod._vocoder_bucket(5000) == 8192
+    # Drive the real decode path through a doubled bucket by shrinking the
+    # static list (a true >2048-frame decode is too slow for a CPU test).
+    monkeypatch.setattr(synth_mod, "_VOCODER_BUCKETS", (4, 8))
+    K = tts._vocoder_cfg.num_codebooks
+    codes = np.random.randint(0, 24, (K, 11)).astype(np.int64)
+    codes[0] = np.random.randint(0, 48, 11)
+    audio = tts._decode_codes(codes)  # bucket 16 (8 -> 16), trimmed to 11
+    assert len(audio) == 11 * tts._vocoder_cfg.frame_length
+
+
 def test_public_exports():
     assert set(fish_tts_tpu.__all__) == {
         "FishTTS", "VoiceProfile", "get_instance", "reset_instance"

@@ -286,6 +286,56 @@ def test_kv_bucketed_prefix_continuation(setup):
     np.testing.assert_array_equal(run(None), run(16))
 
 
+def test_rep_penalty_window_is_consumed(setup):
+    """EngineConfig.rep_penalty_window sizes the state's circular buffer and
+    changes which frame the slow-token penalty hits: with window W, the
+    penalized column at step >= W is the frame from step - W."""
+    params, rope = setup
+    for W in (4, 16):
+        state = decode.init_state(params, CFG, batch=1, window=W)
+        assert state["prev"].shape == (1, 1 + CFG.num_codebooks, W)
+        prompt, lengths = _prompt(8)
+        state, _ = decode.prefill(
+            params, rope, state, prompt, lengths, jax.random.PRNGKey(1),
+            _scalar(0.7), _scalar(0.8), _scalar(1.1), cfg=CFG, ids=IDS,
+        )
+        state, frames, _ = decode.decode_chunk(
+            params, rope, state, jax.random.PRNGKey(2),
+            _scalar(0.7), _scalar(0.8), _scalar(1.1),
+            cfg=CFG, ids=IDS, num_frames=W + 2,
+        )
+        # circular buffer wrapped: slot j holds the latest frame with
+        # step % W == j
+        prev = np.asarray(state["prev"])
+        frames = np.asarray(frames)
+        for j in range(W):
+            steps = [s for s in range(W + 2) if s % W == j]
+            np.testing.assert_array_equal(prev[0, :, j], frames[0, steps[-1]])
+    # the engine-facing knob reaches init_state
+    from fish_tts_tpu.config import EngineConfig
+
+    assert EngineConfig(rep_penalty_window=8).rep_penalty_window == 8
+
+
+def test_one_token_budget_is_prefill_only(tiny_tokenizer):
+    """max_new_tokens=1: the prefill frame fills the budget; no decode frames
+    are computed (prefill_chunk num_frames=0 path) and streaming yields the
+    single frame."""
+    from fish_tts_tpu.engine.generate import GenerationEngine
+
+    params = dual_ar.init_params(jax.random.PRNGKey(3), CFG, dtype=jnp.float32)
+    eng = GenerationEngine(params, CFG, tiny_tokenizer, seed=5)
+    outs = [
+        r.codes for r in eng.generate_long(
+            "one", max_new_tokens=1, streaming=True,
+            temperature=0.7, top_p=0.8, repetition_penalty=1.1,
+        )
+        if r.action == "sample"
+    ]
+    total = sum(c.shape[1] for c in outs)
+    assert total == 1
+
+
 def test_generation_invariant_to_kv_bucket_step(tiny_tokenizer):
     """Full generations crossing several kv-bucket boundaries are
     bit-identical to running with a single max-size bucket."""
@@ -298,7 +348,7 @@ def test_generation_invariant_to_kv_bucket_step(tiny_tokenizer):
         eng = GenerationEngine(
             params, CFG, tiny_tokenizer,
             engine_cfg=EngineConfig(kv_bucket_step=step, decode_chunk=8,
-                                    first_chunk=4, max_new_tokens=48),
+                                    first_chunk=4),
             seed=11,
         )
         outs = []
