@@ -20,6 +20,9 @@ torch layout ``(O, I, K)`` / ``(I, O, K)``.
 
 from __future__ import annotations
 
+import fnmatch
+import logging
+from dataclasses import dataclass
 from pathlib import Path
 from typing import Any, Callable, Mapping
 
@@ -27,7 +30,76 @@ import numpy as np
 
 from fish_tts_tpu.config import DualARConfig, VocoderConfig
 
+logger = logging.getLogger(__name__)
+
 Params = dict[str, Any]
+
+# Checkpoint keys the conversion intentionally never consumes.  The reference
+# loads with strict=False and silently drops these; we drop them *loudly*:
+# anything unconsumed that does NOT match a pattern here is reported (see
+# ``CoverageReport``), so a typo'd key path cannot slip through as a
+# silently-unloaded weight.
+#
+# LM: multimodal ``audio_*`` projections the reference strips explicitly
+# (llama.py:494-496), plus derived buffers (RoPE tables, causal mask, KV
+# caches — persistent=False in the reference, but tolerated in case a
+# checkpoint was saved with them).
+LM_EXPECTED_DROPS: tuple[str, ...] = (
+    "audio_*",
+    "*freqs_cis",
+    "*causal_mask",
+    "*.k_cache",
+    "*.v_cache",
+)
+# Vocoder: the per-stage decoder transformers declared by
+# ``decoder_transformer_layers`` — the reference's DecoderBlock accepts
+# ``n_t_layer`` but never builds them (vocoder.py:578-599), so their
+# checkpoint weights never load.  Matched by content since the upstream
+# module layout that produced them is not observable from the reference.
+VOCODER_EXPECTED_DROPS: tuple[str, ...] = (
+    "decoder.*attention*",
+    "decoder.*feed_forward*",
+    "decoder.*norm*",
+    "decoder.*layer_scale*",
+    "decoder.*input_proj*",
+    "decoder.*output_proj*",
+    # Persistent derived buffers of the reference Transformer (RoPE table and
+    # causal mask, vocoder.py:253-293) — recomputed from config here, never
+    # loaded as weights.
+    "*.freqs_cis",
+    "*.causal_mask",
+)
+
+
+@dataclass(frozen=True)
+class CoverageReport:
+    """Key-coverage audit of one state-dict conversion.
+
+    ``unconsumed`` keys are present in the checkpoint, not read by the
+    converter, and not matched by the expected-drop whitelist — each one is a
+    weight that silently failed to reach the model and deserves a look.
+    """
+
+    total: int
+    consumed: int
+    expected_dropped: tuple[str, ...]
+    unconsumed: tuple[str, ...]
+
+    @property
+    def ok(self) -> bool:
+        return not self.unconsumed
+
+    def summary(self) -> str:
+        lines = [
+            f"{self.consumed}/{self.total} checkpoint keys consumed, "
+            f"{len(self.expected_dropped)} expected drops, "
+            f"{len(self.unconsumed)} UNCONSUMED"
+        ]
+        for k in self.expected_dropped:
+            lines.append(f"  dropped (expected): {k}")
+        for k in self.unconsumed:
+            lines.append(f"  UNCONSUMED: {k}")
+        return "\n".join(lines)
 
 
 # ---------------------------------------------------------------------------
@@ -50,7 +122,12 @@ def _fold_wn_np(v: np.ndarray, g: np.ndarray) -> np.ndarray:
 
 
 class _SD:
-    """State-dict view with weight-norm-aware conv/linear accessors."""
+    """State-dict view with weight-norm-aware conv/linear accessors.
+
+    Every read is recorded in ``used`` so :meth:`coverage` can report which
+    checkpoint keys the conversion never touched; a read of a *missing* key
+    raises immediately with the closest existing keys named.
+    """
 
     def __init__(self, sd: Mapping[str, Any]):
         self.sd = {k: v for k, v in sd.items()}
@@ -60,8 +137,32 @@ class _SD:
         return key in self.sd
 
     def get(self, key: str) -> np.ndarray:
+        if key not in self.sd:
+            import difflib
+
+            close = difflib.get_close_matches(key, self.sd.keys(), n=3, cutoff=0.5)
+            hint = f"; closest present keys: {close}" if close else ""
+            raise KeyError(
+                f"checkpoint key {key!r} not found (expected by the "
+                f"converter){hint}"
+            )
         self.used.add(key)
         return _to_np(self.sd[key])
+
+    def coverage(self, expected_drops: tuple[str, ...]) -> CoverageReport:
+        """Audit consumed vs present keys (see module docstring)."""
+        leftover = sorted(set(self.sd) - self.used)
+        dropped = tuple(
+            k for k in leftover
+            if any(fnmatch.fnmatch(k, p) for p in expected_drops)
+        )
+        unconsumed = tuple(k for k in leftover if k not in set(dropped))
+        return CoverageReport(
+            total=len(self.sd),
+            consumed=len(self.used),
+            expected_dropped=dropped,
+            unconsumed=unconsumed,
+        )
 
     def conv(self, prefix: str) -> dict[str, np.ndarray]:
         """Conv kernel+bias at ``prefix`` with weight norm folded."""
@@ -98,13 +199,18 @@ class _SD:
 
 
 def _normalize_lm_keys(raw: Mapping[str, Any]) -> dict[str, Any]:
-    """Reference-equivalent key cleanup (llama.py:484-496)."""
+    """Reference-equivalent key cleanup (llama.py:484-496).
+
+    The reference also drops ``audio_*`` keys here; we keep them so the
+    coverage audit can report them as *expected* drops instead of making
+    them invisible.
+    """
     sd = dict(raw)
     if "state_dict" in sd:
         sd = dict(sd["state_dict"])
     if next(iter(sd)).startswith("model."):
         sd = {k.replace("model.", "", 1): v for k, v in sd.items()}
-    return {k: v for k, v in sd.items() if "audio_" not in k}
+    return sd
 
 
 def _fuse_wqkv(sd: dict[str, Any]) -> dict[str, Any]:
@@ -148,8 +254,20 @@ def _stack_layers(
     return p
 
 
-def convert_lm_state_dict(raw: Mapping[str, Any], cfg: DualARConfig) -> Params:
-    """torch ``model.pth`` state dict -> DualAR params pytree (numpy leaves)."""
+def convert_lm_state_dict(
+    raw: Mapping[str, Any],
+    cfg: DualARConfig,
+    *,
+    report_out: list[CoverageReport] | None = None,
+) -> Params:
+    """torch ``model.pth`` state dict -> DualAR params pytree (numpy leaves).
+
+    Key coverage is audited: a missing expected key raises (with the closest
+    present keys named), and keys the conversion never consumed are warned
+    about — ``audio_*`` excepted, the reference's own intentional drop
+    (llama.py:494-496).  Pass ``report_out`` to also collect the
+    :class:`CoverageReport`.
+    """
     sd = _SD(_fuse_wqkv(_normalize_lm_keys(raw)))
 
     params: Params = {
@@ -173,7 +291,30 @@ def convert_lm_state_dict(raw: Mapping[str, Any], cfg: DualARConfig) -> Params:
         params["output"] = sd.weight_t("output.weight")
     if cfg.fast_dim != cfg.dim and sd.has("fast_project_in.weight"):
         params["fast_project_in"] = sd.linear("fast_project_in")
+    _audit(sd, LM_EXPECTED_DROPS, "LM", report_out)
     return params
+
+
+def _audit(
+    sd: _SD,
+    expected_drops: tuple[str, ...],
+    what: str,
+    report_out: list[CoverageReport] | None,
+) -> None:
+    rep = sd.coverage(expected_drops)
+    if report_out is not None:
+        report_out.append(rep)
+    if rep.expected_dropped:
+        logger.info(
+            "%s conversion dropped %d expected key(s): %s",
+            what, len(rep.expected_dropped), ", ".join(rep.expected_dropped),
+        )
+    if not rep.ok:
+        logger.warning(
+            "%s conversion left %d checkpoint key(s) UNCONSUMED — these "
+            "weights did not reach the model:\n  %s",
+            what, len(rep.unconsumed), "\n  ".join(rep.unconsumed),
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -243,8 +384,18 @@ def _vq_from_sd(sd: _SD, prefix: str) -> Params:
     }
 
 
-def convert_vocoder_state_dict(raw: Mapping[str, Any], cfg: VocoderConfig) -> Params:
-    """torch ``codec.pth`` state dict -> codec params pytree (numpy leaves)."""
+def convert_vocoder_state_dict(
+    raw: Mapping[str, Any],
+    cfg: VocoderConfig,
+    *,
+    report_out: list[CoverageReport] | None = None,
+) -> Params:
+    """torch ``codec.pth`` state dict -> codec params pytree (numpy leaves).
+
+    Coverage-audited like :func:`convert_lm_state_dict`; the expected drops
+    here are the decoder-side transformer weights the reference silently
+    never loads (``DecoderBlock`` ignores ``n_t_layer``, vocoder.py:578-599).
+    """
     sd_raw = dict(raw)
     if "state_dict" in sd_raw:
         sd_raw = dict(sd_raw["state_dict"])
@@ -320,6 +471,7 @@ def convert_vocoder_state_dict(raw: Mapping[str, Any], cfg: VocoderConfig) -> Pa
     dec["final_snake"] = sd.get(f"decoder.model.{n_dec + 1}.alpha")
     dec["final_conv"] = sd.conv(f"decoder.model.{n_dec + 2}.conv")
 
+    _audit(sd, VOCODER_EXPECTED_DROPS, "Vocoder", report_out)
     return {"encoder": enc, "quantizer": quant, "decoder": dec}
 
 
@@ -405,9 +557,12 @@ def convert_checkpoint_dir(
     model_dir: str | Path, out_dir: str | Path, cfg: DualARConfig | None = None,
     lm_dtype: str = "bf16", vocoder_dtype: str = "fp32",
     vocoder_cfg: VocoderConfig | None = None,
-) -> None:
+) -> dict[str, CoverageReport]:
     """Convert a reference checkpoint dir (config.json + model.pth +
-    codec.pth + tokenizer.tiktoken) into our native format."""
+    codec.pth + tokenizer.tiktoken) into our native format.
+
+    Returns the key-coverage reports per converted file (``{"lm": ...,
+    "vocoder": ...}``) so callers can surface unconsumed checkpoint keys."""
     import shutil
 
     model_dir, out_dir = Path(model_dir), Path(out_dir)
@@ -418,7 +573,12 @@ def convert_checkpoint_dir(
     if vocoder_cfg is None:
         vocoder_cfg = VocoderConfig()
 
-    lm = convert_lm_state_dict(load_torch_pickle(model_dir / "model.pth"), cfg)
+    reports: dict[str, CoverageReport] = {}
+    out: list[CoverageReport] = []
+    lm = convert_lm_state_dict(
+        load_torch_pickle(model_dir / "model.pth"), cfg, report_out=out
+    )
+    reports["lm"] = out[0]
     # model.pth ships bf16, so bf16 storage is a lossless round trip
     save_params(out_dir / "lm.safetensors", lm, dtype=lm_dtype)
 
@@ -432,7 +592,9 @@ def convert_checkpoint_dir(
             # codec.pth checkpoints in the wild sometimes pickle non-tensor
             # state; fall back to full unpickling only if the safe load fails.
             raw = torch.load(str(codec_path), map_location="cpu", weights_only=False)
-        voc = convert_vocoder_state_dict(raw, vocoder_cfg)
+        out = []
+        voc = convert_vocoder_state_dict(raw, vocoder_cfg, report_out=out)
+        reports["vocoder"] = out[0]
         # codec.pth weights are fp32 — keep them lossless by default
         save_params(out_dir / "vocoder.safetensors", voc, dtype=vocoder_dtype)
 
@@ -440,3 +602,4 @@ def convert_checkpoint_dir(
         src = model_dir / name
         if src.exists():
             shutil.copy(src, out_dir / name)
+    return reports

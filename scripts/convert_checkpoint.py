@@ -28,14 +28,27 @@ def main():
     ap.add_argument("--vocoder-dtype", default="fp32",
                     choices=["bf16", "fp32"],
                     help="codec storage dtype (fp32 = lossless default)")
+    ap.add_argument("--verify", action="store_true",
+                    help="print the key-coverage report (consumed / expected "
+                         "drops / unconsumed) and exit non-zero if any "
+                         "checkpoint key was left unconsumed")
     args = ap.parse_args()
 
     from fish_tts_tpu.utils.checkpoint import convert_checkpoint_dir
 
-    convert_checkpoint_dir(args.model_dir, args.out_dir,
-                           lm_dtype=args.lm_dtype,
-                           vocoder_dtype=args.vocoder_dtype)
+    reports = convert_checkpoint_dir(args.model_dir, args.out_dir,
+                                     lm_dtype=args.lm_dtype,
+                                     vocoder_dtype=args.vocoder_dtype)
     print(f"Converted {args.model_dir} -> {args.out_dir}")
+    if args.verify:
+        bad = False
+        for name, rep in reports.items():
+            print(f"[{name}] {rep.summary()}")
+            bad |= not rep.ok
+        if bad:
+            print("VERIFY FAILED: unconsumed checkpoint keys (see above)")
+            raise SystemExit(1)
+        print("VERIFY OK: every checkpoint key consumed or expected-dropped")
 
 
 if __name__ == "__main__":

@@ -91,6 +91,37 @@ def test_lm_conversion_legacy_wqkv_fusion():
     )
 
 
+def test_lm_coverage_report_surfaces_extra_and_misspelled_keys():
+    """The coverage audit catches both failure shapes: an extra key the
+    converter never reads (reported UNCONSUMED) and a misspelled expected
+    key (raises, naming the closest present keys)."""
+    # extra (unexpected) key -> unconsumed in the report, audio_* whitelisted
+    sd = _lm_state_dict()
+    sd["mystery_adapter.weight"] = np.zeros((4, 4), np.float32)
+    out = []
+    ckpt.convert_lm_state_dict(sd, CFG, report_out=out)
+    (rep,) = out
+    assert rep.unconsumed == ("mystery_adapter.weight",)
+    assert not rep.ok
+    assert "audio_projector.weight" in rep.expected_dropped
+    assert rep.consumed + len(rep.expected_dropped) + len(rep.unconsumed) == rep.total
+    assert "UNCONSUMED: mystery_adapter.weight" in rep.summary()
+
+    # misspelled key (converter expects norm.weight) -> loud raise with hint
+    sd2 = _lm_state_dict()
+    sd2["nrom.weight"] = sd2.pop("norm.weight")
+    with pytest.raises(KeyError, match="norm.weight"):
+        ckpt.convert_lm_state_dict(sd2, CFG)
+
+
+def test_clean_lm_conversion_reports_ok():
+    sd = _lm_state_dict()
+    out = []
+    ckpt.convert_lm_state_dict(sd, CFG, report_out=out)
+    assert out[0].ok
+    assert out[0].unconsumed == ()
+
+
 def test_converted_params_run_forward():
     """Converted params drive the engine (structure exactly matches init)."""
     import jax

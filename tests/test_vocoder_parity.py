@@ -378,3 +378,39 @@ def test_full_dac_encode_codes_match(codecs):
     # nearest-neighbour ties can flip a code on numerically-equal distances;
     # demand essentially exact agreement
     assert mismatch <= 0.02, f"code mismatch rate {mismatch:.3f}"
+
+
+def test_vocoder_conversion_full_coverage(codecs):
+    """A faithful codec.pth-style state dict converts with every key
+    consumed (the audit proves the converter's key paths match the real
+    module layout, not just that no read failed)."""
+    _, tdac, _ = codecs
+    out = []
+    convert_vocoder_state_dict(
+        {f"generator.{k}": v for k, v in tdac.state_dict().items()},
+        CFG, report_out=out,
+    )
+    assert out[0].ok, out[0].summary()
+    # everything is either a consumed weight or a derived buffer
+    # (freqs_cis / causal_mask, recomputed from config)
+    assert out[0].consumed + len(out[0].expected_dropped) == out[0].total
+    assert all(
+        k.endswith((".freqs_cis", ".causal_mask"))
+        for k in out[0].expected_dropped
+    )
+
+
+def test_vocoder_coverage_surfaces_drops_and_typos(codecs):
+    """Decoder-side transformer weights (DecoderBlock ignores n_t_layer,
+    reference vocoder.py:578-599) are whitelisted expected drops; any other
+    unconsumed key is surfaced loudly."""
+    _, tdac, _ = codecs
+    sd = dict(tdac.state_dict())
+    sd["decoder.model.1.block.2.attention.wqkv.weight"] = torch.zeros(4, 4)
+    sd["quantizer.typo_module.weight"] = torch.zeros(2, 2)
+    out = []
+    convert_vocoder_state_dict(sd, CFG, report_out=out)
+    (rep,) = out
+    assert "decoder.model.1.block.2.attention.wqkv.weight" in rep.expected_dropped
+    assert rep.unconsumed == ("quantizer.typo_module.weight",)
+    assert not rep.ok
