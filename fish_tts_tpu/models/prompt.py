@@ -58,6 +58,21 @@ class VQPart:
 
 Part = Union[TextPart, VQPart]
 
+_PART_TYPES: dict[str, type] = {"text": TextPart, "vq": VQPart}
+
+
+def _coerce_part(spec: Part | dict) -> Part:
+    """Accept an already-built part or a ``{"type": ..., ...}`` dict (the
+    dict-or-dataclass convention of the reference API surface)."""
+    if not isinstance(spec, dict):
+        return spec
+    kwargs = dict(spec)
+    kind = kwargs.pop("type", None)
+    cls = _PART_TYPES.get(kind)
+    if cls is None:
+        raise ValueError(f"Unsupported part type: {kind}")
+    return cls(**kwargs)
+
 
 @dataclass
 class EncodedPrompt:
@@ -78,28 +93,21 @@ class ContentSequence:
     ):
         self.modality = modality
         self.metadata = metadata or {}
+        self.parts: list[Part] = [_coerce_part(p) for p in (parts or [])]
+        # A modality sequence always opens with its tag token; prepend it
+        # unless the caller's first part already carries it.
+        if modality is not None and not self._opens_with_modality_tag():
+            self.parts.insert(0, TextPart(text=MODALITY_TOKENS[modality]))
 
-        fixed_parts: list[Part] = []
-        for part in parts or []:
-            if isinstance(part, dict):
-                kind = part.get("type")
-                body = {k: v for k, v in part.items() if k != "type"}
-                if kind == "vq":
-                    part = VQPart(**body)
-                elif kind == "text":
-                    part = TextPart(**body)
-                else:
-                    raise ValueError(f"Unsupported part type: {kind}")
-            fixed_parts.append(part)
-        self.parts: list[Part] = fixed_parts
-
-        if self.modality and not (
-            len(self.parts) > 0
-            and isinstance(self.parts[0], TextPart)
-            and self.parts[0].text is not None
-            and self.parts[0].text.startswith(MODALITY_TOKENS[self.modality])
-        ):
-            self.parts.insert(0, TextPart(text=MODALITY_TOKENS[self.modality]))
+    def _opens_with_modality_tag(self) -> bool:
+        if not self.parts:
+            return False
+        head = self.parts[0]
+        return (
+            isinstance(head, TextPart)
+            and head.text is not None
+            and head.text.startswith(MODALITY_TOKENS[self.modality])
+        )
 
     def append(
         self,
@@ -107,16 +115,19 @@ class ContentSequence:
         add_end: bool = False,
         speaker: str | int | None = None,
     ) -> None:
-        parts_to_add = (
-            [part_or_parts] if not isinstance(part_or_parts, list) else part_or_parts
-        )
+        """Append one layout block: ``[<|speaker:s|>?] parts... [<|im_end|>?]``.
+
+        This is how the per-reference blocks of the inference prompt are
+        laid out (reference generate_long, inference.py:783-789).
+        """
+        block: list[Part] = []
         if speaker is not None:
-            self.parts.append(TextPart(text=f"<|speaker:{speaker}|>"))
-        self.parts.extend(parts_to_add)
+            block.append(TextPart(text=f"<|speaker:{speaker}|>"))
+        block += part_or_parts if isinstance(part_or_parts, list) else [part_or_parts]
         if add_end:
-            self.parts.append(
-                TextPart(text=IM_END_TOKEN, cal_loss=self.parts[-1].cal_loss)
-            )
+            tail = block[-1] if block else self.parts[-1]
+            block.append(TextPart(text=IM_END_TOKEN, cal_loss=tail.cal_loss))
+        self.parts += block
 
     def encode_for_inference(
         self, tokenizer: FishTokenizer, num_codebooks: int
