@@ -45,6 +45,9 @@ def main() -> None:
                     help="top-k truncation for the slow-token sampler")
     ap.add_argument("--batch", type=int, default=1,
                     help="decode N concurrent streams (XLA path; aggregate tok/s)")
+    ap.add_argument("--aggregate-batch", type=int, default=8,
+                    help="also measure aggregate throughput at this batch "
+                         "size (0 to skip; only when --batch is 1)")
     args = ap.parse_args()
     # int8 + fused kernels is the serving configuration and the bench default;
     # --bf16 opts out (tiny/CPU runs are fp32 and never use int8)
@@ -213,12 +216,47 @@ def main() -> None:
     except Exception:
         pass
 
-    # -- TTFA through the public streaming path ----------------------------
+    # -- batched-serving aggregate throughput --------------------------------
+    if B == 1 and args.aggregate_batch > 1 and not args.tiny:
+        Ba = args.aggregate_batch
+        prompt_a = np.zeros((Ba, 1 + cfg.num_codebooks, T), np.int32)
+        prompt_a[:, 0] = np.random.RandomState(1).randint(0, 1000, (Ba, T))
+        state_a = decode_mod.init_state(params, cfg, batch=Ba)
+        state_a, _ = decode_mod.prefill(
+            params, rope, state_a, jnp.asarray(prompt_a),
+            jnp.asarray([48] * Ba, jnp.int32),
+            jax.random.PRNGKey(11), t, p, r, cfg=cfg, ids=ids, top_k=top_k,
+            approx=args.approx, kv_bucket=0,
+        )
+        # warm (compile) then time; batched decode amortizes weight streaming
+        # on the XLA path (the Pallas kernels gate themselves to B=1)
+        state_a, fr, _ = decode_mod.decode_chunk(
+            params, rope, state_a, jax.random.PRNGKey(12), t, p, r,
+            cfg=cfg, ids=ids, num_frames=CHUNK, top_k=top_k,
+            approx=args.approx, kv_bucket=kv_b, fast_kernel=fast_k,
+        )
+        force(fr)
+        reps_a = 3
+        t0 = time.perf_counter()
+        for i in range(reps_a):
+            state_a, fr, _ = decode_mod.decode_chunk(
+                params, rope, state_a, jax.random.PRNGKey(13 + i), t, p, r,
+                cfg=cfg, ids=ids, num_frames=CHUNK, top_k=top_k,
+                approx=args.approx, kv_bucket=kv_b, fast_kernel=fast_k,
+            )
+        force(fr)
+        agg = CHUNK * reps_a * Ba / (time.perf_counter() - t0)
+        extras[f"aggregate_tok_per_sec_b{Ba}"] = round(agg, 1)
+        print(f"# batched serving: {agg:.0f} tok/s aggregate at B={Ba}",
+              file=sys.stderr)
+
+    # -- TTFA + end-to-end RTF through the public path ----------------------
     if not args.no_ttfa:
         try:
-            extras.update(_measure_ttfa_user_path(args, cfg, vcfg, params, dtype))
-        except Exception as e:  # noqa: BLE001 — TTFA is best-effort extra info
-            print(f"# ttfa failed: {type(e).__name__}: {e}", file=sys.stderr)
+            extras.update(_measure_user_path(args, cfg, vcfg, params, dtype))
+        except Exception as e:  # noqa: BLE001 — user-path extras are best-effort
+            print(f"# user-path bench failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
 
     result = {
         "metric": "semantic_tokens_per_sec",
@@ -230,14 +268,21 @@ def main() -> None:
     print(json.dumps(result))
 
 
-def _measure_ttfa_user_path(args, cfg, vcfg, params, dtype):
-    """p50 time from ``FishTTS.synthesize_stream(text)`` to the first PCM
-    bytes on the host — the number the <300 ms target is defined on.
+def _measure_user_path(args, cfg, vcfg, params, dtype):
+    """User-path numbers through the public ``FishTTS`` API:
+
+    - ``ttfa_ms``: p50 time from ``synthesize_stream(text)`` to the first PCM
+      bytes on the host — the number the <300 ms target is defined on;
+    - ``rtf_e2e``: wall time of a full ``synthesize()`` call divided by the
+      seconds of audio it produced (text -> tokens -> prefill -> decode ->
+      vocoder -> WAV) — the apples-to-apples comparison against the
+      reference's published RTF 0.26 (/root/reference/README.md:9), which is
+      end-to-end; the top-level ``rtf`` key is LM decode only;
+    - ``vocoder_frames_per_sec``: codec decode throughput on its own.
 
     The LM params are the benchmarked ones; the vocoder is full-size with
     random weights; the tokenizer is synthetic but id-layout-compatible, so
-    the timed path is exactly the user path (tokenize -> prompt -> prefill ->
-    first decode chunk -> vocoder -> PCM).
+    the timed path is exactly the user path.
     """
     import tempfile
     from pathlib import Path
@@ -287,7 +332,38 @@ def _measure_ttfa_user_path(args, cfg, vcfg, params, dtype):
     print(f"# ttfa compile+run: {warm:.1f}s", file=sys.stderr)
     lat = sorted(first_chunk_latency() for _ in range(5))
     p50 = lat[len(lat) // 2]
-    return {"ttfa_ms": round(p50 * 1e3, 1), "ttfa_max_ms": round(lat[-1] * 1e3, 1)}
+    out = {"ttfa_ms": round(p50 * 1e3, 1), "ttfa_max_ms": round(lat[-1] * 1e3, 1)}
+
+    # -- vocoder throughput (codec decode alone) ----------------------------
+    frames = 320 if not args.tiny else 20
+    codes = np.random.RandomState(0).randint(
+        0, vcfg.residual_codebook_size, (vcfg.num_codebooks, frames)
+    ).astype(np.int64)
+    tts._decode_codes(codes)  # compile
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        tts._decode_codes(codes)
+    voc_fps = frames * reps / (time.perf_counter() - t0)
+    out["vocoder_frames_per_sec"] = round(voc_fps, 1)
+    print(f"# vocoder: {voc_fps:.0f} frames/s "
+          f"(RTF {AUDIO_TOKENS_PER_SEC / voc_fps:.4f})", file=sys.stderr)
+
+    # -- end-to-end RTF: full synthesize() wall time / audio seconds --------
+    if args.tiny:
+        n_tok, text = 16, "Hello."  # byte-level tiny tokenizer, 128-token ctx
+    else:
+        n_tok = 200
+        text = "An end to end benchmark sentence for real time factor measurement."
+    wav = tts.synthesize(text, max_tokens=n_tok)  # compile pass
+    t0 = time.perf_counter()
+    wav = tts.synthesize(text, max_tokens=n_tok)
+    wall = time.perf_counter() - t0
+    audio_sec = (len(wav) - 44) / 2 / tts.sample_rate  # 16-bit mono WAV
+    out["rtf_e2e"] = round(wall / audio_sec, 4)
+    print(f"# e2e: {wall:.2f}s wall for {audio_sec:.2f}s audio "
+          f"(RTF {wall / audio_sec:.4f})", file=sys.stderr)
+    return out
 
 
 if __name__ == "__main__":

@@ -12,7 +12,9 @@ Features:
 - Pipeline streaming: LM decode and vocoder decode overlapped via async
   dispatch
 - Dynamic references: add/remove voice profiles at runtime
-- Multi-chip ready: jax.sharding mesh for tensor/data parallel serving
+- Multi-chip serving: EngineConfig(tp_size, dp_size) shards the LM
+  (Megatron-style TP, int8-aware) and generate_batch streams (dp) over a
+  jax.sharding mesh
 
 Usage:
     from fish_tts_tpu import get_instance, VoiceProfile

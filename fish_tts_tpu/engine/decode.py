@@ -459,15 +459,33 @@ def decode_chunk(
     ``[:-1]`` at inference.py:839 but streams it at inference.py:271-274).
     """
     keys = jax.random.split(key, num_frames)
+    B = state["frame"].shape[0]
 
-    def body(carry, k):
-        st = carry
-        st, frame, emitted = _decode_one(
+    def step(st, k):
+        return _decode_one(
             params, cfg, ids, rope, st, k,
             temperature, top_p, repetition_penalty, top_k, approx,
             kv_bucket, fast_kernel,
         )
-        return st, (frame, emitted)
+
+    if B > 1:
+        # Batched serving: once every stream has hit EOS mid-chunk, the
+        # remaining scan iterations skip the model entirely (the single-stream
+        # host loop already stops at chunk granularity, so B=1 keeps the
+        # tuned straight-line path).
+        def body(carry, k):
+            st = carry
+            st, frame, emitted = jax.lax.cond(
+                st["done"].all(),
+                lambda st, k: (st, st["frame"], jnp.zeros((B,), jnp.bool_)),
+                step,
+                st, k,
+            )
+            return st, (frame, emitted)
+    else:
+        def body(carry, k):
+            st, frame, emitted = step(carry, k)
+            return st, (frame, emitted)
 
     state, (frames, emitted) = jax.lax.scan(body, state, keys)
     # (T, B, ...) -> (B, T, ...)

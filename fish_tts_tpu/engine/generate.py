@@ -87,10 +87,30 @@ class GenerationEngine:
             im_end=tokenizer.im_end_id,
         )
         self.rope = make_rope_tables(cfg)
+        # (dp, tp) device mesh: built iff EngineConfig asks for more than one
+        # device.  Params/rope are placed with the GSPMD TP specs once here;
+        # decode states are sharded per call in _init_state.  The reference
+        # has no distributed support at all (SURVEY §2) — this is the
+        # TPU-native scaling path.
+        self.mesh = None
+        ecfg = self.engine_cfg
+        if ecfg.tp_size * ecfg.dp_size > 1:
+            from fish_tts_tpu.parallel import mesh as mesh_mod
+            from fish_tts_tpu.parallel import sharding
+
+            self.mesh = mesh_mod.make_mesh(tp=ecfg.tp_size, dp=ecfg.dp_size)
+            self.params = params = sharding.shard_params(params, cfg, self.mesh)
+            self.rope = sharding.shard_rope(self.rope, self.mesh)
+            logger.info(
+                "LM sharded over mesh(dp=%d, tp=%d)", ecfg.dp_size, ecfg.tp_size
+            )
         # Fused Pallas fast-decoder: TPU-only (interpret mode would crawl on
-        # CPU); decode falls back per-call when params/batch do not qualify.
+        # CPU) and single-device only (the kernels run outside GSPMD); decode
+        # falls back per-call when params/batch do not qualify.
         self._fast_kernel = (
-            self.engine_cfg.fast_kernel and jax.default_backend() == "tpu"
+            self.engine_cfg.fast_kernel
+            and jax.default_backend() == "tpu"
+            and self.mesh is None
         )
         if self._fast_kernel:
             from fish_tts_tpu.ops import slow_stack
@@ -110,6 +130,20 @@ class GenerationEngine:
     def _next_key(self) -> jax.Array:
         self._key, sub = jax.random.split(self._key)
         return sub
+
+    def _init_state(self, batch: int) -> decode_mod.State:
+        """Fresh decode state, placed on the mesh when one is configured
+        (KV over (dp batch, tp KV-heads); batch axis replicated when it does
+        not divide dp — e.g. a single generate_long stream on a dp>1 mesh)."""
+        state = decode_mod.init_state(
+            self.params, self.cfg, batch=batch,
+            window=self.engine_cfg.rep_penalty_window,
+        )
+        if self.mesh is not None:
+            from fish_tts_tpu.parallel import sharding
+
+            state = sharding.shard_state(state, self.mesh)
+        return state
 
     def reseed(self, seed: int) -> None:
         self._key = jax.random.PRNGKey(seed)
@@ -135,10 +169,7 @@ class GenerationEngine:
             seq.append([TextPart(text=t), VQPart(codes=c)], add_end=True, speaker=0)
         enc = seq.encode_for_inference(self.tokenizer, self.cfg.num_codebooks)
 
-        state = decode_mod.init_state(
-            self.params, self.cfg, batch=1,
-            window=self.engine_cfg.rep_penalty_window,
-        )
+        state = self._init_state(batch=1)
         state = self._prefill_padded(state, enc.values, sample=False)
         # The frame sampled off the prefix end is meaningless — reset the
         # per-call fields so only the KV cache and position survive.
@@ -161,6 +192,36 @@ class GenerationEngine:
     def _fork_prefix(self) -> decode_mod.State:
         """Copy the cached prefix state so donation can't consume it."""
         return jax.tree_util.tree_map(jnp.copy, self._prefix_state)
+
+    def _fork_prefix_batch(self, batch: int) -> decode_mod.State:
+        """Broadcast the cached B=1 prefix state across ``batch`` streams.
+
+        The voice references are prefilled ONCE (set_prefix); batched serving
+        forks that KV prefix instead of re-prefilling the reference blocks
+        per stream (the reference re-encodes and re-forwards the full prompt
+        on every call, inference.py:779-795 — and has no batching at all).
+        """
+        s = self._prefix_state
+        state = {
+            "kv": {k: jnp.repeat(v, batch, axis=1) for k, v in s["kv"].items()},
+            "frame": jnp.repeat(s["frame"], batch, axis=0),
+            "pos": jnp.repeat(s["pos"], batch, axis=0),
+            "prev": jnp.repeat(s["prev"], batch, axis=0),
+            "step": jnp.copy(s["step"]),
+            "done": jnp.repeat(s["done"], batch, axis=0),
+        }
+        if self.mesh is not None:
+            from fish_tts_tpu.parallel import sharding
+
+            state = sharding.shard_state(state, self.mesh)
+        return state
+
+    def _encode_suffix(self, text: str):
+        """Encode only the target-text block (the part after the cached
+        reference prefix in the reference layout, inference.py:779-789)."""
+        seq = ContentSequence(modality=None)
+        seq.append([TextPart(text=text)], add_end=False, speaker=0)
+        return seq.encode_for_inference(self.tokenizer, self.cfg.num_codebooks)
 
     # -- prefill helper ----------------------------------------------------
 
@@ -283,9 +344,7 @@ class GenerationEngine:
 
         if use_cached_prefix:
             # Only the target-text suffix needs encoding + prefilling.
-            seq = ContentSequence(modality=None)
-            seq.append([TextPart(text=text)], add_end=False, speaker=0)
-            enc = seq.encode_for_inference(self.tokenizer, cfg.num_codebooks)
+            enc = self._encode_suffix(text)
             state = self._fork_prefix()
             prompt_len = int(state["pos"][0]) + enc.values.shape[1]
         else:
@@ -293,9 +352,7 @@ class GenerationEngine:
                 self.tokenizer, text, cfg.num_codebooks,
                 prompt_texts=prompt_text, prompt_codes=prompt_tokens,
             )
-            state = decode_mod.init_state(
-                self.params, cfg, batch=1, window=ecfg.rep_penalty_window,
-            )
+            state = self._init_state(batch=1)
             prompt_len = enc.values.shape[1]
 
         # Reserve room for generation (reference hard-codes 2048,
@@ -424,11 +481,23 @@ class GenerationEngine:
         temperature: float = 0.8,
         prompt_text: list[str] | None = None,
         prompt_tokens: list[np.ndarray] | None = None,
+        use_prefix_cache: bool = True,
     ) -> list[np.ndarray]:
         """Decode several utterances in one batched device program
         (green-field vs the reference, which hard-codes batch 1 at
         inference.py:314, 676).  All streams share the sampling params and the
-        same voice references; each stream stops at its own EOS.
+        same voice references; each stream stops at its own EOS (once every
+        stream is done the remaining scan steps of the chunk skip the model —
+        see decode_chunk's all-done cond).
+
+        Serving behaviors:
+        - with a cached voice-profile prefix (set_prefix) and no explicit
+          references, the B=1 prefix KV is FORKED across the batch and only
+          each stream's target-text suffix is prefilled — the references are
+          never re-prefilled per call;
+        - streams are grouped by prompt bucket and each group prefills at its
+          own padded length (one prefill program per distinct bucket in the
+          batch), instead of padding every stream to the longest prompt.
 
         Returns one ``(num_codebooks, n_b)`` code array per text, with the
         final frame stripped as in single-utterance batch mode.
@@ -439,70 +508,132 @@ class GenerationEngine:
         cfg, ecfg = self.cfg, self.engine_cfg
         prompt_text = prompt_text or []
         prompt_tokens = prompt_tokens or []
-
-        encs = [
-            build_prompt(
-                self.tokenizer, t, cfg.num_codebooks,
-                prompt_texts=prompt_text, prompt_codes=prompt_tokens,
-            )
-            for t in texts
-        ]
         B = len(texts)
-        lengths = np.array([e.values.shape[1] for e in encs], np.int32)
-        cap = cfg.max_seq_len - 1
-        bucket = _pick_bucket(ecfg.prompt_buckets, int(lengths.max()), cap)
-        prompt = np.zeros((B, 1 + cfg.num_codebooks, bucket), np.int32)
-        for b, e in enumerate(encs):
-            prompt[b, :, : e.values.shape[1]] = e.values
 
-        reserve = min(2048, cfg.max_seq_len // 2)
-        if lengths.max() > cfg.max_seq_len - reserve:
-            raise ValueError(f"Prompt is too long: {lengths.max()}")
-
-        if max_new_tokens:
-            max_new = min(max_new_tokens, cfg.max_seq_len - int(lengths.max()))
+        use_cached_prefix = (
+            use_prefix_cache and self._prefix_state is not None and not prompt_text
+        )
+        if use_cached_prefix:
+            encs = [self._encode_suffix(t) for t in texts]
+            prefix_len = int(self._prefix_state["pos"][0])
         else:
-            max_new = cfg.max_seq_len - int(lengths.max())
+            encs = [
+                build_prompt(
+                    self.tokenizer, t, cfg.num_codebooks,
+                    prompt_texts=prompt_text, prompt_codes=prompt_tokens,
+                )
+                for t in texts
+            ]
+            prefix_len = 0
 
-        state = decode_mod.init_state(
-            self.params, cfg, batch=B, window=ecfg.rep_penalty_window,
+        lengths = np.array([e.values.shape[1] for e in encs], np.int32)
+        prompt_lens = prefix_len + lengths  # full context per stream
+        reserve = min(2048, cfg.max_seq_len // 2)
+        if prompt_lens.max() > cfg.max_seq_len - reserve:
+            raise ValueError(f"Prompt is too long: {prompt_lens.max()}")
+        max_len = int(prompt_lens.max())
+        if max_new_tokens:
+            max_new = min(max_new_tokens, cfg.max_seq_len - max_len)
+        else:
+            max_new = cfg.max_seq_len - max_len
+
+        t_dev = jnp.float32(temperature)
+        p_dev = jnp.float32(top_p)
+        r_dev = jnp.float32(repetition_penalty)
+        kv_pre = (
+            0 if prefix_len == 0
+            else _kv_bucket(prefix_len, ecfg.kv_bucket_step, cfg.max_seq_len)
         )
-        state, first = decode_mod.prefill(
-            self.params, self.rope, state,
-            jnp.asarray(prompt), jnp.asarray(lengths),
-            self._next_key(),
-            jnp.float32(temperature), jnp.float32(top_p),
-            jnp.float32(repetition_penalty),
-            cfg=cfg, ids=self.ids, top_k=ecfg.sample_top_k,
-            approx=ecfg.approx_top_k, kv_bucket=0,
-        )
+        cap = cfg.max_seq_len - 1
+
+        # Group streams by prompt bucket: each group prefills at its own
+        # padded length (short prompts don't pay for the longest stream's
+        # bucket); decode then runs over the recombined full batch.  Group
+        # order is by bucket; ``order`` maps back to caller order.
+        by_bucket: dict[int, list[int]] = {}
+        for i, n in enumerate(lengths):
+            by_bucket.setdefault(
+                _pick_bucket(ecfg.prompt_buckets, int(n), cap), []
+            ).append(i)
+
+        order: list[int] = []
+        group_states, group_firsts = [], []
+        with self.metrics.span("prefill"):
+            for bucket, idxs in sorted(by_bucket.items()):
+                Bg = len(idxs)
+                order.extend(idxs)
+                padded = np.zeros((Bg, 1 + cfg.num_codebooks, bucket), np.int32)
+                for row, i in enumerate(idxs):
+                    padded[row, :, : lengths[i]] = encs[i].values
+                state_g = (
+                    self._fork_prefix_batch(Bg) if use_cached_prefix
+                    else self._init_state(batch=Bg)
+                )
+                state_g, first_g = decode_mod.prefill(
+                    self.params, self.rope, state_g,
+                    jnp.asarray(padded),
+                    jnp.asarray(lengths[idxs], jnp.int32),
+                    self._next_key(), t_dev, p_dev, r_dev,
+                    cfg=cfg, ids=self.ids, top_k=ecfg.sample_top_k,
+                    approx=ecfg.approx_top_k, kv_bucket=kv_pre,
+                )
+                group_states.append(state_g)
+                group_firsts.append(first_g)
+
+            if len(group_states) == 1:
+                state, first = group_states[0], group_firsts[0]
+            else:
+                state = {
+                    "kv": {
+                        k: jnp.concatenate(
+                            [s["kv"][k] for s in group_states], axis=1
+                        )
+                        for k in ("k", "v")
+                    },
+                    "step": group_states[0]["step"],
+                    **{
+                        k: jnp.concatenate(
+                            [s[k] for s in group_states], axis=0
+                        )
+                        for k in ("frame", "pos", "prev", "done")
+                    },
+                }
+                if self.mesh is not None:
+                    from fish_tts_tpu.parallel import sharding
+
+                    state = sharding.shard_state(state, self.mesh)
+                first = jnp.concatenate(group_firsts, axis=0)
+
+        # internal (grouped) row -> caller stream index
+        inv = np.empty(B, np.int64)
+        inv[np.asarray(order)] = np.arange(B)
 
         frames_all = [np.asarray(first)[:, None, :]]  # list of (B, n, 1+K)
         emitted_all = [np.ones((B, 1), bool)]
         produced = 1
-        max_len = int(lengths.max())
         while produced < max_new and not bool(np.asarray(state["done"]).all()):
-            state, frames, emitted = decode_mod.decode_chunk(
-                self.params, self.rope, state, self._next_key(),
-                jnp.float32(temperature), jnp.float32(top_p),
-                jnp.float32(repetition_penalty),
-                cfg=cfg, ids=self.ids, num_frames=ecfg.decode_chunk,
-                top_k=ecfg.sample_top_k, approx=ecfg.approx_top_k,
-                kv_bucket=_kv_bucket(
-                    max_len + produced + ecfg.decode_chunk,
-                    ecfg.kv_bucket_step, cfg.max_seq_len,
-                ),
-                fast_kernel=self._fast_kernel,
-            )
-            n = min(ecfg.decode_chunk, max_new - produced)
-            frames_all.append(np.asarray(frames)[:, :n])
-            emitted_all.append(np.asarray(emitted)[:, :n])
+            with self.metrics.span("decode"):
+                state, frames, emitted = decode_mod.decode_chunk(
+                    self.params, self.rope, state, self._next_key(),
+                    t_dev, p_dev, r_dev,
+                    cfg=cfg, ids=self.ids, num_frames=ecfg.decode_chunk,
+                    top_k=ecfg.sample_top_k, approx=ecfg.approx_top_k,
+                    kv_bucket=_kv_bucket(
+                        max_len + produced + ecfg.decode_chunk,
+                        ecfg.kv_bucket_step, cfg.max_seq_len,
+                    ),
+                    fast_kernel=self._fast_kernel,
+                )
+                n = min(ecfg.decode_chunk, max_new - produced)
+                frames_all.append(np.asarray(frames)[:, :n])
+                emitted_all.append(np.asarray(emitted)[:, :n])
             produced += n
 
         frames = np.concatenate(frames_all, axis=1)  # (B, N, 1+K)
         emitted = np.concatenate(emitted_all, axis=1)  # (B, N)
+        self.metrics.record_tokens(int(emitted.sum()))
         out = []
-        for b in range(B):
+        for b in inv:  # caller order
             fb = frames[b, emitted[b]]  # (n_b, 1+K)
             codes = fb[:-1, 1:].T if fb.shape[0] > 1 else fb[:0, 1:].T
             out.append(np.maximum(codes, 0).astype(np.int64))

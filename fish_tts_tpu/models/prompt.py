@@ -13,6 +13,13 @@ matching the reference's ``ContentSequence.encode_for_inference`` contract
 
 This is host-side numpy (it runs once per synthesize call); the device side
 only ever sees the finished int32 matrix.
+
+Consciously omitted: the reference's training-mode ``ContentSequence.encode``
+surface (inference.py:523-609) also emits per-position labels and audio-part
+masks for loss computation.  This framework is inference-only (as is the
+reference's shipped product path — nothing in fish_tts calls encode with
+labels), so only the inference projection is implemented; adding labels
+later is a pure host-side extension of ``encode_for_inference``.
 """
 
 from __future__ import annotations

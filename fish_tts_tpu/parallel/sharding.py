@@ -26,6 +26,7 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from fish_tts_tpu.config import DualARConfig
+from fish_tts_tpu.utils.quantize import is_quantized
 
 Params = dict[str, Any]
 
@@ -77,22 +78,55 @@ def param_specs(cfg: DualARConfig) -> Params:
     return specs
 
 
-def state_specs() -> Params:
+def state_specs(dp_batch: bool = True) -> Params:
     """PartitionSpecs for the decode-state pytree (engine/decode.py):
-    KV cache (L, B, Hkv, S, Dh) sharded over (dp batch, tp KV heads)."""
-    kv = P(None, "dp", "tp", None, None)
+    KV cache (L, B, Hkv, S, Dh) sharded over (dp batch, tp KV heads).
+
+    ``dp_batch=False`` replicates the batch axis instead — required when the
+    batch size does not divide the mesh's dp extent (e.g. single-stream
+    ``generate_long`` on a dp>1 mesh, where the one stream simply does not
+    use the dp rows).
+    """
+    b = "dp" if dp_batch else None
+    kv = P(None, b, "tp", None, None)
     return {
         "kv": {"k": kv, "v": kv},
-        "frame": P("dp", None),
-        "pos": P("dp"),
-        "prev": P("dp", None, None),
+        "frame": P(b, None),
+        "pos": P(b),
+        "prev": P(b, None, None),
         "step": P(),
-        "done": P("dp"),
+        "done": P(b),
     }
 
 
 def rope_specs() -> Params:
     return {"slow": P(None, None, None), "fast": P(None, None, None)}
+
+
+def expand_quant_specs(specs: Params, params: Params) -> Params:
+    """Adapt a plain-weight spec tree to the actual (possibly int8) params.
+
+    Weight-only quantization (utils/quantize.py) replaces a weight leaf with
+    ``{"q": int8 same-shape, "s": f32 scale}`` where the scale keeps the
+    quantized (contraction) axis at size 1.  The int8 tensor inherits the
+    plain weight's spec verbatim; the scale inherits it with every size-1
+    axis unsharded (a length-1 axis cannot be split over a mesh axis).
+    """
+
+    def walk(spec, param):
+        if is_quantized(param):
+            s = param["s"]
+            s_spec = P(*[
+                None if s.shape[i] == 1 else (spec[i] if i < len(spec) else None)
+                for i in range(s.ndim)
+            ])
+            return {"q": spec, "s": s_spec}
+        if isinstance(param, dict):
+            return {k: walk(spec[k] if isinstance(spec, dict) else spec, v)
+                    for k, v in param.items()}
+        return spec
+
+    return {k: walk(specs[k], v) for k, v in params.items()}
 
 
 def _put(tree: Params, specs: Params, mesh: Mesh) -> Params:
@@ -102,7 +136,8 @@ def _put(tree: Params, specs: Params, mesh: Mesh) -> Params:
 
 
 def shard_params(params: Params, cfg: DualARConfig, mesh: Mesh) -> Params:
-    """Place LM params on the mesh with TP shardings."""
+    """Place LM params (bf16 or weight-only int8) on the mesh with TP
+    shardings."""
     tp = mesh.shape["tp"]
     if cfg.n_local_heads % tp != 0:
         raise ValueError(
@@ -112,11 +147,21 @@ def shard_params(params: Params, cfg: DualARConfig, mesh: Mesh) -> Params:
         raise ValueError(
             f"tp={tp} must divide intermediate_size={cfg.intermediate_size}"
         )
-    return _put(params, param_specs(cfg), mesh)
+    if "_slow_head" in params:
+        raise ValueError(
+            "params carry the fused-kernel head (_slow_head); the Pallas "
+            "kernels are single-device — shard before slow_stack.prepare_head"
+        )
+    specs = expand_quant_specs(param_specs(cfg), params)
+    return _put(params, specs, mesh)
 
 
-def shard_state(state: Params, mesh: Mesh) -> Params:
-    return _put(state, state_specs(), mesh)
+def shard_state(state: Params, mesh: Mesh, dp_batch: bool | None = None) -> Params:
+    """Place the decode state on the mesh.  ``dp_batch=None`` autodetects:
+    the batch axis is dp-sharded iff its size divides the mesh dp extent."""
+    if dp_batch is None:
+        dp_batch = state["pos"].shape[0] % mesh.shape["dp"] == 0
+    return _put(state, state_specs(dp_batch), mesh)
 
 
 def shard_rope(rope: Params, mesh: Mesh) -> Params:

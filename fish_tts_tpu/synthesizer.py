@@ -400,17 +400,7 @@ class FishTTS:
         Green-field capability — the reference hard-codes batch size 1
         (inference.py:314, 676).
         """
-        if references is not None:
-            prompt_text = [p.text for p in references]
-            prompt_tokens = [np.asarray(p.codes) for p in references]
-        else:
-            # generate_batch has no KV-prefix support, so unlike synthesize()
-            # the cached-prefix fast path cannot apply: always pass the raw
-            # reference texts/codes so batched synthesis stays conditioned on
-            # the voice set via set_references.
-            with self._prefill_lock:
-                prompt_text = list(self._prefill_cache.prompt_text)
-                prompt_tokens = list(self._prefill_cache.prompt_tokens)
+        prompt_text, prompt_tokens, use_prefix = self._get_prompt_data(references)
         codes_list = self._engine.generate_batch(
             texts,
             max_new_tokens=max_tokens,
@@ -419,6 +409,7 @@ class FishTTS:
             repetition_penalty=repetition_penalty,
             prompt_text=prompt_text,
             prompt_tokens=prompt_tokens,
+            use_prefix_cache=use_prefix,
         )
         out = []
         for codes in codes_list:

@@ -209,9 +209,9 @@ def test_generate_long_num_samples(tts):
 
 
 def test_synthesize_batch_uses_cached_references(tts):
-    """Batched synthesis must stay conditioned on references set via
-    set_references even though the engine holds a KV prefix (the prefix
-    cache only serves the single-stream path)."""
+    """Batched synthesis stays conditioned on references set via
+    set_references by forking the cached KV prefix across the batch — the
+    reference blocks are never re-passed (and never re-prefilled) per call."""
     from unittest.mock import patch
 
     codes = np.random.randint(0, 24, (tts._cfg.num_codebooks, 8)).astype(np.int64)
@@ -221,12 +221,23 @@ def test_synthesize_batch_uses_cached_references(tts):
         with patch.object(
             tts._engine, "generate_batch", wraps=tts._engine.generate_batch
         ) as spy:
-            wavs = tts.synthesize_batch(["conditioned"], max_tokens=12)
-        assert len(wavs) == 1
+            wavs = tts.synthesize_batch(["conditioned", "streams"], max_tokens=12)
+        assert len(wavs) == 2
         _, kwargs = spy.call_args
+        assert kwargs["use_prefix_cache"] is True
+        assert kwargs["prompt_text"] == []  # prefix KV carries the voice
+        assert kwargs["prompt_tokens"] == []
+        # explicit references still override the cached prefix
+        with patch.object(
+            tts._engine, "generate_batch", wraps=tts._engine.generate_batch
+        ) as spy:
+            tts.synthesize_batch(
+                ["explicit"], max_tokens=12,
+                references=[VoiceProfile(codes=codes, text="batch ref")],
+            )
+        _, kwargs = spy.call_args
+        assert kwargs["use_prefix_cache"] is False
         assert kwargs["prompt_text"] == ["batch ref"]
-        assert len(kwargs["prompt_tokens"]) == 1
-        np.testing.assert_array_equal(kwargs["prompt_tokens"][0], codes)
     finally:
         tts.clear_references()
 

@@ -363,3 +363,108 @@ def test_generation_invariant_to_kv_bucket_step(tiny_tokenizer):
     fine = run(16)       # buckets grow 16 -> 32 -> 48 ... during decode
     coarse = run(10**6)  # capped at max_seq_len: one full-cache bucket
     np.testing.assert_array_equal(fine, coarse)
+
+
+# ---------------------------------------------------------------------------
+# Batched serving (generate_batch)
+# ---------------------------------------------------------------------------
+
+
+def _spy_prefill(monkeypatch, calls):
+    """Record every decode.prefill call's (batch, prompt width, start pos)."""
+    real = decode.prefill
+
+    def spy(params, rope, state, prompt, lengths, *a, **kw):
+        calls.append(
+            (prompt.shape[0], prompt.shape[2], int(np.asarray(state["pos"])[0]))
+        )
+        return real(params, rope, state, prompt, lengths, *a, **kw)
+
+    monkeypatch.setattr(decode, "prefill", spy)
+
+
+def test_generate_batch_forks_prefix(tiny_tokenizer, monkeypatch):
+    """With a cached voice prefix, generate_batch must prefill ONLY each
+    stream's text suffix (small bucket, starting at the prefix offset) —
+    never the reference blocks again."""
+    from fish_tts_tpu.config import EngineConfig
+    from fish_tts_tpu.engine.generate import GenerationEngine
+
+    params = dual_ar.init_params(jax.random.PRNGKey(3), CFG, dtype=jnp.float32)
+    eng = GenerationEngine(
+        params, CFG, tiny_tokenizer,
+        engine_cfg=EngineConfig(prompt_buckets=(8, 16, 32), decode_chunk=4,
+                                first_chunk=4, kv_bucket_step=32),
+        seed=7,
+    )
+    ref = np.random.RandomState(0).randint(
+        0, CFG.residual_codebook_size, (CFG.num_codebooks, 10)
+    ).astype(np.int64)
+    eng.set_prefix(["reference transcript"], [ref])
+    prefix_len = int(np.asarray(eng._prefix_state["pos"])[0])
+    assert prefix_len > 10
+
+    calls = []
+    _spy_prefill(monkeypatch, calls)
+    outs = eng.generate_batch(["one", "two"], max_new_tokens=6)
+    assert len(outs) == 2
+    for c in outs:
+        assert c.shape[0] == CFG.num_codebooks and c.min() >= 0
+    # exactly one prefill over the 2-stream suffix batch, starting at the
+    # prefix offset, padded only to the small suffix bucket
+    assert len(calls) == 1
+    B, width, start = calls[0]
+    assert B == 2
+    assert start == prefix_len
+    # the suffix block ("one"/"two" + chat framing) fits the 16 bucket; a
+    # reference-inclusive prompt (prefix_len + suffix) would need >= 32
+    assert width == 16 < prefix_len + 16
+
+
+def test_generate_batch_buckets_per_stream(tiny_tokenizer, monkeypatch):
+    """Streams with very different prompt lengths prefill in separate bucket
+    groups, and outputs come back in caller order."""
+    from fish_tts_tpu.config import EngineConfig
+    from fish_tts_tpu.engine.generate import GenerationEngine
+
+    params = dual_ar.init_params(jax.random.PRNGKey(3), CFG, dtype=jnp.float32)
+    eng = GenerationEngine(
+        params, CFG, tiny_tokenizer,
+        engine_cfg=EngineConfig(prompt_buckets=(8, 16, 32), decode_chunk=4,
+                                first_chunk=4, kv_bucket_step=32),
+        seed=7,
+    )
+    calls = []
+    _spy_prefill(monkeypatch, calls)
+    # byte-level tokenizer: ~1 token/char + 13 framing tokens ->
+    # "longer text ok" lands in bucket 32, "hi" in bucket 16
+    texts = ["longer text ok", "hi"]
+    outs = eng.generate_batch(texts, max_new_tokens=6)
+    assert len(outs) == 2
+    assert len(calls) == 2  # one prefill per bucket group
+    widths = sorted(c[1] for c in calls)
+    assert widths[0] < widths[1]  # short stream did NOT pad to the long bucket
+
+
+def test_decode_chunk_skips_after_all_done(setup):
+    """B>1 chunks stop running the model once every stream is done: the
+    all-done state passes through unchanged and nothing is emitted."""
+    params, rope = setup
+    state = decode.init_state(params, CFG, batch=2)
+    state["pos"] = jnp.asarray([9, 11], jnp.int32)
+    state["done"] = jnp.ones((2,), jnp.bool_)
+    state["frame"] = jnp.full((2, 1 + CFG.num_codebooks), 3, jnp.int32)
+    before = jax.tree_util.tree_map(np.asarray, state)
+    state, frames, emitted = decode.decode_chunk(
+        params, rope, state, jax.random.PRNGKey(2),
+        _scalar(0.7), _scalar(0.8), _scalar(1.1),
+        cfg=CFG, ids=IDS, num_frames=4,
+    )
+    assert not emitted.any()
+    np.testing.assert_array_equal(np.asarray(state["pos"]), before["pos"])
+    np.testing.assert_array_equal(np.asarray(state["step"]), before["step"])
+    np.testing.assert_array_equal(
+        np.asarray(state["kv"]["k"]), before["kv"]["k"]
+    )
+    # the held frame is replayed, never a fresh sample
+    assert (np.asarray(frames) == 3).all()

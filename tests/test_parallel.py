@@ -90,3 +90,122 @@ def test_tp_divisibility_guard(eight_devices):
     params = dual_ar.init_params(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
     with pytest.raises(ValueError):
         sharding.shard_params(params, CFG, m)  # tp=8 > n_local_heads=4
+
+
+# ---------------------------------------------------------------------------
+# int8 pytrees on the mesh
+# ---------------------------------------------------------------------------
+
+
+def test_int8_params_shard(eight_devices):
+    """Weight-only int8 {"q","s"} leaves get valid TP placements (scales
+    never sharded over size-1 axes) and the sharded matmul matches."""
+    from fish_tts_tpu.utils.quantize import qmm, quantize_lm_params
+
+    params = dual_ar.init_params(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
+    qparams = quantize_lm_params(params)
+    m = mesh_mod.make_mesh(tp=4, dp=2, devices=eight_devices)
+    sharded = sharding.shard_params(qparams, CFG, m)
+
+    # column-parallel wqkv: int8 tile sharded on the out axis, scale likewise
+    wqkv = sharded["layers"]["wqkv"]
+    assert wqkv["q"].sharding.spec == jax.sharding.PartitionSpec(None, None, "tp")
+    assert wqkv["s"].sharding.spec == jax.sharding.PartitionSpec(None, None, "tp")
+    # row-parallel wo: int8 sharded on the contraction axis; the scale's
+    # contraction axis is size 1 so it must stay unsharded there
+    wo = sharded["layers"]["wo"]
+    assert wo["q"].sharding.spec == jax.sharding.PartitionSpec(None, "tp", None)
+    assert wo["s"].sharding.spec == jax.sharding.PartitionSpec(None, None, None)
+
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 4, CFG.dim), jnp.float32)
+    mm = jax.jit(lambda x, w: qmm(x, {"q": w["q"][0], "s": w["s"][0]}))
+    want = mm(x, qparams["layers"]["wqkv"])
+    got = mm(x, sharded["layers"]["wqkv"])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_prepare_head_params_rejected(eight_devices):
+    """Fused-kernel head tiles are single-device; sharding them must fail
+    loudly rather than silently replicate."""
+    m = mesh_mod.make_mesh(tp=4, dp=2, devices=eight_devices)
+    params = dual_ar.init_params(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
+    params["_slow_head"] = {"q": jnp.zeros((8, 8), jnp.int8),
+                            "s": jnp.zeros((1, 8), jnp.float32)}
+    with pytest.raises(ValueError, match="_slow_head"):
+        sharding.shard_params(params, CFG, m)
+
+
+# ---------------------------------------------------------------------------
+# Through the engine (EngineConfig.tp_size/dp_size -> product path)
+# ---------------------------------------------------------------------------
+
+
+def _tiny_engine(tokenizer, tp=1, dp=1, int8=False, seed=0):
+    from fish_tts_tpu.config import EngineConfig
+    from fish_tts_tpu.engine.generate import GenerationEngine
+    from fish_tts_tpu.utils.quantize import quantize_lm_params
+
+    # CFG dims chosen so tp=4 divides heads/FFN; tokenizer ids fit vocab 1024
+    params = dual_ar.init_params(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
+    if int8:
+        params = quantize_lm_params(params)
+    ecfg = EngineConfig(
+        tp_size=tp, dp_size=dp,
+        prompt_buckets=(32, 64), decode_chunk=4, first_chunk=4,
+        kv_bucket_step=64, sample_top_k=32,
+    )
+    return GenerationEngine(params, CFG, tokenizer, engine_cfg=ecfg, seed=seed)
+
+
+@pytest.fixture(scope="module")
+def engine_tokenizer(tmp_path_factory):
+    from fish_tts_tpu.models.tokenizer import (
+        FishTokenizer, tiny_special_tokens, write_tiny_vocab,
+    )
+
+    path = tmp_path_factory.mktemp("vocab_par") / "tokenizer.tiktoken"
+    write_tiny_vocab(path)
+    return FishTokenizer(path, tiny_special_tokens(num_semantic=CFG.codebook_size))
+
+
+def _collect_codes(engine, text, **kw):
+    out = []
+    for r in engine.generate_long(text, max_new_tokens=8, **kw):
+        if r.action == "sample":
+            out.append(r.codes)
+    return np.concatenate(out, axis=1) if out else np.zeros((CFG.num_codebooks, 0))
+
+
+def test_engine_tp_generate_long(eight_devices, engine_tokenizer):
+    """generate_long through a tp=4 engine runs and matches the tp=1 engine
+    exactly (same fp32 math; GSPMD only changes layout)."""
+    e1 = _tiny_engine(engine_tokenizer, tp=1, dp=1)
+    e4 = _tiny_engine(engine_tokenizer, tp=4, dp=1)
+    c1 = _collect_codes(e1, "hello world")
+    c4 = _collect_codes(e4, "hello world")
+    np.testing.assert_array_equal(c1, c4)
+
+
+def test_engine_tp_dp_int8(eight_devices, engine_tokenizer):
+    """The production precision (weight-only int8) composes with (dp=2, tp=4):
+    generate_long, the KV-prefix path, and generate_batch all run sharded."""
+    eng = _tiny_engine(engine_tokenizer, tp=4, dp=2, int8=True)
+    assert eng.mesh is not None and eng.mesh.shape == {"dp": 2, "tp": 4}
+
+    codes = _collect_codes(eng, "hello world")
+    assert codes.shape[0] == CFG.num_codebooks
+    assert codes.min() >= 0
+
+    # voice-profile KV prefix on the mesh
+    ref_codes = np.random.RandomState(0).randint(
+        0, 24, (CFG.num_codebooks, 6)
+    ).astype(np.int64)
+    eng.set_prefix(["ref text"], [ref_codes])
+    codes2 = _collect_codes(eng, "hello again")
+    assert codes2.shape[0] == CFG.num_codebooks
+
+    # dp-sharded batch (B=2 divides dp=2)
+    outs = eng.generate_batch(["one text", "two text"], max_new_tokens=6)
+    assert len(outs) == 2
+    for c in outs:
+        assert c.shape[0] == CFG.num_codebooks and c.min() >= 0
