@@ -384,58 +384,64 @@ class GenerationEngine:
             0 if prefix_len == 0
             else _kv_bucket(prefix_len, ecfg.kv_bucket_step, cfg.max_seq_len)
         )
-        with self.metrics.span("prefill"):
-            state, frames, emitted = decode_mod.prefill_chunk(
-                self.params, self.rope, state,
-                jnp.asarray(padded), jnp.asarray([T], jnp.int32),
-                self._next_key(), t_dev, p_dev, r_dev,
-                cfg=cfg, ids=self.ids, num_frames=n0,
-                top_k=ecfg.sample_top_k, approx=ecfg.approx_top_k,
-                kv_bucket_prefill=kv_pre,
-                kv_bucket=_kv_bucket(
-                    prompt_len + n0, ecfg.kv_bucket_step, cfg.max_seq_len
-                ),
-                fast_kernel=self._fast_kernel,
-            )
-            frames_np = np.asarray(frames)  # (1, 1+n0, 1+K)
-            emitted_np = np.asarray(emitted)[0]
-            done = bool(np.asarray(state["done"])[0])
-        self.metrics.record_tokens(int(min(emitted_np.sum(), max_new)))
+        state, frames, emitted = decode_mod.prefill_chunk(
+            self.params, self.rope, state,
+            jnp.asarray(padded), jnp.asarray([T], jnp.int32),
+            self._next_key(), t_dev, p_dev, r_dev,
+            cfg=cfg, ids=self.ids, num_frames=n0,
+            top_k=ecfg.sample_top_k, approx=ecfg.approx_top_k,
+            kv_bucket_prefill=kv_pre,
+            kv_bucket=_kv_bucket(
+                prompt_len + n0, ecfg.kv_bucket_step, cfg.max_seq_len
+            ),
+            fast_kernel=self._fast_kernel,
+        )
 
+        # Pipelined chunk loop: dispatch chunk k+1 to the device BEFORE
+        # forcing chunk k's outputs, so the device never idles on per-call
+        # dispatch latency (which otherwise dominates end-to-end RTF over a
+        # tunneled device: ~35 ms x one round trip per 20-frame chunk).  EOS
+        # is derived from the already-fetched frames — reading state["done"]
+        # is impossible anyway once the speculative dispatch has consumed
+        # (donated) the state.  The one chunk dispatched past EOS is discarded
+        # via its emitted mask (its frames replay the held final frame).
+        dispatched = 1 + n0  # frames in flight, upper bound (all emitted)
+        pending = (frames, emitted, True)
         produced = 0
         collected: list[np.ndarray] = []
-        valid = frames_np[:, emitted_np]
-        if valid.shape[1] > max_new:
-            valid = valid[:, :max_new]
-        produced += valid.shape[1]
-        if valid.shape[1]:
-            collected.append(valid)
-            if streaming:
-                codes = np.maximum(valid[0, :, 1:], 0)
-                yield GenerateResponse(
-                    action="sample", codes=codes.T.astype(np.int64), text=text
-                )
 
-        while produced < max_new and not done:
-            n = ecfg.decode_chunk
-            with self.metrics.span("decode"):
-                state, frames, emitted = decode_mod.decode_chunk(
+        while pending is not None:
+            frames_dev, emitted_dev, is_first = pending
+            nxt = None
+            if dispatched < max_new:
+                n = ecfg.decode_chunk
+                state, f2, e2 = decode_mod.decode_chunk(
                     self.params, self.rope, state, self._next_key(),
                     t_dev, p_dev, r_dev,
                     cfg=cfg, ids=self.ids, num_frames=n,
                     top_k=ecfg.sample_top_k, approx=ecfg.approx_top_k,
                     kv_bucket=_kv_bucket(
-                        prompt_len + produced + n, ecfg.kv_bucket_step, cfg.max_seq_len
+                        prompt_len + dispatched + n,
+                        ecfg.kv_bucket_step, cfg.max_seq_len,
                     ),
                     fast_kernel=self._fast_kernel,
                 )
-                frames_np = np.asarray(frames)  # (1, n, 1+K)
-                emitted_np = np.asarray(emitted)[0]  # (n,)
-                done = bool(np.asarray(state["done"])[0])
+                nxt = (f2, e2, False)
+                dispatched += n
+            with self.metrics.span("prefill" if is_first else "decode"):
+                frames_np = np.asarray(frames_dev)  # (1, m, 1+K)
+                emitted_np = np.asarray(emitted_dev)[0]  # (m,)
+            # A stream is done after this chunk iff it stopped emitting
+            # mid-chunk or its last frame sampled <|im_end|> (identical to
+            # state["done"], which decode writes as was_done | frame==im_end).
+            done = bool(
+                (not emitted_np[-1])
+                or frames_np[0, -1, 0] == self.ids.im_end
+            )
             self.metrics.record_tokens(
                 int(min(emitted_np.sum(), max_new - produced))
             )
-            if show_progress:
+            if show_progress and not is_first:
                 # chunk-level progress (the reference shows per-token tqdm,
                 # inference.py:184; chunks are the host-visible granularity)
                 logger.info(
@@ -443,7 +449,7 @@ class GenerationEngine:
                     max_new, " (EOS)" if done else "",
                 )
 
-            valid = frames_np[:, emitted_np]  # (1, m, 1+K)
+            valid = frames_np[:, emitted_np]  # (1, m', 1+K)
             # Cap at the token budget.
             room = max_new - produced
             if valid.shape[1] > room:
@@ -457,6 +463,7 @@ class GenerationEngine:
                     yield GenerateResponse(
                         action="sample", codes=codes.T.astype(np.int64), text=text
                     )
+            pending = None if (done or produced >= max_new) else nxt
 
         if not streaming:
             all_frames = np.concatenate(collected, axis=1)[0]  # (n, 1+K)
@@ -610,24 +617,47 @@ class GenerationEngine:
 
         frames_all = [np.asarray(first)[:, None, :]]  # list of (B, n, 1+K)
         emitted_all = [np.ones((B, 1), bool)]
+        # Pipelined chunk loop (same pattern as _generate_one): dispatch the
+        # next chunk before forcing the previous one; per-stream done is
+        # derived from the fetched frames (stopped emitting mid-chunk, or the
+        # last frame sampled im_end).  done_rows lags one chunk behind —
+        # worst case one extra chunk is dispatched, and its scan steps skip
+        # the model via the all-done cond.
+        done_rows = frames_all[0][:, -1, 0] == self.ids.im_end  # (B,)
         produced = 1
-        while produced < max_new and not bool(np.asarray(state["done"]).all()):
-            with self.metrics.span("decode"):
-                state, frames, emitted = decode_mod.decode_chunk(
+        dispatched = 1
+        pending = None
+        while True:
+            nxt = None
+            if dispatched < max_new and not bool(done_rows.all()):
+                state, f2, e2 = decode_mod.decode_chunk(
                     self.params, self.rope, state, self._next_key(),
                     t_dev, p_dev, r_dev,
                     cfg=cfg, ids=self.ids, num_frames=ecfg.decode_chunk,
                     top_k=ecfg.sample_top_k, approx=ecfg.approx_top_k,
                     kv_bucket=_kv_bucket(
-                        max_len + produced + ecfg.decode_chunk,
+                        max_len + dispatched + ecfg.decode_chunk,
                         ecfg.kv_bucket_step, cfg.max_seq_len,
                     ),
                     fast_kernel=self._fast_kernel,
                 )
+                nxt = (f2, e2)
+                dispatched += ecfg.decode_chunk
+            if pending is None and nxt is None:
+                break
+            if pending is not None:
+                f_dev, e_dev = pending
+                with self.metrics.span("decode"):
+                    f_np = np.asarray(f_dev)
+                    e_np = np.asarray(e_dev)
                 n = min(ecfg.decode_chunk, max_new - produced)
-                frames_all.append(np.asarray(frames)[:, :n])
-                emitted_all.append(np.asarray(emitted)[:, :n])
-            produced += n
+                frames_all.append(f_np[:, :n])
+                emitted_all.append(e_np[:, :n])
+                produced += n
+                done_rows = (~e_np[:, -1]) | (
+                    f_np[:, -1, 0] == self.ids.im_end
+                )
+            pending = nxt
 
         frames = np.concatenate(frames_all, axis=1)  # (B, N, 1+K)
         emitted = np.concatenate(emitted_all, axis=1)  # (B, N)

@@ -298,8 +298,12 @@ def slow_stack_step(
     seg, seg_t = _segment_masks(cfg)
     pos_smem = pos.reshape(1, B).astype(jnp.int32)
 
-    k_read = kv_cache["k"][:, :, :, :R]  # (L, 1, Hkv, R, Dh)
-    v_read = kv_cache["v"][:, :, :, :R]
+    # The kernel reads only rows [0:R) of the cache.  The full (L,B,Hkv,S,Dh)
+    # arrays are passed and the BlockSpec windows the R-row prefix per layer —
+    # slicing here instead would force XLA to materialize a fresh
+    # (L,B,Hkv,R,Dh) copy (~2*L*Hkv*R*Dh bytes, ~59 MB at S1-mini bucket 512)
+    # on every decode step before the kernel could read it.
+    cache_block = (L, B, Hkv, R, Dh)
 
     smem_spec = pl.BlockSpec((1, B), memory_space=pltpu.SMEM)
     whole = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -321,7 +325,7 @@ def slow_stack_step(
         + [whole] * 7  # x, 4 rope rows, seg, seg_t
         + [per_layer((L, 1, cfg.dim))] * 2  # norms (layer axis kept off the
         #   last-two block dims, which Pallas requires to be full-array)
-        + [per_layer(k_read.shape)] * 2  # cache slices
+        + [per_layer(cache_block)] * 2  # R-row cache windows (see above)
         + [
             per_layer(lw["wqkv"]["q"].shape), per_layer(lw["wqkv"]["s"].shape),
             per_layer(lw["wo"]["q"].shape), per_layer(lw["wo"]["s"].shape),
@@ -348,7 +352,7 @@ def slow_stack_step(
         cos_q, sin_q, cos_k, sin_k, seg, seg_t,
         lw["attention_norm"].astype(jnp.float32)[:, None, :],
         lw["ffn_norm"].astype(jnp.float32)[:, None, :],
-        k_read, v_read,
+        kv_cache["k"], kv_cache["v"],
         lw["wqkv"]["q"], lw["wqkv"]["s"].astype(jnp.float32),
         lw["wo"]["q"], lw["wo"]["s"].astype(jnp.float32),
         lw["w1"]["q"], lw["w1"]["s"].astype(jnp.float32),
