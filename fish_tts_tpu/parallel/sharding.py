@@ -147,9 +147,10 @@ def shard_params(params: Params, cfg: DualARConfig, mesh: Mesh) -> Params:
         raise ValueError(
             f"tp={tp} must divide intermediate_size={cfg.intermediate_size}"
         )
-    if "_slow_head" in params:
+    prepared = [k for k in params if k.startswith("_")]
+    if prepared:
         raise ValueError(
-            "params carry the fused-kernel head (_slow_head); the Pallas "
+            f"params carry fused-kernel layouts {prepared}; the Pallas "
             "kernels are single-device — shard before slow_stack.prepare_head"
         )
     specs = expand_quant_specs(param_specs(cfg), params)
