@@ -424,6 +424,7 @@ class FishTTS:
         references: list[VoiceProfile] | None = None,
         chunk_tokens: int = 20,
         min_first_chunk: int = 10,
+        context_frames: int = 32,
         **kwargs,
     ) -> Iterator[bytes]:
         """Streaming synthesis with async-dispatch pipelining.
@@ -437,17 +438,42 @@ class FishTTS:
         requested — the device works on the vocoder chunk while the host sets
         up the next decode step, replacing the reference's decoder thread
         (synthesizer.py:513-527).
+
+        ``context_frames``: each chunk after the first is decoded with that
+        many preceding frames prepended and the overlap trimmed from the
+        audio.  The codec is fully causal, so with enough context this equals
+        the jointly-decoded waveform; the reference decodes every chunk
+        independently (synthesizer.py:513-527), which is ``context_frames=0``
+        here — audibly clicky at chunk boundaries.  The first chunk never
+        carries context, so time-to-first-audio is unaffected.
         """
         prompt_text, prompt_tokens, use_prefix = self._get_prompt_data(references)
 
         buffer: list[np.ndarray] = []
+        history: list[np.ndarray] = []  # flushed codes kept as decode context
+        hist_n = 0
         total = 0
         is_first = True
         in_flight = None  # device array of the previous chunk's audio
 
         def flush(buffer):
+            nonlocal hist_n
             codes = np.concatenate(buffer, axis=1)
-            return self._decode_codes_async(codes)
+            ctx = 0
+            if context_frames > 0 and hist_n > 0:
+                ctx_codes = np.concatenate(history, axis=1)[:, -context_frames:]
+                ctx = ctx_codes.shape[1]
+                codes = np.concatenate([ctx_codes, codes], axis=1)
+            history.append(codes[:, ctx:])
+            hist_n += codes.shape[1] - ctx
+            # keep only what future context windows can use
+            while len(history) > 1 and (
+                hist_n - history[0].shape[1] >= context_frames
+            ):
+                hist_n -= history[0].shape[1]
+                history.pop(0)
+            audio, n = self._decode_codes_async(codes)
+            return audio, n - ctx, ctx
 
         for response in self._engine.generate_long(
             text,
@@ -524,12 +550,15 @@ class FishTTS:
         audio = self._vocoder_decode_fn(bucket)(jnp.asarray(padded))
         return audio, n
 
-    def _force_pcm(self, audio, n_frames: int) -> bytes:
+    def _force_pcm(self, audio, n_frames: int, skip_frames: int = 0) -> bytes:
+        """Force a dispatched vocoder decode to int16 PCM, dropping
+        ``skip_frames`` of (context) audio from the front."""
         from fish_tts_tpu.utils.audio import to_pcm_bytes
 
         with self._engine.metrics.span("vocoder"):
             arr = np.asarray(audio, dtype=np.float32)[0, 0]
-        arr = arr[: n_frames * self._vocoder_cfg.frame_length]
+        fl = self._vocoder_cfg.frame_length
+        arr = arr[skip_frames * fl: (skip_frames + n_frames) * fl]
         return to_pcm_bytes(arr)
 
     def _decode_codes(self, codes: np.ndarray) -> np.ndarray:

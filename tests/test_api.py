@@ -111,6 +111,43 @@ def test_streaming_first_chunk_threshold(tts):
         assert first_frames >= 10
 
 
+def test_streaming_context_decode_is_prefix_exact(tts):
+    """The codec is causal, so decoding a chunk with its full left context
+    prepended and trimming the overlap reproduces the jointly-decoded
+    waveform — the property the synthesize_stream(context_frames=...) path
+    relies on (the reference decodes chunks independently and clicks)."""
+    cfg = tts._vocoder_cfg
+    rng = np.random.RandomState(0)
+    codes = rng.randint(0, 24, (cfg.num_codebooks, 40)).astype(np.int64)
+    codes[0] = rng.randint(0, 48, 40)
+    fl = cfg.frame_length
+    full = tts._decode_codes(codes)
+
+    out = []
+    for start, n in ((0, 10), (10, 15), (25, 15)):
+        audio, m = tts._decode_codes_async(codes[:, : start + n])
+        arr = np.asarray(audio, np.float32)[0, 0][start * fl:(start + n) * fl]
+        out.append(arr)
+    streamed = np.concatenate(out)
+    np.testing.assert_allclose(streamed, full, atol=1e-4, rtol=1e-3)
+
+
+def test_streaming_context_frames_total_audio(tts):
+    """context_frames only changes boundary quality, never the amount or
+    framing of the audio: same total samples as the context-free stream for
+    the same token sequence."""
+    def run(ctx):
+        tts._engine.reseed(123)
+        chunks = list(tts.synthesize_stream(
+            "context stream check", max_tokens=36, context_frames=ctx
+        ))
+        return b"".join(chunks)
+
+    base = run(0)
+    with_ctx = run(8)
+    assert len(with_ctx) == len(base) > 0
+
+
 def test_singleton_identity(monkeypatch):
     import fish_tts_tpu.synthesizer as synth_mod
 
