@@ -483,9 +483,9 @@ class GenerationEngine:
         texts: list[str],
         *,
         max_new_tokens: int = 0,
-        top_p: float = 0.8,
-        repetition_penalty: float = 1.1,
-        temperature: float = 0.8,
+        top_p: float | list[float] = 0.8,
+        repetition_penalty: float | list[float] = 1.1,
+        temperature: float | list[float] = 0.8,
         prompt_text: list[str] | None = None,
         prompt_tokens: list[np.ndarray] | None = None,
         use_prefix_cache: bool = True,
@@ -506,16 +506,38 @@ class GenerationEngine:
           own padded length (one prefill program per distinct bucket in the
           batch), instead of padding every stream to the longest prompt.
 
+        Sampling params accept either one shared scalar or one value per
+        stream (the reference has neither batching nor per-request params);
+        per-stream values broadcast as (B, 1) columns through the sampler.
+
         Returns one ``(num_codebooks, n_b)`` code array per text, with the
         final frame stripped as in single-utterance batch mode.
         """
-        assert 0 < top_p <= 1 and 0 < repetition_penalty < 2 and 0 < temperature < 2
         if not texts:
             return []
+        B = len(texts)
+
+        def _vec(x, name, ok):
+            arr = np.full(B, float(x), np.float32) if np.isscalar(x) \
+                else np.asarray(x, np.float32)
+            if arr.shape != (B,):
+                raise ValueError(f"{name} must be a scalar or one value per text")
+            if not ok(arr).all():
+                raise ValueError(f"{name} out of range")
+            return arr
+
+        # same ranges as generate_long (reference inference.py:763-765)
+        t_arr = _vec(temperature, "temperature", lambda a: (0 < a) & (a < 2))
+        p_arr = _vec(top_p, "top_p", lambda a: (0 < a) & (a <= 1))
+        r_arr = _vec(repetition_penalty, "repetition_penalty",
+                     lambda a: (0 < a) & (a < 2))
+        uniform = (
+            (t_arr == t_arr[0]).all() and (p_arr == p_arr[0]).all()
+            and (r_arr == r_arr[0]).all()
+        )
         cfg, ecfg = self.cfg, self.engine_cfg
         prompt_text = prompt_text or []
         prompt_tokens = prompt_tokens or []
-        B = len(texts)
 
         use_cached_prefix = (
             use_prefix_cache and self._prefix_state is not None and not prompt_text
@@ -544,9 +566,17 @@ class GenerationEngine:
         else:
             max_new = cfg.max_seq_len - max_len
 
-        t_dev = jnp.float32(temperature)
-        p_dev = jnp.float32(top_p)
-        r_dev = jnp.float32(repetition_penalty)
+        def group_params(idxs):
+            """Sampling params for the streams ``idxs``: scalars when shared
+            (the bit-exact single-param path), else (len(idxs), 1) columns."""
+            if uniform:
+                return (jnp.float32(t_arr[0]), jnp.float32(p_arr[0]),
+                        jnp.float32(r_arr[0]))
+            sel = np.asarray(idxs)
+            return (jnp.asarray(t_arr[sel][:, None]),
+                    jnp.asarray(p_arr[sel][:, None]),
+                    jnp.asarray(r_arr[sel][:, None]))
+
         kv_pre = (
             0 if prefix_len == 0
             else _kv_bucket(prefix_len, ecfg.kv_bucket_step, cfg.max_seq_len)
@@ -576,11 +606,12 @@ class GenerationEngine:
                     self._fork_prefix_batch(Bg) if use_cached_prefix
                     else self._init_state(batch=Bg)
                 )
+                t_g, p_g, r_g = group_params(idxs)
                 state_g, first_g = decode_mod.prefill(
                     self.params, self.rope, state_g,
                     jnp.asarray(padded),
                     jnp.asarray(lengths[idxs], jnp.int32),
-                    self._next_key(), t_dev, p_dev, r_dev,
+                    self._next_key(), t_g, p_g, r_g,
                     cfg=cfg, ids=self.ids, top_k=ecfg.sample_top_k,
                     approx=ecfg.approx_top_k, kv_bucket=kv_pre,
                 )
@@ -614,6 +645,8 @@ class GenerationEngine:
         # internal (grouped) row -> caller stream index
         inv = np.empty(B, np.int64)
         inv[np.asarray(order)] = np.arange(B)
+        # decode-loop sampling params in grouped row order
+        t_dev, p_dev, r_dev = group_params(order)
 
         frames_all = [np.asarray(first)[:, None, :]]  # list of (B, n, 1+K)
         emitted_all = [np.ones((B, 1), bool)]

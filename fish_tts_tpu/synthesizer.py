@@ -268,7 +268,10 @@ class FishTTS:
                 if response.action == "next":
                     break
             if self._vocoder_params is not None:
-                for bucket in (_VOCODER_BUCKETS[0], _VOCODER_BUCKETS[1]):
+                # first streamed chunk (10), plain chunk (20), and the
+                # steady-state context-streaming size (32 ctx + 20 -> 80)
+                for bucket in (_VOCODER_BUCKETS[0], _VOCODER_BUCKETS[1],
+                               _VOCODER_BUCKETS[3]):
                     dummy = np.zeros(
                         (self._vocoder_cfg.num_codebooks, bucket), np.int64
                     )
@@ -388,14 +391,15 @@ class FishTTS:
         self,
         texts: list[str],
         references: list[VoiceProfile] | None = None,
-        temperature: float = 0.7,
-        top_p: float = 0.8,
-        repetition_penalty: float = 1.1,
+        temperature: float | list[float] = 0.7,
+        top_p: float | list[float] = 0.8,
+        repetition_penalty: float | list[float] = 1.1,
         max_tokens: int = 2048,
     ) -> list[bytes]:
         """Batched multi-utterance synthesis: decode all texts in one batched
         device program (one model pass per token serves every stream), then
-        vocoder-decode each.  Returns one WAV per text.
+        vocoder-decode each.  Returns one WAV per text.  Sampling params take
+        a shared scalar or one value per text.
 
         Green-field capability — the reference hard-codes batch size 1
         (inference.py:314, 676).

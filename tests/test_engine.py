@@ -446,6 +446,43 @@ def test_generate_batch_buckets_per_stream(tiny_tokenizer, monkeypatch):
     assert widths[0] < widths[1]  # short stream did NOT pad to the long bucket
 
 
+def test_generate_batch_per_stream_sampling_params(tiny_tokenizer):
+    """Per-stream sampling params: a vector of identical values matches the
+    scalar path bit-for-bit (uniform shortcut), and distinct per-stream
+    values run end to end — including across bucket groups."""
+    from fish_tts_tpu.config import EngineConfig
+    from fish_tts_tpu.engine.generate import GenerationEngine
+
+    params = dual_ar.init_params(jax.random.PRNGKey(3), CFG, dtype=jnp.float32)
+
+    def make():
+        return GenerationEngine(
+            params, CFG, tiny_tokenizer,
+            engine_cfg=EngineConfig(prompt_buckets=(8, 16, 32), decode_chunk=4,
+                                    first_chunk=4, kv_bucket_step=32),
+            seed=7,
+        )
+
+    texts = ["longer text ok", "hi"]
+    scalar = make().generate_batch(texts, max_new_tokens=6, temperature=0.7)
+    vector = make().generate_batch(
+        texts, max_new_tokens=6, temperature=[0.7, 0.7]
+    )
+    for a, b in zip(scalar, vector):
+        np.testing.assert_array_equal(a, b)
+
+    mixed = make().generate_batch(
+        texts, max_new_tokens=6,
+        temperature=[0.5, 1.2], top_p=[0.6, 0.95], repetition_penalty=[1.0, 1.3],
+    )
+    assert len(mixed) == 2
+    for c in mixed:
+        assert c.shape[0] == CFG.num_codebooks and c.min() >= 0
+
+    with pytest.raises(ValueError, match="temperature"):
+        make().generate_batch(texts, temperature=[0.7])  # wrong length
+
+
 def test_decode_chunk_skips_after_all_done(setup):
     """B>1 chunks stop running the model once every stream is done: the
     all-done state passes through unchanged and nothing is emitted."""

@@ -227,3 +227,45 @@ def test_threshold_sample_distribution_matches_exact():
     for k in jax.random.split(jax.random.PRNGKey(7), n):
         counts[int(fn(k)[0])] += 1
     np.testing.assert_allclose(counts / n, probs, atol=0.03)
+
+
+def test_per_stream_param_columns_match_scalar_rows():
+    """(B, 1) sampling-param columns are row-exact with per-scalar calls:
+    batched sample() with params [a, b] must reproduce row 0 of a scalar-a
+    run and row 1 of a scalar-b run (same key => same Gumbel rows)."""
+    from fish_tts_tpu.engine.sampling import sample
+
+    key = jax.random.PRNGKey(7)
+    logits = jax.random.normal(jax.random.PRNGKey(8), (2, 256)) * 3.0
+    prev = jnp.asarray([[3, 5, 9], [1, 2, 3]], jnp.int32)
+
+    def run(t, p, r):
+        return np.asarray(sample(
+            key, logits, t, p, r, prev_idx=prev, top_k=-1,
+        ))
+
+    vec = run(jnp.asarray([[0.6], [1.3]]), jnp.asarray([[0.5], [0.9]]),
+              jnp.asarray([[1.1], [1.4]]))
+    row0 = run(jnp.float32(0.6), jnp.float32(0.5), jnp.float32(1.1))
+    row1 = run(jnp.float32(1.3), jnp.float32(0.9), jnp.float32(1.4))
+    assert vec[0] == row0[0]
+    assert vec[1] == row1[1]
+
+
+def test_per_stream_param_columns_top_k_path():
+    """Same row-exactness through the truncated top-k candidate path."""
+    from fish_tts_tpu.engine.sampling import sample
+
+    key = jax.random.PRNGKey(9)
+    logits = jax.random.normal(jax.random.PRNGKey(10), (2, 256)) * 3.0
+
+    def run(t, p):
+        return np.asarray(sample(
+            key, logits, t, p, jnp.float32(1.0), prev_idx=None, top_k=64,
+        ))
+
+    vec = run(jnp.asarray([[0.6], [1.3]]), jnp.asarray([[0.5], [0.9]]))
+    row0 = run(jnp.float32(0.6), jnp.float32(0.5))
+    row1 = run(jnp.float32(1.3), jnp.float32(0.9))
+    assert vec[0] == row0[0]
+    assert vec[1] == row1[1]
