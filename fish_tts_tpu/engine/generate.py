@@ -492,10 +492,85 @@ class GenerationEngine:
     ) -> list[np.ndarray]:
         """Decode several utterances in one batched device program
         (green-field vs the reference, which hard-codes batch 1 at
-        inference.py:314, 676).  All streams share the sampling params and the
-        same voice references; each stream stops at its own EOS (once every
-        stream is done the remaining scan steps of the chunk skip the model —
-        see decode_chunk's all-done cond).
+        inference.py:314, 676).  See :meth:`_batch_chunks` for the serving
+        behaviors (prefix forking, bucket groups, pipelined dispatch,
+        per-stream sampling params).
+
+        Returns one ``(num_codebooks, n_b)`` code array per text, with the
+        final frame stripped as in single-utterance batch mode
+        (inference.py:839).
+        """
+        frames_all, emitted_all = [], []
+        for frames, emitted in self._batch_chunks(
+            texts, max_new_tokens=max_new_tokens, top_p=top_p,
+            repetition_penalty=repetition_penalty, temperature=temperature,
+            prompt_text=prompt_text, prompt_tokens=prompt_tokens,
+            use_prefix_cache=use_prefix_cache,
+        ):
+            frames_all.append(frames)
+            emitted_all.append(emitted)
+        if not frames_all:
+            return []
+        frames = np.concatenate(frames_all, axis=1)  # (B, N, 1+K)
+        emitted = np.concatenate(emitted_all, axis=1)  # (B, N)
+        out = []
+        for b in range(len(texts)):
+            fb = frames[b, emitted[b]]  # (n_b, 1+K)
+            codes = fb[:-1, 1:].T if fb.shape[0] > 1 else fb[:0, 1:].T
+            out.append(np.maximum(codes, 0).astype(np.int64))
+        return out
+
+    def generate_batch_stream(
+        self,
+        texts: list[str],
+        *,
+        max_new_tokens: int = 0,
+        top_p: float | list[float] = 0.8,
+        repetition_penalty: float | list[float] = 1.1,
+        temperature: float | list[float] = 0.8,
+        prompt_text: list[str] | None = None,
+        prompt_tokens: list[np.ndarray] | None = None,
+        use_prefix_cache: bool = True,
+    ) -> Iterator[list[np.ndarray | None]]:
+        """Streaming variant of :meth:`generate_batch`: per decoded device
+        chunk, yields one ``(num_codebooks, m_b)`` code array per stream
+        (``None`` for streams that emitted nothing — already past EOS).
+        Streaming semantics include each stream's EOS frame, like the
+        single-stream streaming path (inference.py:271-274)."""
+        for frames, emitted in self._batch_chunks(
+            texts, max_new_tokens=max_new_tokens, top_p=top_p,
+            repetition_penalty=repetition_penalty, temperature=temperature,
+            prompt_text=prompt_text, prompt_tokens=prompt_tokens,
+            use_prefix_cache=use_prefix_cache,
+        ):
+            out: list[np.ndarray | None] = []
+            for b in range(len(texts)):
+                fb = frames[b, emitted[b]]  # (m_b, 1+K)
+                if fb.shape[0] == 0:
+                    out.append(None)
+                else:
+                    out.append(
+                        np.maximum(fb[:, 1:], 0).astype(np.int64).T
+                    )
+            yield out
+
+    def _batch_chunks(
+        self,
+        texts: list[str],
+        *,
+        max_new_tokens: int = 0,
+        top_p: float | list[float] = 0.8,
+        repetition_penalty: float | list[float] = 1.1,
+        temperature: float | list[float] = 0.8,
+        prompt_text: list[str] | None = None,
+        prompt_tokens: list[np.ndarray] | None = None,
+        use_prefix_cache: bool = True,
+    ) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+        """Batched decode core: yields ``(frames (B, n, 1+K), emitted (B, n))``
+        per device chunk, rows in CALLER order.  All streams decode in one
+        device program; each stops at its own EOS (once every stream is done
+        the remaining scan steps of the chunk skip the model — see
+        decode_chunk's all-done cond).
 
         Serving behaviors:
         - with a cached voice-profile prefix (set_prefix) and no explicit
@@ -504,17 +579,16 @@ class GenerationEngine:
           never re-prefilled per call;
         - streams are grouped by prompt bucket and each group prefills at its
           own padded length (one prefill program per distinct bucket in the
-          batch), instead of padding every stream to the longest prompt.
+          batch), instead of padding every stream to the longest prompt;
+        - chunk k+1 is dispatched before chunk k's outputs are fetched
+          (pipelined, as in _generate_one).
 
         Sampling params accept either one shared scalar or one value per
         stream (the reference has neither batching nor per-request params);
         per-stream values broadcast as (B, 1) columns through the sampler.
-
-        Returns one ``(num_codebooks, n_b)`` code array per text, with the
-        final frame stripped as in single-utterance batch mode.
         """
         if not texts:
-            return []
+            return
         B = len(texts)
 
         def _vec(x, name, ok):
@@ -648,18 +722,36 @@ class GenerationEngine:
         # decode-loop sampling params in grouped row order
         t_dev, p_dev, r_dev = group_params(order)
 
-        frames_all = [np.asarray(first)[:, None, :]]  # list of (B, n, 1+K)
-        emitted_all = [np.ones((B, 1), bool)]
         # Pipelined chunk loop (same pattern as _generate_one): dispatch the
-        # next chunk before forcing the previous one; per-stream done is
-        # derived from the fetched frames (stopped emitting mid-chunk, or the
-        # last frame sampled im_end).  done_rows lags one chunk behind —
-        # worst case one extra chunk is dispatched, and its scan steps skip
-        # the model via the all-done cond.
-        done_rows = frames_all[0][:, -1, 0] == self.ids.im_end  # (B,)
-        produced = 1
+        # next chunk before forcing the previous one — including chunk 1
+        # before the prefill frame is fetched; per-stream done is derived
+        # from the fetched frames (stopped emitting mid-chunk, or the last
+        # frame sampled im_end).  done_rows lags one chunk behind — worst
+        # case one extra chunk is dispatched, and its scan steps skip the
+        # model via the all-done cond.
         dispatched = 1
         pending = None
+        if dispatched < max_new:
+            state, f2, e2 = decode_mod.decode_chunk(
+                self.params, self.rope, state, self._next_key(),
+                t_dev, p_dev, r_dev,
+                cfg=cfg, ids=self.ids, num_frames=ecfg.decode_chunk,
+                top_k=ecfg.sample_top_k, approx=ecfg.approx_top_k,
+                kv_bucket=_kv_bucket(
+                    max_len + dispatched + ecfg.decode_chunk,
+                    ecfg.kv_bucket_step, cfg.max_seq_len,
+                ),
+                fast_kernel=self._fast_kernel,
+            )
+            pending = (f2, e2)
+            dispatched += ecfg.decode_chunk
+
+        first_np = np.asarray(first)  # (B, 1+K) grouped order
+        self.metrics.record_tokens(B)
+        yield first_np[inv][:, None, :], np.ones((B, 1), bool)
+
+        done_rows = first_np[:, 0] == self.ids.im_end  # (B,) grouped order
+        produced = 1
         while True:
             nxt = None
             if dispatched < max_new and not bool(done_rows.all()):
@@ -684,20 +776,10 @@ class GenerationEngine:
                     f_np = np.asarray(f_dev)
                     e_np = np.asarray(e_dev)
                 n = min(ecfg.decode_chunk, max_new - produced)
-                frames_all.append(f_np[:, :n])
-                emitted_all.append(e_np[:, :n])
                 produced += n
                 done_rows = (~e_np[:, -1]) | (
                     f_np[:, -1, 0] == self.ids.im_end
                 )
+                self.metrics.record_tokens(int(e_np[:, :n].sum()))
+                yield f_np[inv][:, :n], e_np[inv][:, :n]
             pending = nxt
-
-        frames = np.concatenate(frames_all, axis=1)  # (B, N, 1+K)
-        emitted = np.concatenate(emitted_all, axis=1)  # (B, N)
-        self.metrics.record_tokens(int(emitted.sum()))
-        out = []
-        for b in inv:  # caller order
-            fb = frames[b, emitted[b]]  # (n_b, 1+K)
-            codes = fb[:-1, 1:].T if fb.shape[0] > 1 else fb[:0, 1:].T
-            out.append(np.maximum(codes, 0).astype(np.int64))
-        return out

@@ -422,6 +422,86 @@ class FishTTS:
             out.append(self._decode_to_wav(codes))
         return out
 
+    def synthesize_batch_stream(
+        self,
+        texts: list[str],
+        references: list[VoiceProfile] | None = None,
+        chunk_tokens: int = 20,
+        min_first_chunk: int = 10,
+        context_frames: int = 32,
+        **kwargs,
+    ) -> Iterator[list[bytes | None]]:
+        """Streaming batched synthesis: all texts decode concurrently in one
+        batched device program, and each yielded item is a list with one raw
+        int16 PCM chunk per text (``None`` where that stream had nothing to
+        flush this round).  Per-stream flush thresholds and vocoder left
+        context match :meth:`synthesize_stream`; sampling params accept one
+        value per text (see :meth:`synthesize_batch`).
+
+        Green-field: the reference has neither batching nor multi-stream
+        streaming.
+        """
+        prompt_text, prompt_tokens, use_prefix = self._get_prompt_data(references)
+        B = len(texts)
+        bufs: list[list[np.ndarray]] = [[] for _ in range(B)]
+        totals = [0] * B
+        firsts = [True] * B
+        hists: list[list[np.ndarray]] = [[] for _ in range(B)]
+        hist_ns = [0] * B
+
+        def flush(b):
+            codes = np.concatenate(bufs[b], axis=1)
+            ctx = 0
+            if context_frames > 0 and hist_ns[b] > 0:
+                ctx_codes = np.concatenate(hists[b], axis=1)[:, -context_frames:]
+                ctx = ctx_codes.shape[1]
+                codes = np.concatenate([ctx_codes, codes], axis=1)
+            hists[b].append(codes[:, ctx:])
+            hist_ns[b] += codes.shape[1] - ctx
+            while len(hists[b]) > 1 and (
+                hist_ns[b] - hists[b][0].shape[1] >= context_frames
+            ):
+                hist_ns[b] -= hists[b][0].shape[1]
+                hists[b].pop(0)
+            bufs[b] = []
+            totals[b] = 0
+            audio, n = self._decode_codes_async(codes)
+            return audio, n - ctx, ctx
+
+        def emit(handles):
+            # every flushing stream's decode was dispatched before any is
+            # forced, so the device overlaps them
+            return [
+                self._force_pcm(*h) if h is not None else None for h in handles
+            ]
+
+        for chunk in self._engine.generate_batch_stream(
+            texts,
+            max_new_tokens=kwargs.get("max_tokens", 2048),
+            temperature=kwargs.get("temperature", 0.7),
+            top_p=kwargs.get("top_p", 0.8),
+            repetition_penalty=kwargs.get("repetition_penalty", 1.1),
+            prompt_text=prompt_text,
+            prompt_tokens=prompt_tokens,
+            use_prefix_cache=use_prefix,
+        ):
+            handles: list = [None] * B
+            for b, codes in enumerate(chunk):
+                if codes is None:
+                    continue
+                bufs[b].append(codes)
+                totals[b] += codes.shape[1]
+                threshold = min_first_chunk if firsts[b] else chunk_tokens
+                if totals[b] >= threshold:
+                    handles[b] = flush(b)
+                    firsts[b] = False
+            if any(h is not None for h in handles):
+                yield emit(handles)
+
+        handles = [flush(b) if bufs[b] else None for b in range(B)]
+        if any(h is not None for h in handles):
+            yield emit(handles)
+
     def synthesize_stream(
         self,
         text: str,

@@ -111,6 +111,46 @@ def test_streaming_first_chunk_threshold(tts):
         assert first_frames >= 10
 
 
+def test_synthesize_batch_stream(tts):
+    """Batched streaming: every yield is a length-B list of PCM/None; every
+    stream eventually produces whole-frame audio; total per-stream frames
+    are at least the single-frame minimum."""
+    fl = tts._vocoder_cfg.frame_length
+    texts = ["first stream text", "second"]
+    got_frames = [0, 0]
+    rounds = 0
+    for chunk_list in tts.synthesize_batch_stream(texts, max_tokens=28):
+        rounds += 1
+        assert len(chunk_list) == 2
+        for b, pcm in enumerate(chunk_list):
+            if pcm is None:
+                continue
+            assert len(pcm) > 0 and (len(pcm) // 2) % fl == 0
+            got_frames[b] += len(pcm) // 2 // fl
+    assert rounds >= 1
+    assert all(f >= 1 for f in got_frames)
+
+
+def test_generate_batch_stream_matches_batch_frames(tts):
+    """The streaming variant yields exactly the frames generate_batch
+    collects (same seed), plus each stream's final frame (stripped in batch
+    mode per the reference quirk, streamed per inference.py:271-274)."""
+    texts = ["alpha", "beta longer"]
+    eng = tts._engine
+    eng.reseed(77)
+    batch = eng.generate_batch(texts, max_new_tokens=10)
+    eng.reseed(77)
+    acc = [[] for _ in texts]
+    for chunk in eng.generate_batch_stream(texts, max_new_tokens=10):
+        for b, codes in enumerate(chunk):
+            if codes is not None:
+                acc[b].append(codes)
+    streamed = [np.concatenate(a, axis=1) for a in acc]
+    for b in range(len(texts)):
+        assert streamed[b].shape[1] == batch[b].shape[1] + 1  # EOS/final frame
+        np.testing.assert_array_equal(streamed[b][:, :-1], batch[b])
+
+
 def test_streaming_context_decode_is_prefix_exact(tts):
     """The codec is causal, so decoding a chunk with its full left context
     prepended and trimming the overlap reproduces the jointly-decoded
