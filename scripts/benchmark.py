@@ -51,6 +51,7 @@ class Report:
     init_s: float = 0.0
     rows: list[dict] = field(default_factory=list)
     streaming: dict = field(default_factory=dict)
+    batch: dict = field(default_factory=dict)
     components: dict = field(default_factory=dict)
 
     def add_row(self, **kw) -> None:
@@ -82,6 +83,15 @@ class Report:
                 f"{s['audio_s']:.2f}s audio in {s['wall_s']:.2f}s "
                 f"(rtf {s['rtf']:.3f}, {s['chunks']} chunks)",
             ]
+        if self.batch:
+            b = self.batch
+            lines += [
+                "",
+                f"batched serving: {b['streams']} streams, "
+                f"{b['audio_s']:.2f}s total audio in {b['wall_s']:.2f}s "
+                f"(aggregate rtf {b['rtf']:.3f}, "
+                f"{b['audio_per_wall']:.1f}x realtime aggregate)",
+            ]
         if self.components:
             lines.append("")
             lines.append("engine spans (from FishTTS.get_metrics()):")
@@ -103,6 +113,7 @@ class Report:
                 "mean_rtf": round(self.mean_rtf, 4),
                 "rows": self.rows,
                 "streaming": self.streaming,
+                "batch": self.batch,
                 "components": self.components,
             }
         )
@@ -168,6 +179,22 @@ def run(args) -> Report:
         "wall_s": round(wall, 3),
         "rtf": round(wall / audio, 4) if audio else 0.0,
         "chunks": n_chunks,
+    }
+
+    # batched serving: all workloads decode concurrently in one device
+    # program (green-field vs the reference, which is single-stream only)
+    texts = [t[:40] if args.tiny else t for _, t in WORKLOADS]
+    synth.synthesize_batch(texts, max_tokens=8)  # warm the batched variants
+    t0 = time.perf_counter()
+    wavs = synth.synthesize_batch(texts, max_tokens=max_tokens)
+    wall = time.perf_counter() - t0
+    audio = sum(wav_seconds(w) for w in wavs)
+    rep.batch = {
+        "streams": len(texts),
+        "audio_s": round(audio, 3),
+        "wall_s": round(wall, 3),
+        "rtf": round(wall / audio, 4) if audio else 0.0,
+        "audio_per_wall": round(audio / wall, 2) if wall else 0.0,
     }
     return rep
 
