@@ -41,6 +41,10 @@ def parse_args(argv=None) -> argparse.Namespace:
     ap.add_argument("--top-p", type=float, default=0.8)
     ap.add_argument("--stream", action="store_true",
                     help="stream PCM chunks and report first-chunk latency")
+    ap.add_argument("--batch", nargs="+", metavar="TEXT",
+                    help="synthesize several texts concurrently in one "
+                         "batched device program; writes OUTPUT-0.wav, "
+                         "OUTPUT-1.wav, ... (overrides --text)")
 
     clone = ap.add_argument_group("voice cloning")
     clone.add_argument("-r", "--reference", type=Path,
@@ -103,6 +107,22 @@ def main(argv=None) -> int:
     references = build_references(args, synth)
 
     t0 = time.perf_counter()
+    if args.batch:
+        wavs = synth.synthesize_batch(
+            args.batch, references=references,
+            temperature=args.temperature, top_p=args.top_p,
+        )
+        wall = time.perf_counter() - t0
+        total_audio = 0.0
+        for i, w in enumerate(wavs):
+            out = args.output.with_name(f"{args.output.stem}-{i}.wav")
+            out.write_bytes(w)
+            audio_s = (len(w) - 44) / (44100 * 2)
+            total_audio += audio_s
+            print(f"{out}: {audio_s:.1f}s audio")
+        print(f"batched: {total_audio:.1f}s total audio in {wall:.2f}s "
+              f"(aggregate RTF {wall / total_audio:.3f})")
+        return 0
     if args.stream:
         wav = synthesize_streaming(args, synth, references)
     else:

@@ -209,3 +209,14 @@ def test_engine_tp_dp_int8(eight_devices, engine_tokenizer):
     assert len(outs) == 2
     for c in outs:
         assert c.shape[0] == CFG.num_codebooks and c.min() >= 0
+
+    # batched streaming over the same mesh, per-stream sampling params
+    acc = [0, 0]
+    for chunk in eng.generate_batch_stream(
+        ["one text", "two text"], max_new_tokens=6, temperature=[0.6, 1.0],
+    ):
+        for b, codes in enumerate(chunk):
+            if codes is not None:
+                assert codes.shape[0] == CFG.num_codebooks
+                acc[b] += codes.shape[1]
+    assert all(a >= 1 for a in acc)
