@@ -205,12 +205,16 @@ def main() -> None:
             )
         force(frames)
         pass_times.append(time.perf_counter() - t0)
-        state = fresh_state()  # restart positions so both passes match
-        state, _ = decode_mod.prefill(
-            params, rope, state, jnp.asarray(prompt), lengths,
-            jax.random.PRNGKey(1), t, p, r, cfg=cfg, ids=ids, top_k=top_k,
-            approx=args.approx, kv_bucket=0,
-        )
+        if rep == 0:
+            # restart positions so pass 2 matches pass 1, and FORCE the
+            # re-prefill so its execution cannot leak into pass 2's timing
+            state = fresh_state()
+            state, first2 = decode_mod.prefill(
+                params, rope, state, jnp.asarray(prompt), lengths,
+                jax.random.PRNGKey(1), t, p, r, cfg=cfg, ids=ids, top_k=top_k,
+                approx=args.approx, kv_bucket=0,
+            )
+            force(first2)
     dt = min(pass_times)
     n_frames = n_chunks * CHUNK
     tok_per_sec = n_frames * B / dt  # aggregate across concurrent streams

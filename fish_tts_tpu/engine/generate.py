@@ -119,6 +119,15 @@ class GenerationEngine:
                 # pre-pad the tied LM head into vocab tiles so the fused
                 # slow-stack kernel can stream it (one-time cost)
                 self.params = params = slow_stack.prepare_head(params, cfg)
+            if self.engine_cfg.sample_top_k > 0:
+                # decode gates the fused fast-decoder off when top_k > 0 so
+                # sampler settings behave uniformly across paths — surface
+                # the perf cliff instead of silently eating it
+                logger.info(
+                    "sample_top_k=%d disables the fused fast-decoder kernel "
+                    "(residual books take the XLA path; the slow-stack "
+                    "kernel still runs)", self.engine_cfg.sample_top_k,
+                )
         self._key = jax.random.PRNGKey(seed)
         self.metrics = Metrics()
         # Prefix (voice-profile) cache: state snapshot after prefilling the

@@ -80,6 +80,39 @@ class VoiceProfile:
         return cls(codes=codes, text=text, name=name)
 
 
+class _ContextBuffer:
+    """Rolling code history for context-streamed vocoder decode.
+
+    ``take(codes)`` returns ``(decode_input, ctx)``: the chunk with up to
+    ``context_frames`` preceding frames prepended (``ctx`` of them), and
+    records the chunk as future context.  One instance per stream; shared by
+    synthesize_stream and synthesize_batch_stream so the boundary behavior
+    cannot diverge.
+    """
+
+    def __init__(self, context_frames: int):
+        self.context_frames = context_frames
+        self._history: list[np.ndarray] = []
+        self._n = 0
+
+    def take(self, codes: np.ndarray) -> tuple[np.ndarray, int]:
+        ctx = 0
+        if self.context_frames > 0 and self._n > 0:
+            ctx_codes = np.concatenate(self._history, axis=1)
+            ctx_codes = ctx_codes[:, -self.context_frames:]
+            ctx = ctx_codes.shape[1]
+            codes = np.concatenate([ctx_codes, codes], axis=1)
+        self._history.append(codes[:, ctx:])
+        self._n += codes.shape[1] - ctx
+        # keep only what future context windows can use
+        while len(self._history) > 1 and (
+            self._n - self._history[0].shape[1] >= self.context_frames
+        ):
+            self._n -= self._history[0].shape[1]
+            self._history.pop(0)
+        return codes, ctx
+
+
 @dataclass
 class _PrefillCache:
     """Reference store consulted when ``references=None``
@@ -268,10 +301,11 @@ class FishTTS:
                 if response.action == "next":
                     break
             if self._vocoder_params is not None:
-                # first streamed chunk (10), plain chunk (20), and the
-                # steady-state context-streaming size (32 ctx + 20 -> 80)
-                for bucket in (_VOCODER_BUCKETS[0], _VOCODER_BUCKETS[1],
-                               _VOCODER_BUCKETS[3]):
+                # every bucket the default streaming path hits: first chunk
+                # (10 -> bucket 10), second chunk with partial context
+                # (10 hist + 20 -> 40), steady state (32 ctx + 20 -> 80),
+                # and 20 for short non-streaming/context-free decodes
+                for bucket in _VOCODER_BUCKETS[:4]:
                     dummy = np.zeros(
                         (self._vocoder_cfg.num_codebooks, bucket), np.int64
                     )
@@ -415,11 +449,21 @@ class FishTTS:
             prompt_tokens=prompt_tokens,
             use_prefix_cache=use_prefix,
         )
+        if not codes_list:
+            return []
+        if all(c.shape[1] == 0 for c in codes_list):
+            raise RuntimeError("No audio generated")
         out = []
         for codes in codes_list:
             if codes.shape[1] == 0:
-                raise RuntimeError("No audio generated")
-            out.append(self._decode_to_wav(codes))
+                # one stream EOS'd immediately (e.g. im_end on the prefill
+                # frame): return an empty-but-valid WAV for it rather than
+                # discarding every other stream's finished audio
+                from fish_tts_tpu.utils.audio import to_wav_bytes
+
+                out.append(to_wav_bytes(np.zeros(0, np.float32)))
+            else:
+                out.append(self._decode_to_wav(codes))
         return out
 
     def synthesize_batch_stream(
@@ -446,23 +490,10 @@ class FishTTS:
         bufs: list[list[np.ndarray]] = [[] for _ in range(B)]
         totals = [0] * B
         firsts = [True] * B
-        hists: list[list[np.ndarray]] = [[] for _ in range(B)]
-        hist_ns = [0] * B
+        ctxs = [_ContextBuffer(context_frames) for _ in range(B)]
 
         def flush(b):
-            codes = np.concatenate(bufs[b], axis=1)
-            ctx = 0
-            if context_frames > 0 and hist_ns[b] > 0:
-                ctx_codes = np.concatenate(hists[b], axis=1)[:, -context_frames:]
-                ctx = ctx_codes.shape[1]
-                codes = np.concatenate([ctx_codes, codes], axis=1)
-            hists[b].append(codes[:, ctx:])
-            hist_ns[b] += codes.shape[1] - ctx
-            while len(hists[b]) > 1 and (
-                hist_ns[b] - hists[b][0].shape[1] >= context_frames
-            ):
-                hist_ns[b] -= hists[b][0].shape[1]
-                hists[b].pop(0)
+            codes, ctx = ctxs[b].take(np.concatenate(bufs[b], axis=1))
             bufs[b] = []
             totals[b] = 0
             audio, n = self._decode_codes_async(codes)
@@ -534,28 +565,13 @@ class FishTTS:
         prompt_text, prompt_tokens, use_prefix = self._get_prompt_data(references)
 
         buffer: list[np.ndarray] = []
-        history: list[np.ndarray] = []  # flushed codes kept as decode context
-        hist_n = 0
+        ctx_buf = _ContextBuffer(context_frames)
         total = 0
         is_first = True
         in_flight = None  # device array of the previous chunk's audio
 
         def flush(buffer):
-            nonlocal hist_n
-            codes = np.concatenate(buffer, axis=1)
-            ctx = 0
-            if context_frames > 0 and hist_n > 0:
-                ctx_codes = np.concatenate(history, axis=1)[:, -context_frames:]
-                ctx = ctx_codes.shape[1]
-                codes = np.concatenate([ctx_codes, codes], axis=1)
-            history.append(codes[:, ctx:])
-            hist_n += codes.shape[1] - ctx
-            # keep only what future context windows can use
-            while len(history) > 1 and (
-                hist_n - history[0].shape[1] >= context_frames
-            ):
-                hist_n -= history[0].shape[1]
-                history.pop(0)
+            codes, ctx = ctx_buf.take(np.concatenate(buffer, axis=1))
             audio, n = self._decode_codes_async(codes)
             return audio, n - ctx, ctx
 

@@ -111,6 +111,29 @@ def test_streaming_first_chunk_threshold(tts):
         assert first_frames >= 10
 
 
+def test_synthesize_batch_tolerates_empty_stream(tts, monkeypatch):
+    """A stream that EOS'd on its prefill frame yields an empty (header-only)
+    WAV; the other streams' audio is NOT discarded.  All-empty still raises."""
+    real = tts._engine.generate_batch
+
+    def one_empty(texts, **kw):
+        out = real(texts, **kw)
+        out[0] = out[0][:, :0]
+        return out
+
+    monkeypatch.setattr(tts._engine, "generate_batch", one_empty)
+    wavs = tts.synthesize_batch(["gone", "kept"], max_tokens=8)
+    assert wavs[0][:4] == b"RIFF" and len(wavs[0]) == 44  # header only
+    assert wavs[1][:4] == b"RIFF" and len(wavs[1]) > 44
+
+    monkeypatch.setattr(
+        tts._engine, "generate_batch",
+        lambda texts, **kw: [c[:, :0] for c in real(texts, **kw)],
+    )
+    with pytest.raises(RuntimeError, match="No audio"):
+        tts.synthesize_batch(["a", "b"], max_tokens=8)
+
+
 def test_synthesize_batch_stream(tts):
     """Batched streaming: every yield is a length-B list of PCM/None; every
     stream eventually produces whole-frame audio; total per-stream frames
