@@ -236,6 +236,14 @@ class EngineConfig:
     prompt_buckets: tuple[int, ...] = (64, 128, 256, 512, 1024, 2048)
     decode_chunk: int = 20
     first_chunk: int = 10
+    # Frames per device call for NON-streaming single-stream generation.
+    # Streaming is latency-driven (decode_chunk keeps vocoder inputs small);
+    # batch-mode synthesize only needs the codes at the end, so large chunks
+    # cut the number of device->host fetches (each pays a dispatch round
+    # trip, ~30 ms over a tunneled device — the dominant e2e-RTF cost at 20
+    # frames/fetch).  Post-EOS scan steps inside a large chunk are skipped
+    # on device (decode_chunk early_exit).
+    batch_chunk: int = 100
     sample_top_k: int = -1
     approx_top_k: bool = False
     # Static upper bound granularity on the live KV prefix: attention reads

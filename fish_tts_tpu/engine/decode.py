@@ -421,7 +421,7 @@ def _decode_one(
 @partial(
     jax.jit,
     static_argnames=("cfg", "ids", "num_frames", "top_k", "approx",
-                     "kv_bucket", "fast_kernel"),
+                     "kv_bucket", "fast_kernel", "early_exit"),
     donate_argnames=("state",),
 )
 def decode_chunk(
@@ -440,6 +440,7 @@ def decode_chunk(
     approx: bool = False,
     kv_bucket: int | None = None,
     fast_kernel: bool = False,
+    early_exit: bool = False,
 ) -> tuple[State, jnp.ndarray, jnp.ndarray]:
     """Decode ``num_frames`` frames in one device call via ``lax.scan``.
 
@@ -468,11 +469,13 @@ def decode_chunk(
             kv_bucket, fast_kernel,
         )
 
-    if B > 1:
-        # Batched serving: once every stream has hit EOS mid-chunk, the
-        # remaining scan iterations skip the model entirely (the single-stream
-        # host loop already stops at chunk granularity, so B=1 keeps the
-        # tuned straight-line path).
+    if B > 1 or early_exit:
+        # Once every stream has hit EOS mid-chunk, the remaining scan
+        # iterations skip the model entirely.  Always on for batched serving;
+        # ``early_exit`` also enables it for B=1 large-chunk (non-streaming)
+        # decode, where up to num_frames-1 post-EOS steps would otherwise
+        # run.  The streaming B=1 path keeps the tuned straight-line scan
+        # (its chunks are small and the host stops at chunk granularity).
         def body(carry, k):
             st = carry
             st, frame, emitted = jax.lax.cond(

@@ -419,11 +419,24 @@ class GenerationEngine:
         produced = 0
         collected: list[np.ndarray] = []
 
+        # Streaming keeps small chunks (each one becomes a vocoder input);
+        # batch mode fetches as few times as possible — each force pays a
+        # dispatch round trip, which dominates e2e RTF on a tunneled device.
+        chunk = ecfg.decode_chunk if streaming else max(
+            ecfg.batch_chunk, ecfg.decode_chunk
+        )
         while pending is not None:
             frames_dev, emitted_dev, is_first = pending
             nxt = None
             if dispatched < max_new:
-                n = ecfg.decode_chunk
+                # final partial chunk: round the remainder up to a
+                # decode_chunk multiple so the variant count stays bounded
+                # while small budgets don't pay for a full batch_chunk
+                rem = max_new - dispatched
+                n = chunk if rem >= chunk else max(
+                    ecfg.decode_chunk,
+                    -(-rem // ecfg.decode_chunk) * ecfg.decode_chunk,
+                )
                 state, f2, e2 = decode_mod.decode_chunk(
                     self.params, self.rope, state, self._next_key(),
                     t_dev, p_dev, r_dev,
@@ -434,6 +447,7 @@ class GenerationEngine:
                         ecfg.kv_bucket_step, cfg.max_seq_len,
                     ),
                     fast_kernel=self._fast_kernel,
+                    early_exit=not streaming,
                 )
                 nxt = (f2, e2, False)
                 dispatched += n

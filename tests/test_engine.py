@@ -483,6 +483,83 @@ def test_generate_batch_per_stream_sampling_params(tiny_tokenizer):
         make().generate_batch(texts, temperature=[0.7])  # wrong length
 
 
+def test_decode_chunk_early_exit_b1_matches_live(setup):
+    """early_exit=True must not change a live B=1 chunk's outputs, and must
+    skip the model once the stream is done (held frame replayed)."""
+    params, rope = setup
+    prompt, lengths = _prompt(12)
+
+    def run(early_exit):
+        state = decode.init_state(params, CFG, batch=1)
+        state, _ = decode.prefill(
+            params, rope, state, prompt, lengths, jax.random.PRNGKey(1),
+            _scalar(0.7), _scalar(0.8), _scalar(1.1), cfg=CFG, ids=IDS,
+        )
+        state, frames, emitted = decode.decode_chunk(
+            params, rope, state, jax.random.PRNGKey(2),
+            _scalar(0.7), _scalar(0.8), _scalar(1.1),
+            cfg=CFG, ids=IDS, num_frames=6, early_exit=early_exit,
+        )
+        return np.asarray(frames), np.asarray(emitted)
+
+    f0, e0 = run(False)
+    f1, e1 = run(True)
+    np.testing.assert_array_equal(f0, f1)
+    np.testing.assert_array_equal(e0, e1)
+
+    # done stream: nothing emitted, held frame replayed
+    state = decode.init_state(params, CFG, batch=1)
+    state["done"] = jnp.ones((1,), jnp.bool_)
+    state["frame"] = jnp.full((1, 1 + CFG.num_codebooks), 7, jnp.int32)
+    state["pos"] = jnp.asarray([5], jnp.int32)
+    state, frames, emitted = decode.decode_chunk(
+        params, rope, state, jax.random.PRNGKey(3),
+        _scalar(0.7), _scalar(0.8), _scalar(1.1),
+        cfg=CFG, ids=IDS, num_frames=4, early_exit=True,
+    )
+    assert not np.asarray(emitted).any()
+    assert (np.asarray(frames) == 7).all()
+    assert int(np.asarray(state["pos"])[0]) == 5
+
+
+def test_non_streaming_uses_large_chunks(tiny_tokenizer, monkeypatch):
+    """Batch-mode generate_long decodes in batch_chunk-sized device calls
+    (few fetches); streaming keeps decode_chunk-sized ones."""
+    from fish_tts_tpu.config import EngineConfig
+    from fish_tts_tpu.engine.generate import GenerationEngine
+
+    params = dual_ar.init_params(jax.random.PRNGKey(3), CFG, dtype=jnp.float32)
+    eng = GenerationEngine(
+        params, CFG, tiny_tokenizer,
+        engine_cfg=EngineConfig(prompt_buckets=(32,), decode_chunk=4,
+                                first_chunk=4, batch_chunk=24,
+                                kv_bucket_step=64),
+        seed=7,
+    )
+    calls = []
+    real = decode.decode_chunk
+
+    def spy(*a, **kw):
+        calls.append(kw["num_frames"])
+        return real(*a, **kw)
+
+    monkeypatch.setattr(decode, "decode_chunk", spy)
+
+    list(eng.generate_long("hello", max_new_tokens=40))
+    batch_sizes = list(calls)
+    calls.clear()
+    list(eng.generate_long("hello", max_new_tokens=40, streaming=True))
+    stream_sizes = list(calls)
+
+    assert max(batch_sizes) == 24  # large chunks in batch mode
+    # after the fused prefill chunk (first_chunk-1 = 3 frames), chunks are
+    # batch_chunk-sized with the final partial one a decode_chunk multiple
+    assert batch_sizes[0] == 3
+    assert all(s == 24 or s % 4 == 0 for s in batch_sizes[1:])
+    assert len(batch_sizes) < len(stream_sizes)
+    assert all(s in (3, 4) for s in stream_sizes)  # streaming stays small
+
+
 def test_decode_chunk_skips_after_all_done(setup):
     """B>1 chunks stop running the model once every stream is done: the
     all-done state passes through unchanged and nothing is emitted."""
