@@ -458,11 +458,16 @@ def decode_chunk(
     caller).  The EOS frame itself is emitted — batch vs streaming callers
     decide whether to strip it (reference strips it in batch mode via
     ``[:-1]`` at inference.py:839 but streams it at inference.py:271-274).
+
+    Per-frame RNG is ``fold_in(key, state.step)``: a caller that passes ONE
+    base key for a whole generation gets bit-identical frames regardless of
+    how the generation is cut into chunks (streaming 20-frame chunks and
+    batch-mode 100-frame chunks sample the same sequence).
     """
-    keys = jax.random.split(key, num_frames)
     B = state["frame"].shape[0]
 
-    def step(st, k):
+    def step(st):
+        k = jax.random.fold_in(key, st["step"])
         return _decode_one(
             params, cfg, ids, rope, st, k,
             temperature, top_p, repetition_penalty, top_k, approx,
@@ -476,21 +481,23 @@ def decode_chunk(
         # decode, where up to num_frames-1 post-EOS steps would otherwise
         # run.  The streaming B=1 path keeps the tuned straight-line scan
         # (its chunks are small and the host stops at chunk granularity).
-        def body(carry, k):
+        def body(carry, _):
             st = carry
             st, frame, emitted = jax.lax.cond(
                 st["done"].all(),
-                lambda st, k: (st, st["frame"], jnp.zeros((B,), jnp.bool_)),
+                lambda st: (st, st["frame"], jnp.zeros((B,), jnp.bool_)),
                 step,
-                st, k,
+                st,
             )
             return st, (frame, emitted)
     else:
-        def body(carry, k):
-            st, frame, emitted = step(carry, k)
+        def body(carry, _):
+            st, frame, emitted = step(carry)
             return st, (frame, emitted)
 
-    state, (frames, emitted) = jax.lax.scan(body, state, keys)
+    state, (frames, emitted) = jax.lax.scan(
+        body, state, None, length=num_frames
+    )
     # (T, B, ...) -> (B, T, ...)
     return state, jnp.swapaxes(frames, 0, 1), jnp.swapaxes(emitted, 0, 1)
 
@@ -531,8 +538,14 @@ def prefill_chunk(
     the prefill-sampled frame (always emitted).  ``num_frames=0`` is valid
     (prefill-only — e.g. a 1-token budget where the prefill frame already
     fills it) and skips the decode scan entirely.
+
+    The inner decode scan consumes ``key`` directly (per-frame keys are
+    ``fold_in(key, step)``, see decode_chunk), so later decode_chunk calls
+    with the SAME base key continue the identical sampling sequence; the
+    prefill frame uses a step index no decode step can reach.
     """
-    k1, k2 = jax.random.split(key)
+    k1 = jax.random.fold_in(key, 0x7FFFFFFF)  # step values stay < max_seq_len
+    k2 = key
     state, first = prefill(
         params, rope, state, prompt, lengths, k1,
         temperature, top_p, repetition_penalty,

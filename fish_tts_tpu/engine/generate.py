@@ -393,10 +393,14 @@ class GenerationEngine:
             0 if prefix_len == 0
             else _kv_bucket(prefix_len, ecfg.kv_bucket_step, cfg.max_seq_len)
         )
+        # ONE base key per generation: decode derives frame keys as
+        # fold_in(base, step), so the sampled sequence is invariant to chunk
+        # scheduling (streaming vs batch chunk sizes, speculative dispatch).
+        base_key = self._next_key()
         state, frames, emitted = decode_mod.prefill_chunk(
             self.params, self.rope, state,
             jnp.asarray(padded), jnp.asarray([T], jnp.int32),
-            self._next_key(), t_dev, p_dev, r_dev,
+            base_key, t_dev, p_dev, r_dev,
             cfg=cfg, ids=self.ids, num_frames=n0,
             top_k=ecfg.sample_top_k, approx=ecfg.approx_top_k,
             kv_bucket_prefill=kv_pre,
@@ -438,7 +442,7 @@ class GenerationEngine:
                     -(-rem // ecfg.decode_chunk) * ecfg.decode_chunk,
                 )
                 state, f2, e2 = decode_mod.decode_chunk(
-                    self.params, self.rope, state, self._next_key(),
+                    self.params, self.rope, state, base_key,
                     t_dev, p_dev, r_dev,
                     cfg=cfg, ids=self.ids, num_frames=n,
                     top_k=ecfg.sample_top_k, approx=ecfg.approx_top_k,
@@ -524,11 +528,15 @@ class GenerationEngine:
         (inference.py:839).
         """
         frames_all, emitted_all = [], []
+        # non-streaming: large chunks minimize device->host fetches (frame
+        # keys are fold_in(base, step), so the codes are bit-identical to
+        # the small-chunk streaming variant's)
+        chunk = max(self.engine_cfg.batch_chunk, self.engine_cfg.decode_chunk)
         for frames, emitted in self._batch_chunks(
             texts, max_new_tokens=max_new_tokens, top_p=top_p,
             repetition_penalty=repetition_penalty, temperature=temperature,
             prompt_text=prompt_text, prompt_tokens=prompt_tokens,
-            use_prefix_cache=use_prefix_cache,
+            use_prefix_cache=use_prefix_cache, chunk_frames=chunk,
         ):
             frames_all.append(frames)
             emitted_all.append(emitted)
@@ -588,6 +596,7 @@ class GenerationEngine:
         prompt_text: list[str] | None = None,
         prompt_tokens: list[np.ndarray] | None = None,
         use_prefix_cache: bool = True,
+        chunk_frames: int | None = None,
     ) -> Iterator[tuple[np.ndarray, np.ndarray]]:
         """Batched decode core: yields ``(frames (B, n, 1+K), emitted (B, n))``
         per device chunk, rows in CALLER order.  All streams decode in one
@@ -751,23 +760,36 @@ class GenerationEngine:
         # from the fetched frames (stopped emitting mid-chunk, or the last
         # frame sampled im_end).  done_rows lags one chunk behind — worst
         # case one extra chunk is dispatched, and its scan steps skip the
-        # model via the all-done cond.
-        dispatched = 1
-        pending = None
-        if dispatched < max_new:
+        # model via the all-done cond.  Frame keys are fold_in(base, step)
+        # (see decode_chunk), so the sampled codes are identical whatever
+        # ``chunk_frames`` the caller picked.
+        chunk = chunk_frames or ecfg.decode_chunk
+        base_key = self._next_key()
+
+        def dispatch(state, dispatched):
+            rem = max_new - dispatched
+            n = chunk if rem >= chunk else max(
+                ecfg.decode_chunk,
+                -(-rem // ecfg.decode_chunk) * ecfg.decode_chunk,
+            )
             state, f2, e2 = decode_mod.decode_chunk(
-                self.params, self.rope, state, self._next_key(),
+                self.params, self.rope, state, base_key,
                 t_dev, p_dev, r_dev,
-                cfg=cfg, ids=self.ids, num_frames=ecfg.decode_chunk,
+                cfg=cfg, ids=self.ids, num_frames=n,
                 top_k=ecfg.sample_top_k, approx=ecfg.approx_top_k,
                 kv_bucket=_kv_bucket(
-                    max_len + dispatched + ecfg.decode_chunk,
+                    max_len + dispatched + n,
                     ecfg.kv_bucket_step, cfg.max_seq_len,
                 ),
                 fast_kernel=self._fast_kernel,
             )
-            pending = (f2, e2)
-            dispatched += ecfg.decode_chunk
+            return state, (f2, e2, n)
+
+        dispatched = 1
+        pending = None
+        if dispatched < max_new:
+            state, pending = dispatch(state, dispatched)
+            dispatched += pending[2]
 
         first_np = np.asarray(first)  # (B, 1+K) grouped order
         self.metrics.record_tokens(B)
@@ -778,27 +800,16 @@ class GenerationEngine:
         while True:
             nxt = None
             if dispatched < max_new and not bool(done_rows.all()):
-                state, f2, e2 = decode_mod.decode_chunk(
-                    self.params, self.rope, state, self._next_key(),
-                    t_dev, p_dev, r_dev,
-                    cfg=cfg, ids=self.ids, num_frames=ecfg.decode_chunk,
-                    top_k=ecfg.sample_top_k, approx=ecfg.approx_top_k,
-                    kv_bucket=_kv_bucket(
-                        max_len + dispatched + ecfg.decode_chunk,
-                        ecfg.kv_bucket_step, cfg.max_seq_len,
-                    ),
-                    fast_kernel=self._fast_kernel,
-                )
-                nxt = (f2, e2)
-                dispatched += ecfg.decode_chunk
+                state, nxt = dispatch(state, dispatched)
+                dispatched += nxt[2]
             if pending is None and nxt is None:
                 break
             if pending is not None:
-                f_dev, e_dev = pending
+                f_dev, e_dev, n_disp = pending
                 with self.metrics.span("decode"):
                     f_np = np.asarray(f_dev)
                     e_np = np.asarray(e_dev)
-                n = min(ecfg.decode_chunk, max_new - produced)
+                n = min(n_disp, max_new - produced)
                 produced += n
                 done_rows = (~e_np[:, -1]) | (
                     f_np[:, -1, 0] == self.ids.im_end

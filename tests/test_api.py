@@ -157,14 +157,18 @@ def test_synthesize_batch_stream(tts):
 def test_generate_batch_stream_matches_batch_frames(tts):
     """The streaming variant yields exactly the frames generate_batch
     collects (same seed), plus each stream's final frame (stripped in batch
-    mode per the reference quirk, streamed per inference.py:271-274)."""
+    mode per the reference quirk, streamed per inference.py:271-274) — even
+    though batch mode decodes in large chunks and streaming in small ones
+    (per-frame keys are fold_in(base, step), chunk-schedule invariant)."""
     texts = ["alpha", "beta longer"]
     eng = tts._engine
+    # 50 frames: batch mode uses one rounded 60-frame chunk, streaming uses
+    # 20-frame chunks — genuinely different schedules
     eng.reseed(77)
-    batch = eng.generate_batch(texts, max_new_tokens=10)
+    batch = eng.generate_batch(texts, max_new_tokens=50)
     eng.reseed(77)
     acc = [[] for _ in texts]
-    for chunk in eng.generate_batch_stream(texts, max_new_tokens=10):
+    for chunk in eng.generate_batch_stream(texts, max_new_tokens=50):
         for b, codes in enumerate(chunk):
             if codes is not None:
                 acc[b].append(codes)
@@ -172,6 +176,27 @@ def test_generate_batch_stream_matches_batch_frames(tts):
     for b in range(len(texts)):
         assert streamed[b].shape[1] == batch[b].shape[1] + 1  # EOS/final frame
         np.testing.assert_array_equal(streamed[b][:, :-1], batch[b])
+
+
+def test_single_stream_and_batch_mode_sample_identically(tts):
+    """generate_long streaming (20-frame chunks) and non-streaming
+    (batch_chunk-sized chunks) sample the same code sequence for the same
+    seed; batch mode strips the final frame (inference.py:839)."""
+    eng = tts._engine
+    eng.reseed(42)
+    batch = [
+        r.codes for r in eng.generate_long("same codes", max_new_tokens=50)
+        if r.action == "sample"
+    ][0]
+    eng.reseed(42)
+    streamed = np.concatenate([
+        r.codes for r in eng.generate_long(
+            "same codes", max_new_tokens=50, streaming=True
+        )
+        if r.action == "sample"
+    ], axis=1)
+    assert streamed.shape[1] == batch.shape[1] + 1
+    np.testing.assert_array_equal(streamed[:, :-1], batch)
 
 
 def test_streaming_context_decode_is_prefix_exact(tts):
