@@ -199,6 +199,40 @@ def test_single_stream_and_batch_mode_sample_identically(tts):
     np.testing.assert_array_equal(streamed[:, :-1], batch)
 
 
+def test_context_buffer_windowing():
+    """_ContextBuffer prepends exactly the last `context_frames` frames and
+    trims history it can never serve again."""
+    from fish_tts_tpu.synthesizer import _ContextBuffer
+
+    K = 3
+
+    def frames(lo, hi):  # identifiable codes: frame index in every row
+        return np.tile(np.arange(lo, hi)[None], (K, 1))
+
+    cb = _ContextBuffer(4)
+    out, ctx = cb.take(frames(0, 3))
+    assert ctx == 0
+    np.testing.assert_array_equal(out, frames(0, 3))
+
+    out, ctx = cb.take(frames(3, 10))
+    assert ctx == 3  # only 3 frames of history exist yet
+    np.testing.assert_array_equal(out, frames(0, 10))
+
+    out, ctx = cb.take(frames(10, 13))
+    assert ctx == 4  # full window now
+    np.testing.assert_array_equal(out, frames(6, 13))
+
+    # history never grows beyond what a window can use
+    assert sum(h.shape[1] for h in cb._history) <= 4 + 7
+
+    cb0 = _ContextBuffer(0)
+    out, ctx = cb0.take(frames(0, 5))
+    assert ctx == 0
+    out, ctx = cb0.take(frames(5, 9))
+    assert ctx == 0  # context disabled reproduces independent chunks
+    np.testing.assert_array_equal(out, frames(5, 9))
+
+
 def test_streaming_context_decode_is_prefix_exact(tts):
     """The codec is causal, so decoding a chunk with its full left context
     prepended and trimming the overlap reproduces the jointly-decoded
