@@ -66,6 +66,16 @@ def _kv_bucket(n: int, step: int, cap: int) -> int:
     return min(cap, -(-n // step) * step)
 
 
+def _chunk_len(remaining: int, chunk: int, decode_chunk: int) -> int:
+    """Frames for the next decode dispatch: a full ``chunk``, or — for the
+    final partial one — the remainder rounded up to a ``decode_chunk``
+    multiple, so the compile-variant count stays bounded while small budgets
+    don't pay for a full large chunk."""
+    if remaining >= chunk:
+        return chunk
+    return max(decode_chunk, -(-remaining // decode_chunk) * decode_chunk)
+
+
 class GenerationEngine:
     """Host-side driver for the jitted DualAR decode pipeline."""
 
@@ -139,6 +149,12 @@ class GenerationEngine:
     def _next_key(self) -> jax.Array:
         self._key, sub = jax.random.split(self._key)
         return sub
+
+    @property
+    def _large_chunk(self) -> int:
+        """Frames per device call for non-streaming decode (fetch-latency
+        bound paths); never below the streaming chunk."""
+        return max(self.engine_cfg.batch_chunk, self.engine_cfg.decode_chunk)
 
     def _init_state(self, batch: int) -> decode_mod.State:
         """Fresh decode state, placed on the mesh when one is configured
@@ -426,21 +442,12 @@ class GenerationEngine:
         # Streaming keeps small chunks (each one becomes a vocoder input);
         # batch mode fetches as few times as possible — each force pays a
         # dispatch round trip, which dominates e2e RTF on a tunneled device.
-        chunk = ecfg.decode_chunk if streaming else max(
-            ecfg.batch_chunk, ecfg.decode_chunk
-        )
+        chunk = ecfg.decode_chunk if streaming else self._large_chunk
         while pending is not None:
             frames_dev, emitted_dev, is_first = pending
             nxt = None
             if dispatched < max_new:
-                # final partial chunk: round the remainder up to a
-                # decode_chunk multiple so the variant count stays bounded
-                # while small budgets don't pay for a full batch_chunk
-                rem = max_new - dispatched
-                n = chunk if rem >= chunk else max(
-                    ecfg.decode_chunk,
-                    -(-rem // ecfg.decode_chunk) * ecfg.decode_chunk,
-                )
+                n = _chunk_len(max_new - dispatched, chunk, ecfg.decode_chunk)
                 state, f2, e2 = decode_mod.decode_chunk(
                     self.params, self.rope, state, base_key,
                     t_dev, p_dev, r_dev,
@@ -531,7 +538,7 @@ class GenerationEngine:
         # non-streaming: large chunks minimize device->host fetches (frame
         # keys are fold_in(base, step), so the codes are bit-identical to
         # the small-chunk streaming variant's)
-        chunk = max(self.engine_cfg.batch_chunk, self.engine_cfg.decode_chunk)
+        chunk = self._large_chunk
         for frames, emitted in self._batch_chunks(
             texts, max_new_tokens=max_new_tokens, top_p=top_p,
             repetition_penalty=repetition_penalty, temperature=temperature,
@@ -767,11 +774,7 @@ class GenerationEngine:
         base_key = self._next_key()
 
         def dispatch(state, dispatched):
-            rem = max_new - dispatched
-            n = chunk if rem >= chunk else max(
-                ecfg.decode_chunk,
-                -(-rem // ecfg.decode_chunk) * ecfg.decode_chunk,
-            )
+            n = _chunk_len(max_new - dispatched, chunk, ecfg.decode_chunk)
             state, f2, e2 = decode_mod.decode_chunk(
                 self.params, self.rope, state, base_key,
                 t_dev, p_dev, r_dev,
@@ -782,6 +785,9 @@ class GenerationEngine:
                     ecfg.kv_bucket_step, cfg.max_seq_len,
                 ),
                 fast_kernel=self._fast_kernel,
+                # post-EOS steps inside a chunk skip the model: implied by
+                # B>1, but B=1 generate_batch with large chunks needs it too
+                early_exit=True,
             )
             return state, (f2, e2, n)
 

@@ -199,6 +199,55 @@ def test_single_stream_and_batch_mode_sample_identically(tts):
     np.testing.assert_array_equal(streamed[:, :-1], batch)
 
 
+def test_schedule_invariance_across_kv_buckets():
+    """Streaming and batch schedules compute kv buckets from different
+    dispatch bounds; with a small kv_bucket_step the same frame really does
+    decode under a different attention read length R in the two modes.
+    Codes must STILL be bit-identical (kv-bucket invariance composed with
+    the fold_in key scheme — the property the docs claim)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fish_tts_tpu.config import EngineConfig, TINY_CONFIG
+    from fish_tts_tpu.engine.generate import GenerationEngine, _kv_bucket
+    from fish_tts_tpu.models import dual_ar
+    from fish_tts_tpu.models.tokenizer import (
+        FishTokenizer, tiny_special_tokens, write_tiny_vocab,
+    )
+    import tempfile
+    from pathlib import Path
+
+    d = Path(tempfile.mkdtemp())
+    write_tiny_vocab(d / "tokenizer.tiktoken")
+    tok = FishTokenizer(d / "tokenizer.tiktoken", tiny_special_tokens(48))
+    params = dual_ar.init_params(
+        jax.random.PRNGKey(3), TINY_CONFIG, dtype=jnp.float32
+    )
+    ecfg = EngineConfig(
+        prompt_buckets=(32,), decode_chunk=8, first_chunk=4,
+        batch_chunk=24, kv_bucket_step=16,
+    )
+    # sanity: the two schedules' bucket bounds genuinely differ somewhere
+    cap = TINY_CONFIG.max_seq_len
+    assert any(
+        _kv_bucket(20 + disp + 8, 16, cap) != _kv_bucket(20 + disp + 24, 16, cap)
+        for disp in range(0, 40, 8)
+    )
+    eng = GenerationEngine(params, TINY_CONFIG, tok, engine_cfg=ecfg, seed=13)
+    batch = [
+        r.codes for r in eng.generate_long("bucket cross", max_new_tokens=40)
+        if r.action == "sample"
+    ][0]
+    eng.reseed(13)
+    streamed = np.concatenate([
+        r.codes for r in eng.generate_long(
+            "bucket cross", max_new_tokens=40, streaming=True
+        )
+        if r.action == "sample"
+    ], axis=1)
+    np.testing.assert_array_equal(streamed[:, :-1], batch)
+
+
 def test_context_buffer_windowing():
     """_ContextBuffer prepends exactly the last `context_frames` frames and
     trims history it can never serve again."""
