@@ -70,7 +70,15 @@ def _chunk_len(remaining: int, chunk: int, decode_chunk: int) -> int:
     """Frames for the next decode dispatch: a full ``chunk``, or — for the
     final partial one — the remainder rounded up to a ``decode_chunk``
     multiple, so the compile-variant count stays bounded while small budgets
-    don't pay for a full large chunk."""
+    don't pay for a full large chunk.
+
+    The round-up means up to ``decode_chunk - 1`` frames beyond the budget
+    are decoded (on top of the one speculative post-EOS chunk).  Output stays
+    correct only because of TWO guards that must both survive refactors:
+    ``_decode_one`` clamps ``pos`` to the cache end (so the overshoot cannot
+    write out of bounds), and every dispatch site truncates fetched frames to
+    the remaining budget on the host (the ``room`` / ``max_new - produced``
+    caps)."""
     if remaining >= chunk:
         return chunk
     return max(decode_chunk, -(-remaining // decode_chunk) * decode_chunk)
@@ -574,13 +582,17 @@ class GenerationEngine:
         chunk, yields one ``(num_codebooks, m_b)`` code array per stream
         (``None`` for streams that emitted nothing — already past EOS).
         Streaming semantics include each stream's EOS frame, like the
-        single-stream streaming path (inference.py:271-274)."""
+        single-stream streaming path (inference.py:271-274).  Chunks where
+        no stream emitted anything (e.g. the one speculative chunk fetched
+        after every stream already hit EOS) are not yielded."""
         for frames, emitted in self._batch_chunks(
             texts, max_new_tokens=max_new_tokens, top_p=top_p,
             repetition_penalty=repetition_penalty, temperature=temperature,
             prompt_text=prompt_text, prompt_tokens=prompt_tokens,
             use_prefix_cache=use_prefix_cache,
         ):
+            if not emitted.any():
+                continue
             out: list[np.ndarray | None] = []
             for b in range(len(texts)):
                 fb = frames[b, emitted[b]]  # (m_b, 1+K)

@@ -473,7 +473,10 @@ class FishTTS:
         chunk_tokens: int = 20,
         min_first_chunk: int = 10,
         context_frames: int = 32,
-        **kwargs,
+        temperature: float | list[float] = 0.7,
+        top_p: float | list[float] = 0.8,
+        repetition_penalty: float | list[float] = 1.1,
+        max_tokens: int = 2048,
     ) -> Iterator[list[bytes | None]]:
         """Streaming batched synthesis: all texts decode concurrently in one
         batched device program, and each yielded item is a list with one raw
@@ -508,10 +511,10 @@ class FishTTS:
 
         for chunk in self._engine.generate_batch_stream(
             texts,
-            max_new_tokens=kwargs.get("max_tokens", 2048),
-            temperature=kwargs.get("temperature", 0.7),
-            top_p=kwargs.get("top_p", 0.8),
-            repetition_penalty=kwargs.get("repetition_penalty", 1.1),
+            max_new_tokens=max_tokens,
+            temperature=temperature,
+            top_p=top_p,
+            repetition_penalty=repetition_penalty,
             prompt_text=prompt_text,
             prompt_tokens=prompt_tokens,
             use_prefix_cache=use_prefix,
@@ -540,7 +543,10 @@ class FishTTS:
         chunk_tokens: int = 20,
         min_first_chunk: int = 10,
         context_frames: int = 32,
-        **kwargs,
+        temperature: float = 0.7,
+        top_p: float = 0.8,
+        repetition_penalty: float = 1.1,
+        max_tokens: int = 2048,
     ) -> Iterator[bytes]:
         """Streaming synthesis with async-dispatch pipelining.
 
@@ -561,6 +567,12 @@ class FishTTS:
         independently (synthesizer.py:513-527), which is ``context_frames=0``
         here — audibly clicky at chunk boundaries.  The first chunk never
         carries context, so time-to-first-audio is unaffected.
+
+        All sampling parameters are explicit keywords — unknown kwargs raise
+        ``TypeError``.  The reference's stale ``pipeline=`` tolerance
+        (its ``**kwargs`` swallow, synthesizer.py:489) is deliberately NOT
+        replicated: a typo'd parameter silently getting its default is a
+        worse outcome than a loud error.
         """
         prompt_text, prompt_tokens, use_prefix = self._get_prompt_data(references)
 
@@ -577,10 +589,10 @@ class FishTTS:
 
         for response in self._engine.generate_long(
             text,
-            max_new_tokens=kwargs.get("max_tokens", 2048),
-            temperature=kwargs.get("temperature", 0.7),
-            top_p=kwargs.get("top_p", 0.8),
-            repetition_penalty=kwargs.get("repetition_penalty", 1.1),
+            max_new_tokens=max_tokens,
+            temperature=temperature,
+            top_p=top_p,
+            repetition_penalty=repetition_penalty,
             prompt_text=prompt_text,
             prompt_tokens=prompt_tokens,
             streaming=True,

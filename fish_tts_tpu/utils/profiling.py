@@ -31,7 +31,17 @@ class PhaseStats:
 
 @dataclass
 class Metrics:
-    """Per-process metrics registry."""
+    """Per-process metrics registry.
+
+    Interpretation under pipelined dispatch: the engine dispatches chunk
+    k+1 to the device BEFORE forcing chunk k's outputs, so the
+    "prefill"/"decode" spans time the *host-visible fetch wait* for that
+    phase's outputs — wall-clock the caller actually spent — not isolated
+    device compute (each span absorbs whatever overlapped device work was
+    still in flight).  That is the right numerator for throughput/RTF;
+    for per-component device timings use ``scripts/profile_decode.py`` /
+    ``profile_batch.py`` or a ``device_trace``.
+    """
 
     phases: dict[str, PhaseStats] = field(
         default_factory=lambda: defaultdict(PhaseStats)

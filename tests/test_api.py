@@ -450,6 +450,45 @@ def test_synthesize_batch_uses_cached_references(tts):
         tts.clear_references()
 
 
+def test_streaming_rejects_unknown_kwargs(tts):
+    """Unknown kwargs raise TypeError — the reference's stale ``pipeline=``
+    **kwargs swallow (synthesizer.py:489) is deliberately not replicated, so
+    a typo'd parameter (e.g. max_new_tokens instead of max_tokens) can never
+    silently get its default."""
+    with pytest.raises(TypeError):
+        next(tts.synthesize_stream("x", max_new_tokens=8))
+    with pytest.raises(TypeError):
+        next(tts.synthesize_stream("x", pipeline=True))
+    with pytest.raises(TypeError):
+        next(tts.synthesize_batch_stream(["x"], pipeline=True))
+    with pytest.raises(TypeError):
+        next(tts.synthesize_batch_stream(["x"], rep_penalty=1.2))
+    # the explicit spellings still work
+    chunks = list(tts.synthesize_stream(
+        "explicit kwargs", max_tokens=16, temperature=0.7, top_p=0.8,
+        repetition_penalty=1.1,
+    ))
+    assert chunks
+
+
+def test_fp16_precision_public_path():
+    """precision='fp16' drives the whole public path.  Documented trade-off:
+    fp16 has no TPU matmul advantage over bf16 and a narrower exponent; it
+    exists for API parity with the reference's dtype surface
+    (synthesizer.py:141) and must at least produce audio."""
+    from fish_tts_tpu.synthesizer import FishTTS
+    from fish_tts_tpu.testing import make_tiny_bundle
+
+    import jax.numpy as jnp
+
+    tts = FishTTS(precision="fp16", warmup=False,
+                  _testing_bundle=make_tiny_bundle())
+    assert tts._dtype == jnp.float16
+    assert tts.precision == "fp16"
+    wav = tts.synthesize("fp16 path", max_tokens=12)
+    assert wav[:4] == b"RIFF"
+
+
 def test_int8_precision_public_path():
     """precision='int8' drives the whole public path (XLA int8 on CPU)."""
     from fish_tts_tpu.synthesizer import FishTTS
