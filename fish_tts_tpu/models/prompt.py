@@ -14,12 +14,12 @@ matching the reference's ``ContentSequence.encode_for_inference`` contract
 This is host-side numpy (it runs once per synthesize call); the device side
 only ever sees the finished int32 matrix.
 
-Consciously omitted: the reference's training-mode ``ContentSequence.encode``
-surface (inference.py:523-609) also emits per-position labels and audio-part
-masks for loss computation.  This framework is inference-only (as is the
-reference's shipped product path — nothing in fish_tts calls encode with
-labels), so only the inference projection is implemented; adding labels
-later is a pure host-side extension of ``encode_for_inference``.
+The training-mode surface (``ContentSequence.encode``, reference
+inference.py:523-609) is also implemented: per-position labels with the -100
+ignore index, the next-token shift, VQ token/label masks, per-VQ-part loss
+flags, and the (always-empty in this model family) audio-part channel.
+Nothing in the reference's shipped inference path calls it, but it is part of
+the reference API surface and data-pipeline contract.
 """
 
 from __future__ import annotations
@@ -89,6 +89,33 @@ class EncodedPrompt:
     vq_mask: np.ndarray  # (T,) bool — True where row 0 holds a semantic token
 
 
+IGNORE_INDEX = -100  # loss ignore index (reference inference.py:585)
+
+
+@dataclass
+class EncodedMessage:
+    """Result of the training-mode :meth:`ContentSequence.encode`
+    (reference ``EncodedMessage``, inference.py:454-464).
+
+    ``tokens``/``labels`` carry the next-token shift when requested;
+    ``vq_mask_tokens``/``vq_mask_labels`` mark which token/label positions
+    belong to VQ parts (they differ by one position under the shift).
+    ``audio_parts``/``audio_masks`` exist for surface parity — this model
+    family has no audio-embedding parts, so the list is always empty and the
+    mask all-False.
+    """
+
+    tokens: np.ndarray  # (T,) int32
+    labels: np.ndarray  # (T,) int32, IGNORE_INDEX where loss is off
+    vq_mask_tokens: np.ndarray  # (T,) bool
+    vq_mask_labels: np.ndarray  # (T,) bool
+    vq_parts: list[np.ndarray] = field(default_factory=list)
+    vq_require_losses: np.ndarray | None = None  # (num_vq_parts,) bool
+    audio_parts: list[np.ndarray] = field(default_factory=list)
+    audio_masks: np.ndarray | None = None  # (T,) bool
+    metadata: dict | None = None
+
+
 class ContentSequence:
     """Flexible sequence of content parts (reference inference.py:467-640)."""
 
@@ -135,6 +162,81 @@ class ContentSequence:
             tail = block[-1] if block else self.parts[-1]
             block.append(TextPart(text=IM_END_TOKEN, cal_loss=tail.cal_loss))
         self.parts += block
+
+    def encode(
+        self,
+        tokenizer: FishTokenizer,
+        add_shift: bool = True,
+        ignore_loss_tokens: Sequence[str] = (),
+    ) -> EncodedMessage:
+        """Training-mode encoding with labels (reference inference.py:523-609).
+
+        Per part: token ids; labels are a copy of the tokens where
+        ``part.cal_loss`` else ``IGNORE_INDEX``.  VQ parts contribute their
+        semantic row as token ids (``semantic_begin_id + code``) and their
+        full code matrix to ``vq_parts``.  With ``add_shift`` the usual
+        next-token alignment drops the last token and the first label (so
+        ``labels[t]`` is the target for ``tokens[t]``); the VQ masks shift
+        with their respective streams.  ``ignore_loss_tokens`` names special
+        tokens whose label positions are forced to ``IGNORE_INDEX`` after the
+        shift (reference inference.py:595-596).
+        """
+        ignore_ids = [tokenizer.get_token_id(t) for t in ignore_loss_tokens]
+
+        tok_chunks: list[np.ndarray] = []
+        label_chunks: list[np.ndarray] = []
+        mask_chunks: list[np.ndarray] = []
+        vq_parts: list[np.ndarray] = []
+        vq_require_losses: list[bool] = []
+
+        for part in self.parts:
+            if isinstance(part, TextPart):
+                toks = (
+                    tokenizer.encode(part.text) if part.tokens is None
+                    else list(part.tokens)
+                )
+                toks = np.asarray(toks, dtype=np.int32)
+                mask_chunks.append(np.zeros(len(toks), dtype=bool))
+            elif isinstance(part, VQPart):
+                codes = np.asarray(part.codes, dtype=np.int32)
+                toks = (codes[0] + tokenizer.semantic_begin_id).astype(np.int32)
+                mask_chunks.append(np.ones(len(toks), dtype=bool))
+                vq_parts.append(codes)
+                vq_require_losses.append(bool(part.cal_loss))
+            else:
+                raise ValueError(f"Unsupported part type: {type(part)}")
+            tok_chunks.append(toks)
+            label_chunks.append(
+                toks.copy() if part.cal_loss
+                else np.full_like(toks, IGNORE_INDEX)
+            )
+
+        tokens = np.concatenate(tok_chunks) if tok_chunks else np.zeros(0, np.int32)
+        labels = np.concatenate(label_chunks) if label_chunks else np.zeros(0, np.int32)
+        vq_mask = np.concatenate(mask_chunks) if mask_chunks else np.zeros(0, bool)
+        vq_mask_tokens = vq_mask
+        vq_mask_labels = vq_mask
+
+        if add_shift:
+            tokens = tokens[:-1]
+            labels = labels[1:]
+            vq_mask_tokens = vq_mask_tokens[:-1]
+            vq_mask_labels = vq_mask_labels[1:]
+
+        for i in ignore_ids:
+            labels = np.where(labels == i, IGNORE_INDEX, labels)
+
+        return EncodedMessage(
+            tokens=tokens,
+            labels=labels.astype(np.int32),
+            vq_mask_tokens=vq_mask_tokens,
+            vq_mask_labels=vq_mask_labels,
+            vq_parts=vq_parts,
+            vq_require_losses=np.asarray(vq_require_losses, dtype=bool),
+            audio_parts=[],
+            audio_masks=np.zeros(len(tokens), dtype=bool),
+            metadata=self.metadata,
+        )
 
     def encode_for_inference(
         self, tokenizer: FishTokenizer, num_codebooks: int

@@ -91,3 +91,87 @@ def test_multiple_references_concatenate(tiny_tokenizer):
     np.testing.assert_array_equal(
         enc.values[1:, vq_cols], np.concatenate([c1, c2], axis=1)
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-mode encode (labels) — reference inference.py:523-609
+# ---------------------------------------------------------------------------
+
+
+def test_encode_labels_and_shift(tiny_tokenizer):
+    """Golden check of the training surface: tokens/labels with the
+    next-token shift, cal_loss gating, and the -100 ignore index."""
+    from fish_tts_tpu.models.prompt import IGNORE_INDEX
+
+    tk = tiny_tokenizer
+    codes = (np.arange(K * 3).reshape(K, 3) % 8).astype(np.int64)
+    seq = ContentSequence(modality="interleave")
+    seq.append(
+        [TextPart(text="ab", cal_loss=False), VQPart(codes=codes, cal_loss=True)],
+        add_end=True, speaker=0,
+    )
+    enc = seq.encode(tk, add_shift=False)
+
+    # unshifted golden layout
+    toks_expected = (
+        [tk.get_token_id("<|interleave|>")]
+        + tk.encode("<|speaker:0|>")
+        + tk.encode("ab")
+        + list(codes[0] + tk.semantic_begin_id)
+        + [tk.im_end_id]
+    )
+    np.testing.assert_array_equal(enc.tokens, toks_expected)
+    # labels: IGNORE everywhere except the VQ part and the im_end that
+    # inherits the preceding part's cal_loss (reference append(),
+    # inference.py:517-519)
+    n_head = 1 + len(tk.encode("<|speaker:0|>")) + len(tk.encode("ab"))
+    assert (enc.labels[:n_head] == IGNORE_INDEX).all()
+    np.testing.assert_array_equal(
+        enc.labels[n_head:n_head + 3], codes[0] + tk.semantic_begin_id
+    )
+    assert enc.labels[-1] == tk.im_end_id  # im_end inherited cal_loss=True
+    # masks mark exactly the VQ span
+    assert enc.vq_mask_tokens.sum() == 3
+    assert list(np.where(enc.vq_mask_tokens)[0]) == list(
+        range(n_head, n_head + 3)
+    )
+    # vq payloads
+    assert len(enc.vq_parts) == 1
+    np.testing.assert_array_equal(enc.vq_parts[0], codes)
+    np.testing.assert_array_equal(enc.vq_require_losses, [True])
+    assert enc.audio_parts == [] and not enc.audio_masks.any()
+
+    # shifted variant: tokens drop the last, labels drop the first, and the
+    # two masks diverge by one position (inference.py:599-605)
+    sh = seq.encode(tk, add_shift=True)
+    np.testing.assert_array_equal(sh.tokens, enc.tokens[:-1])
+    np.testing.assert_array_equal(sh.labels, enc.labels[1:])
+    np.testing.assert_array_equal(sh.vq_mask_tokens, enc.vq_mask_tokens[:-1])
+    np.testing.assert_array_equal(sh.vq_mask_labels, enc.vq_mask_tokens[1:])
+
+
+def test_encode_ignore_loss_tokens(tiny_tokenizer):
+    """ignore_loss_tokens force matching label ids to IGNORE_INDEX even when
+    their part had cal_loss=True (reference inference.py:595-596)."""
+    from fish_tts_tpu.models.prompt import IGNORE_INDEX
+
+    tk = tiny_tokenizer
+    seq = ContentSequence()
+    seq.append([TextPart(text="xy", cal_loss=True)], add_end=True)
+    enc = seq.encode(tk, add_shift=False, ignore_loss_tokens=["<|im_end|>"])
+    assert enc.labels[-1] == IGNORE_INDEX  # the im_end label was scrubbed
+    assert (enc.labels[:-1] == enc.tokens[:-1]).all()
+
+
+def test_encode_for_inference_consistency(tiny_tokenizer):
+    """The inference projection is the unshifted encode's token row — the
+    two surfaces must agree on layout (reference encode_for_inference calls
+    encode(add_shift=False), inference.py:611-617)."""
+    tk = tiny_tokenizer
+    codes = np.ones((K, 4), dtype=np.int64) * 2
+    seq = ContentSequence(modality="interleave")
+    seq.append([TextPart(text="t"), VQPart(codes=codes)], add_end=True, speaker=0)
+    msg = seq.encode(tk, add_shift=False)
+    inf = seq.encode_for_inference(tk, num_codebooks=K)
+    np.testing.assert_array_equal(inf.values[0], msg.tokens)
+    np.testing.assert_array_equal(inf.vq_mask, msg.vq_mask_tokens)
