@@ -48,6 +48,10 @@ def main() -> None:
     ap.add_argument("--aggregate-batch", type=int, default=8,
                     help="also measure aggregate throughput at this batch "
                          "size (0 to skip; only when --batch is 1)")
+    ap.add_argument("--model-dir", default=None,
+                    help="real checkpoint dir: throughput AND fidelity are "
+                         "measured on real weights (audio RMS lands in the "
+                         "JSON); default is random weights (throughput only)")
     ap.add_argument("--budget", type=float,
                     default=float(__import__("os").environ.get(
                         "FISH_TTS_BENCH_BUDGET", 900.0)),
@@ -128,16 +132,56 @@ def main() -> None:
             p = quantize_lm_params(p)
         return p
 
-    params = jax.jit(build_params)(jax.random.PRNGKey(0))
-    if args.int8 and jax.default_backend() == "tpu":
-        from fish_tts_tpu.ops import slow_stack
+    # compile (the remote compile service's latency swings 8s-280s between
+    # sessions — see PERFORMANCE.md) is timed separately from execution so a
+    # code regression in param materialization is distinguishable from
+    # platform compile weather.
+    real_tts = None
+    if args.model_dir:
+        # Real weights: the full FishTTS load path (convert/load + cast +
+        # quantize) IS the init being measured; its engine params feed the
+        # raw-throughput sections below, so speed and fidelity come from the
+        # same arrays.
+        from fish_tts_tpu.synthesizer import FishTTS
 
-        params = jax.jit(lambda p: slow_stack.prepare_head(p, cfg))(params)
+        init_compile_s = 0.0
+        real_tts = FishTTS(
+            model_dir=args.model_dir,
+            precision="int8" if args.int8 else "bf16",
+            warmup=False,
+        )
+        cfg = real_tts._cfg
+        tk = real_tts._tokenizer
+        ids = TokenIds(semantic_begin=tk.semantic_begin_id,
+                       semantic_end=tk.semantic_end_id, im_end=tk.im_end_id)
+        params = real_tts._engine.params
+        force(jax.tree_util.tree_leaves(params)[0][:1])
+        init_materialize_s = time.perf_counter() - t0
+    else:
+        key0 = jax.random.PRNGKey(0)
+        build_c = jax.jit(build_params).lower(key0).compile()
+        head_c = None
+        if args.int8 and jax.default_backend() == "tpu":
+            from fish_tts_tpu.ops import slow_stack
+
+            proto = jax.eval_shape(build_params, key0)
+            head_c = (
+                jax.jit(lambda p: slow_stack.prepare_head(p, cfg))
+                .lower(proto).compile()
+            )
+        init_compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        params = build_c(key0)
+        if head_c is not None:
+            params = head_c(params)
+        force(jax.tree_util.tree_leaves(params)[0][:1])
+        init_materialize_s = time.perf_counter() - t0
     rope = dual_ar.make_rope_tables(cfg)
-    force(jax.tree_util.tree_leaves(params)[0][:1])
-    init_s = time.perf_counter() - t0
+    init_s = init_compile_s + init_materialize_s
     n_params = dual_ar.param_count(params)
-    print(f"# init: {init_s:.1f}s ({n_params/1e6:.0f}M params)", file=sys.stderr)
+    print(f"# init: {init_s:.1f}s = compile {init_compile_s:.1f}s + "
+          f"materialize {init_materialize_s:.1f}s ({n_params/1e6:.0f}M params)",
+          file=sys.stderr)
 
     t, p, r = jnp.float32(0.7), jnp.float32(0.8), jnp.float32(1.1)
     T = 64  # prompt bucket
@@ -241,6 +285,8 @@ def main() -> None:
         "frames_timed": n_frames,
         "compile_s": round(compile_s, 1),
         "init_s": round(init_s, 1),
+        "init_compile_s": round(init_compile_s, 1),
+        "init_materialize_s": round(init_materialize_s, 1),
         "precision": "int8" if args.int8 else ("fp32" if args.tiny else "bf16"),
         "device": str(dev),
     }
@@ -290,7 +336,9 @@ def main() -> None:
     # -- TTFA + end-to-end RTF through the public path ----------------------
     if not args.no_ttfa and not over_budget("TTFA/e2e user path"):
         try:
-            extras.update(_measure_user_path(args, cfg, vcfg, params, dtype))
+            extras.update(
+                _measure_user_path(args, cfg, vcfg, params, dtype, real_tts)
+            )
         except Exception as e:  # noqa: BLE001 — user-path extras are best-effort
             print(f"# user-path bench failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
@@ -305,7 +353,7 @@ def main() -> None:
     print(json.dumps(result))
 
 
-def _measure_user_path(args, cfg, vcfg, params, dtype):
+def _measure_user_path(args, cfg, vcfg, params, dtype, real_tts=None):
     """User-path numbers through the public ``FishTTS`` API:
 
     - ``ttfa_ms``: p50 time from ``synthesize_stream(text)`` to the first PCM
@@ -317,9 +365,11 @@ def _measure_user_path(args, cfg, vcfg, params, dtype):
       end-to-end; the top-level ``rtf`` key is LM decode only;
     - ``vocoder_frames_per_sec``: codec decode throughput on its own.
 
-    The LM params are the benchmarked ones; the vocoder is full-size with
-    random weights; the tokenizer is synthetic but id-layout-compatible, so
-    the timed path is exactly the user path.
+    The LM params are the benchmarked ones; with ``--model-dir`` the whole
+    stack (tokenizer, vocoder, weights) is real and the e2e audio's RMS is
+    reported as a fidelity signal; otherwise the vocoder is full-size with
+    random weights and the tokenizer synthetic but id-layout-compatible, so
+    the timed path is exactly the user path either way.
     """
     import tempfile
     from pathlib import Path
@@ -335,24 +385,28 @@ def _measure_user_path(args, cfg, vcfg, params, dtype):
     )
     from fish_tts_tpu.synthesizer import FishTTS
 
-    d = Path(tempfile.mkdtemp(prefix="fish_tts_bench_"))
-    write_tiny_vocab(d / "tokenizer.tiktoken")
-    tokenizer = FishTokenizer(
-        d / "tokenizer.tiktoken", tiny_special_tokens(cfg.codebook_size)
-    )
+    if real_tts is not None:
+        tts = real_tts
+    else:
+        d = Path(tempfile.mkdtemp(prefix="fish_tts_bench_"))
+        write_tiny_vocab(d / "tokenizer.tiktoken")
+        tokenizer = FishTokenizer(
+            d / "tokenizer.tiktoken", tiny_special_tokens(cfg.codebook_size)
+        )
 
-    t0 = time.perf_counter()
-    vparams = jax.jit(
-        lambda k: voc.init_vocoder_params(k, vcfg, dtype=dtype)
-    )(jax.random.PRNGKey(7))
-    np.asarray(jax.tree_util.tree_leaves(vparams)[0]).ravel()[:1]
-    print(f"# vocoder init: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+        t0 = time.perf_counter()
+        vparams = jax.jit(
+            lambda k: voc.init_vocoder_params(k, vcfg, dtype=dtype)
+        )(jax.random.PRNGKey(7))
+        np.asarray(jax.tree_util.tree_leaves(vparams)[0]).ravel()[:1]
+        print(f"# vocoder init: {time.perf_counter() - t0:.1f}s",
+              file=sys.stderr)
 
-    tts = FishTTS(
-        precision="fp32" if args.tiny else "bf16",
-        warmup=False,
-        _testing_bundle=(cfg, params, tokenizer, vcfg, vparams),
-    )
+        tts = FishTTS(
+            precision="fp32" if args.tiny else "bf16",
+            warmup=False,
+            _testing_bundle=(cfg, params, tokenizer, vcfg, vparams),
+        )
 
     text = "Benchmark time to first audio."
 
@@ -404,6 +458,15 @@ def _measure_user_path(args, cfg, vcfg, params, dtype):
     out["rtf_e2e"] = round(rtfs[1], 4)
     print(f"# e2e: {audio_sec:.2f}s audio, RTF p50 {rtfs[1]:.4f} "
           f"(runs {[round(r, 4) for r in rtfs]})", file=sys.stderr)
+    if real_tts is not None:
+        # fidelity signal on real weights: non-silent, finite audio
+        pcm = np.frombuffer(wav[44:], dtype=np.int16).astype(np.float32)
+        pcm /= 32767.0
+        rms = float(np.sqrt(np.mean(pcm**2))) if pcm.size else 0.0
+        out["audio_rms"] = round(rms, 4)
+        out["audio_finite"] = bool(np.isfinite(pcm).all())
+        print(f"# fidelity: rms={rms:.4f} finite={out['audio_finite']}",
+              file=sys.stderr)
     return out
 
 
