@@ -124,7 +124,17 @@ class DualARConfig:
 
 @dataclass(frozen=True)
 class VocoderTransformerConfig:
-    """Config for the vocoder-internal transformers (reference vocoder.py:43-66)."""
+    """Config for the vocoder-internal transformers (reference vocoder.py:43-66).
+
+    ``pos_embed_type``: ``"rope"`` (default, the shipped wiring) or
+    ``"conformer"``.  Reference quirk, replicated exactly: the conformer
+    variant allocates learned ``rel_pos_embeddings`` of shape
+    ``(2*max_relative_position+1, head_dim)`` (vocoder.py:174-180) but its
+    forward never reads them (vocoder.py:183-217 applies rotary only under
+    ``"rope"`` and otherwise runs position-free attention) — so
+    ``"conformer"`` means NoPE attention plus a dead parameter that still
+    loads from checkpoints.
+    """
 
     block_size: int = 2048
     n_layer: int = 8
@@ -136,6 +146,8 @@ class VocoderTransformerConfig:
     rope_base: float = 10000.0
     norm_eps: float = 1e-5
     channels_first: bool = True
+    pos_embed_type: str = "rope"  # "rope" | "conformer" (vocoder.py:57)
+    max_relative_position: int = 128  # conformer table half-width (vocoder.py:58)
 
     def __post_init__(self):
         if self.n_local_heads == -1:

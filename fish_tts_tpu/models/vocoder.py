@@ -121,6 +121,16 @@ def _wlt_p(key, tcfg: VocoderTransformerConfig, input_dim: int, dtype):
     if input_dim != tcfg.dim:
         p["input_proj"] = _linear_p(ks[5], input_dim, D, dtype)
         p["output_proj"] = _linear_p(ks[6], D, input_dim, dtype)
+    if tcfg.pos_embed_type == "conformer":
+        # Allocated-but-unused, replicating the reference quirk
+        # (vocoder.py:174-180 creates the table; forward never reads it).
+        p["layers"]["rel_pos_embeddings"] = (
+            jax.random.truncated_normal(
+                ks[7], -2, 2,
+                (L, 2 * tcfg.max_relative_position + 1, tcfg.head_dim),
+                jnp.float32,
+            ) * 0.02
+        ).astype(dtype)
     return p
 
 
@@ -265,8 +275,11 @@ def _wlt_forward(
         q = q.reshape(B, T, H, Dh)
         k = k.reshape(B, T, Hkv, Dh)
         v = v.reshape(B, T, Hkv, Dh)
-        q = apply_rotary_emb(q, freqs)
-        k = apply_rotary_emb(k, freqs)
+        if tcfg.pos_embed_type == "rope":
+            # conformer mode skips rotary entirely (reference
+            # vocoder.py:198-200; its rel_pos_embeddings are never applied)
+            q = apply_rotary_emb(q, freqs)
+            k = apply_rotary_emb(k, freqs)
         q, k, v = (jnp.swapaxes(t, 1, 2) for t in (q, k, v))
         att = attention(q, k, v, bias)
         att = jnp.swapaxes(att, 1, 2).reshape(B, T, H * Dh)

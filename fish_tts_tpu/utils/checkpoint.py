@@ -349,6 +349,13 @@ def _wlt_from_sd(sd: _SD, prefix: str, n_layers: int) -> Params:
     if sd.has(f"{prefix}.input_proj.weight"):
         p["input_proj"] = sd.linear(f"{prefix}.input_proj")
         p["output_proj"] = sd.linear(f"{prefix}.output_proj")
+    if sd.has(prefix + ".layers.0.attention.rel_pos_embeddings"):
+        # conformer variant: the table loads (it is a real nn.Parameter in
+        # the checkpoint) even though no forward reads it — reference quirk,
+        # vocoder.py:174-180 vs 183-217.
+        p["layers"]["rel_pos_embeddings"] = stacked(
+            prefix + ".layers.{i}.attention.rel_pos_embeddings"
+        )
     return p
 
 

@@ -414,3 +414,59 @@ def test_vocoder_coverage_surfaces_drops_and_typos(codecs):
     assert "decoder.model.1.block.2.attention.wqkv.weight" in rep.expected_dropped
     assert rep.unconsumed == ("quantizer.typo_module.weight",)
     assert not rep.ok
+
+
+def test_wlt_conformer_mode_matches():
+    """pos_embed_type="conformer" parity: the reference allocates
+    rel_pos_embeddings but never applies them (vocoder.py:174-180 vs
+    183-217) — attention runs position-free.  Our forward must match, and
+    the dead table must still convert from the checkpoint (it is a real
+    nn.Parameter that would otherwise be an unconsumed key)."""
+    rv = _load_reference_vocoder()
+    cfg_t = rv.VocoderModelArgs(
+        block_size=256, n_layer=2, n_head=4, dim=64, intermediate_size=128,
+        n_local_heads=-1, head_dim=16, rope_base=10000, norm_eps=1e-5,
+        dropout_rate=0.0, attn_dropout_rate=0.0, channels_first=True,
+        pos_embed_type="conformer", max_relative_position=16,
+    )
+    torch.manual_seed(3)
+    twlt = rv.WindowLimitedTransformer(
+        config=cfg_t, input_dim=32, window_size=24, causal=True
+    ).float().eval()
+    # the conformer table exists in the checkpoint surface
+    sd = twlt.state_dict()
+    assert "layers.0.attention.rel_pos_embeddings" in sd
+
+    from fish_tts_tpu.utils.checkpoint import _SD, _wlt_from_sd
+
+    sdv = _SD({f"m.{k}": v for k, v in sd.items()})
+    params = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x, jnp.float32), _wlt_from_sd(sdv, "m", 2)
+    )
+    # every key consumed (freqs_cis is None in conformer mode, not a buffer
+    # in the state_dict; causal_mask is a buffer the converter never needs)
+    leftover = {
+        k for k in sdv.sd if k not in sdv.used and "causal_mask" not in k
+    }
+    assert not leftover, leftover
+    assert "rel_pos_embeddings" in params["layers"]
+
+    jcfg = VocoderTransformerConfig(
+        block_size=256, n_layer=2, n_head=4, dim=64, intermediate_size=128,
+        head_dim=16, pos_embed_type="conformer", max_relative_position=16,
+    )
+    T = 40
+    rng = np.random.RandomState(7)
+    x = rng.randn(1, 32, T).astype(np.float32) * 0.3
+    with torch.no_grad():
+        t_out = twlt(torch.from_numpy(x)).numpy()
+    j_out = np.asarray(jvoc._wlt_forward(params, jcfg, 24, jnp.asarray(x)))
+    np.testing.assert_allclose(j_out, t_out, rtol=1e-4, atol=2e-5)
+
+    # and rope mode on the same shapes still differs (the gate is real)
+    jcfg_rope = VocoderTransformerConfig(
+        block_size=256, n_layer=2, n_head=4, dim=64, intermediate_size=128,
+        head_dim=16, pos_embed_type="rope",
+    )
+    j_rope = np.asarray(jvoc._wlt_forward(params, jcfg_rope, 24, jnp.asarray(x)))
+    assert not np.allclose(j_rope, t_out, atol=1e-3)
