@@ -206,9 +206,9 @@ def main() -> None:
     kv_b = min(cfg.max_seq_len, 512)
     # fused Pallas kernels: gated on the *actual* backend, not the CLI flags —
     # off-TPU they would run in interpret mode, orders of magnitude slower,
-    # and the numbers would be meaningless.  Both kernels also gate themselves
-    # to B=1 (batched serving measured faster on the XLA path, which amortizes
-    # weight streaming across rows).
+    # and the numbers would be meaningless.  Both kernels handle B <= 8
+    # (group-folded batched attention; weight streaming amortizes across
+    # streams inside the kernel).
     fast_k = args.int8 and jax.default_backend() == "tpu"
     if args.int8 and not fast_k:
         print("# WARNING: int8 requested off-TPU; Pallas kernels disabled "
@@ -311,8 +311,8 @@ def main() -> None:
             jax.random.PRNGKey(11), t, p, r, cfg=cfg, ids=ids, top_k=top_k,
             approx=args.approx, kv_bucket=0,
         )
-        # warm (compile) then time; batched decode amortizes weight streaming
-        # on the XLA path (the Pallas kernels gate themselves to B=1)
+        # warm (compile) then time; the Pallas kernels run batched (B <= 8),
+        # amortizing one weight stream across all streams per step
         state_a, fr, _ = decode_mod.decode_chunk(
             params, rope, state_a, jax.random.PRNGKey(12), t, p, r,
             cfg=cfg, ids=ids, num_frames=CHUNK, top_k=top_k,

@@ -74,9 +74,32 @@ def init_state(
         "frame": jnp.zeros((batch, 1 + cfg.num_codebooks), jnp.int32),
         "pos": jnp.zeros((batch,), jnp.int32),
         "prev": jnp.zeros((batch, 1 + cfg.num_codebooks, window), jnp.int32),
-        "step": jnp.zeros((), jnp.int32),
+        # per-slot local step counter: slots admitted mid-flight (continuous
+        # batching) count their own frames from 0, so penalty-window slots
+        # and per-frame RNG are invariant to WHEN a stream joined the batch
+        "step": jnp.zeros((batch,), jnp.int32),
         "done": jnp.zeros((batch,), jnp.bool_),
     }
+
+
+def is_single_key(key: jax.Array) -> bool:
+    """True for ONE prng key (typed scalar or raw (2,) uint32), False for a
+    per-slot batch of keys (typed (B,) or raw (B, 2))."""
+    if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+        return key.ndim == 0
+    return key.ndim == 1
+
+
+def normalize_keys(key: jax.Array, batch: int) -> jax.Array:
+    """One base key -> (batch,) per-slot base keys (fold_in by slot); a
+    per-slot key batch passes through (continuous batching supplies each
+    slot's key from its request so samples are co-tenant-invariant)."""
+    if is_single_key(key):
+        return jax.vmap(lambda i: jax.random.fold_in(key, i))(
+            jnp.arange(batch)
+        )
+    assert key.shape[0] == batch, key.shape
+    return key
 
 
 def penalty_column(prev: jnp.ndarray, step: jnp.ndarray) -> jnp.ndarray:
@@ -88,11 +111,12 @@ def penalty_column(prev: jnp.ndarray, step: jnp.ndarray) -> jnp.ndarray:
     ``previous_tokens[:, step-W:step]`` afterwards, where column 0 is the
     oldest frame in the window.  In our circular buffer (slot ``j % W`` holds
     step ``j``'s frame) those are slot 0 and slot ``step % W`` respectively.
-    The window size is carried by the state shape (see ``init_state``).
+    ``step`` is per-slot (B,); the window size is carried by the state shape
+    (see ``init_state``).
     """
     W = prev.shape[2]
-    col = jnp.where(step < W, 0, step % W)
-    return jax.lax.dynamic_index_in_dim(prev, col, axis=2, keepdims=False)
+    col = jnp.where(step < W, 0, step % W)  # (B,)
+    return jnp.take_along_axis(prev, col[:, None, None], axis=2)[:, :, 0]
 
 
 # ---------------------------------------------------------------------------
@@ -105,14 +129,14 @@ def _sample_frame(
     cfg: DualARConfig,
     ids: TokenIds,
     rope: Params,
-    key: jax.Array,
+    keys: jax.Array,  # (B,) per-slot PRNG keys
     hidden_last: jnp.ndarray,  # (B, 1, D) un-normed hidden at the sampled position
     logits: jnp.ndarray,  # (B, V)
     temperature: jnp.ndarray,
     top_p: jnp.ndarray,
     repetition_penalty: jnp.ndarray,
     prev: jnp.ndarray | None,  # (B, 1+K, W) circular window, or None (prefill)
-    step: jnp.ndarray | None,  # scalar step index (for the column quirk)
+    step: jnp.ndarray | None,  # (B,) per-slot step (for the column quirk)
     top_k: int,
     approx: bool = False,
     fast_kernel: bool = False,
@@ -120,12 +144,18 @@ def _sample_frame(
     """Sample one full (1+K)-row frame (reference decode_one_token_ar,
     inference.py:83-155).  Returns (B, 1+K) int32.
 
-    With ``fast_kernel`` (and int8 params, B=1) the codebook loop runs in the
+    RNG is per slot: row ``b``'s noise comes from ``keys[b]`` alone, so a
+    stream's samples do not depend on its co-tenants (the continuous-batching
+    invariant; batch callers derive decorrelated slot keys via
+    :func:`normalize_keys`).
+
+    With ``fast_kernel`` (and int8 params, B <= 8) the codebook loop runs in the
     fused Pallas kernel (ops/fast_decoder.py) — same math, f32 accumulation,
     exact full-vocab top-p; otherwise the XLA ``lax.scan`` loop below.
     """
     B = logits.shape[0]
-    k_slow, k_fast = jax.random.split(key)
+    pair = jax.vmap(lambda k: jax.random.split(k))(keys)  # (B, 2) keys
+    k_slow, k_fast = pair[:, 0], pair[:, 1]
 
     # Slow/semantic token — window quirk: the reference penalizes
     # previous_tokens[:, 0], the first window *column* (inference.py:110).
@@ -160,10 +190,12 @@ def _sample_frame(
         else:
             prev_rows = jnp.zeros((B, cfg.num_codebooks - 1, WINDOW), jnp.int32)
             rep = jnp.float32(1.0)  # exact no-op penalty (prefill)
-        gumbel = jax.random.gumbel(
-            k_fast, (B, cfg.num_codebooks - 1, cfg.residual_codebook_size),
-            jnp.float32,
-        )
+        gumbel = jax.vmap(
+            lambda k: jax.random.gumbel(
+                k, (cfg.num_codebooks - 1, cfg.residual_codebook_size),
+                jnp.float32,
+            )
+        )(k_fast)  # (B, K-1, Vr), row b from keys[b] alone
         codes, _ = fast_decoder.fast_decode_frame(
             params, cfg, rope["fast"], h_fast[:, 0], a, prev_rows, gumbel,
             temperature, top_p, rep,
@@ -186,8 +218,8 @@ def _sample_frame(
     emb = qgather(params["fast_embeddings"], a, dt)[:, None]  # (B, 1, Df)
 
     def fast_body(carry, inp):
-        emb, cache, k = carry
-        cb_idx, sub = inp
+        emb, cache = carry
+        cb_idx, sub = inp  # sub: (B,) per-slot keys for this codebook step
         logits_cb, cache = dual_ar.fast_step(params, cfg, rope, emb, cb_idx, cache)
         short = logits_cb[:, -1, : cfg.residual_codebook_size]  # inference.py:134
         prev_row = None
@@ -206,12 +238,16 @@ def _sample_frame(
             prev_idx=prev_row, top_k=res_k, approx=approx,
         )
         emb = qgather(params["fast_embeddings"], code, dt)[:, None]
-        return (emb, cache, k), code
+        return (emb, cache), code
 
     cb_indices = jnp.arange(1, cfg.num_codebooks, dtype=jnp.int32)
-    subkeys = jax.random.split(k_fast, cfg.num_codebooks - 1)
-    (_, _, _), res_codes = jax.lax.scan(
-        fast_body, (emb, cache, k_fast), (cb_indices, subkeys)
+    # (B, K-1) per-slot subkeys -> scan consumes one (B,) column per step
+    subkeys = jnp.swapaxes(
+        jax.vmap(lambda k: jax.random.split(k, cfg.num_codebooks - 1))(k_fast),
+        0, 1,
+    )
+    (_, _), res_codes = jax.lax.scan(
+        fast_body, (emb, cache), (cb_indices, subkeys)
     )  # res_codes: (K-1, B)
 
     frame = jnp.concatenate(
@@ -262,9 +298,11 @@ def prefill(
 
     Returns (state, first_frame (B, 1+K)).  No repetition penalty on the first
     frame (the reference prefill passes previous_tokens=None,
-    inference.py:353-363).
+    inference.py:353-363).  ``key`` is one base key (decorrelated per slot
+    via :func:`normalize_keys`) or a (B,) per-slot key batch.
     """
     B, _, Tb = prompt.shape
+    keys = normalize_keys(key, B)
     S = state["kv"]["k"].shape[3]
     offset = state["pos"]  # (B,)
     R = S if kv_bucket is None else kv_bucket
@@ -296,7 +334,7 @@ def prefill(
     logits = dual_ar.lm_logits(params, cfg, hidden_last)[:, -1]  # (B, V)
 
     frame = _sample_frame(
-        params, cfg, ids, rope, key, hidden_last, logits,
+        params, cfg, ids, rope, keys, hidden_last, logits,
         temperature, top_p, repetition_penalty,
         prev=None, step=None, top_k=top_k, approx=approx,
         fast_kernel=fast_kernel,
@@ -324,7 +362,7 @@ def _decode_one(
     ids: TokenIds,
     rope: Params,
     state: State,
-    key: jax.Array,
+    keys: jax.Array,  # (B,) this frame's per-slot keys
     temperature: jnp.ndarray,
     top_p: jnp.ndarray,
     repetition_penalty: jnp.ndarray,
@@ -353,18 +391,21 @@ def _decode_one(
             read_len=R, interpret=jax.default_backend() != "tpu",
         )
         cdt = state["kv"]["k"].dtype
-        # the kernel path is B=1 only (slow_stack.supports gates it);
-        # dynamic_update_slice is far cheaper than a gather/scatter lowering
-        # on TPU (~1.4 ms/frame difference at S1-mini shapes)
-        start = (0, 0, 0, pos[0], 0)
-        kv = {
-            "k": jax.lax.dynamic_update_slice(
-                state["kv"]["k"], new_k.astype(cdt), start
-            ),
-            "v": jax.lax.dynamic_update_slice(
-                state["kv"]["v"], new_v.astype(cdt), start
-            ),
-        }
+        # per-stream dynamic_update_slice (B static slices) is far cheaper
+        # than a gather/scatter lowering on TPU (~1.4 ms/frame difference at
+        # S1-mini shapes for B=1; advanced-index scatter is worse still at
+        # B=8) — each stream writes its row at its own position
+        k_cache, v_cache = state["kv"]["k"], state["kv"]["v"]
+        nk, nv = new_k.astype(cdt), new_v.astype(cdt)
+        for b in range(B):
+            start = (0, b, 0, pos[b], 0)
+            k_cache = jax.lax.dynamic_update_slice(
+                k_cache, nk[:, b:b + 1], start
+            )
+            v_cache = jax.lax.dynamic_update_slice(
+                v_cache, nv[:, b:b + 1], start
+            )
+        kv = {"k": k_cache, "v": v_cache}
         hidden = hidden.astype(params["norm"].dtype)
     else:
         klogits = None
@@ -385,7 +426,7 @@ def _decode_one(
         logits = dual_ar.lm_logits(params, cfg, hidden)[:, -1]  # (B, V)
 
     frame = _sample_frame(
-        params, cfg, ids, rope, key, hidden, logits,
+        params, cfg, ids, rope, keys, hidden, logits,
         temperature, top_p, repetition_penalty,
         prev=state["prev"], step=state["step"], top_k=top_k, approx=approx,
         fast_kernel=fast_kernel,
@@ -395,12 +436,15 @@ def _decode_one(
     emitted = ~was_done
     done = was_done | (frame[:, 0] == ids.im_end)
 
-    # Record the frame in the circular window at slot (step % W)
-    # (reference writes previous_tokens[:, i:i+1], inference.py:208).
-    slot = state["step"] % state["prev"].shape[2]
-    prev = jax.lax.dynamic_update_slice_in_dim(
-        state["prev"], frame[:, :, None], slot, axis=2
-    )
+    # Record the frame in each slot's circular window at (step_b % W)
+    # (reference writes previous_tokens[:, i:i+1], inference.py:208); steps
+    # are per-slot so a mid-flight-admitted stream's window is identical to
+    # its solo-decode window.
+    slot = state["step"] % state["prev"].shape[2]  # (B,)
+    rows = jnp.arange(state["prev"].shape[1])
+    prev = state["prev"].at[
+        jnp.arange(B)[:, None], rows[None, :], slot[:, None]
+    ].set(frame)
 
     # Streams already done: hold position (their KV slot gets overwritten
     # harmlessly); live streams advance, clamped to the cache end.
@@ -459,17 +503,21 @@ def decode_chunk(
     decide whether to strip it (reference strips it in batch mode via
     ``[:-1]`` at inference.py:839 but streams it at inference.py:271-274).
 
-    Per-frame RNG is ``fold_in(key, state.step)``: a caller that passes ONE
-    base key for a whole generation gets bit-identical frames regardless of
-    how the generation is cut into chunks (streaming 20-frame chunks and
-    batch-mode 100-frame chunks sample the same sequence).
+    Per-frame RNG is ``fold_in(slot_key, slot_step)`` per slot (slot keys
+    from :func:`normalize_keys`): a caller that passes the same base key(s)
+    gets bit-identical frames regardless of how the generation is cut into
+    chunks (streaming 20-frame chunks and batch-mode 100-frame chunks sample
+    the same sequence), and a slot's samples depend only on ITS key and ITS
+    local step — the invariant continuous batching needs to reproduce solo
+    decodes for mid-flight-admitted requests.
     """
     B = state["frame"].shape[0]
+    keys = normalize_keys(key, B)
 
     def step(st):
-        k = jax.random.fold_in(key, st["step"])
+        ks = jax.vmap(jax.random.fold_in)(keys, st["step"])
         return _decode_one(
-            params, cfg, ids, rope, st, k,
+            params, cfg, ids, rope, st, ks,
             temperature, top_p, repetition_penalty, top_k, approx,
             kv_bucket, fast_kernel,
         )
@@ -544,8 +592,10 @@ def prefill_chunk(
     with the SAME base key continue the identical sampling sequence; the
     prefill frame uses a step index no decode step can reach.
     """
-    k1 = jax.random.fold_in(key, 0x7FFFFFFF)  # step values stay < max_seq_len
-    k2 = key
+    keys = normalize_keys(key, prompt.shape[0])
+    # prefill frame: a step index no decode step can reach
+    k1 = jax.vmap(lambda k: jax.random.fold_in(k, 0x7FFFFFFF))(keys)
+    k2 = keys
     state, first = prefill(
         params, rope, state, prompt, lengths, k1,
         temperature, top_p, repetition_penalty,

@@ -240,7 +240,7 @@ class GenerationEngine:
             "frame": jnp.repeat(s["frame"], batch, axis=0),
             "pos": jnp.repeat(s["pos"], batch, axis=0),
             "prev": jnp.repeat(s["prev"], batch, axis=0),
-            "step": jnp.copy(s["step"]),
+            "step": jnp.repeat(s["step"], batch, axis=0),
             "done": jnp.repeat(s["done"], batch, axis=0),
         }
         if self.mesh is not None:
@@ -753,12 +753,11 @@ class GenerationEngine:
                         )
                         for k in ("k", "v")
                     },
-                    "step": group_states[0]["step"],
                     **{
                         k: jnp.concatenate(
                             [s[k] for s in group_states], axis=0
                         )
-                        for k in ("frame", "pos", "prev", "done")
+                        for k in ("frame", "pos", "prev", "step", "done")
                     },
                 }
                 if self.mesh is not None:

@@ -30,6 +30,24 @@ import jax.numpy as jnp
 _NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 
+def _gumbel_rows(key: jax.Array, shape: tuple[int, ...]) -> jnp.ndarray:
+    """Gumbel noise for a (B, V) draw from either ONE key (all rows from a
+    single stream of bits — the batch-static path) or a batch of keys (row
+    ``b`` drawn from ``key[b]`` alone — the per-slot path, where a stream's
+    noise must not depend on its co-tenants or slot count)."""
+    single = (
+        key.ndim == 0
+        if jnp.issubdtype(key.dtype, jax.dtypes.prng_key)
+        else key.ndim == 1
+    )
+    if single:
+        return jax.random.gumbel(key, shape, jnp.float32)
+    assert key.shape[0] == shape[0], (key.shape, shape)
+    return jax.vmap(
+        lambda k: jax.random.gumbel(k, shape[1:], jnp.float32)
+    )(key)
+
+
 def apply_repetition_penalty(
     logits: jnp.ndarray,  # (B, V) float
     prev_idx: jnp.ndarray,  # (B, W) int32 token indices
@@ -85,7 +103,7 @@ def top_p_gumbel_sample(
     masked = jnp.where(remove, _NEG_INF, vals)
 
     scaled = masked / jnp.clip(temperature, 1e-5)
-    g = jax.random.gumbel(key, scaled.shape, jnp.float32)
+    g = _gumbel_rows(key, scaled.shape)
     choice = jnp.argmax(scaled + g, axis=-1)  # (B,)
     return jnp.take_along_axis(idx, choice[:, None], axis=-1)[:, 0].astype(jnp.int32)
 
@@ -139,7 +157,7 @@ def top_p_threshold_sample(
     keep = top_p_threshold_mask(logits, top_p)
     masked = jnp.where(keep, logits, _NEG_INF)
     scaled = masked / jnp.clip(temperature, 1e-5)
-    g = jax.random.gumbel(key, logits.shape, jnp.float32)
+    g = _gumbel_rows(key, logits.shape)
     return jnp.argmax(scaled + g, axis=-1).astype(jnp.int32)
 
 
@@ -160,6 +178,10 @@ def sample(
     the truncated candidate search.  ``approx`` only applies to the
     truncated search (``top_k > 0``) — the exact modes have no candidate
     set to approximate.
+
+    ``key`` may be one key (batch-static noise stream) or a (B,)-shaped key
+    batch (row b's noise depends only on key[b] — required by continuous
+    batching, where a stream's samples must be invariant to co-tenants).
     """
     if prev_idx is not None:
         logits = apply_repetition_penalty(

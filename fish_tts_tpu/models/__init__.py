@@ -11,7 +11,6 @@ checkpoint ``config.json`` files load identically through either name).
 from fish_tts_tpu.config import DualARConfig as BaseModelArgs  # noqa: F401
 from fish_tts_tpu.config import DualARConfig as DualARModelArgs  # noqa: F401
 from fish_tts_tpu.config import VocoderConfig as VocoderModelArgs  # noqa: F401
-from fish_tts_tpu.engine.generate import GenerateResponse  # noqa: F401
 from fish_tts_tpu.models.api import (  # noqa: F401
     DAC,
     DownsampleResidualVectorQuantize,
@@ -26,6 +25,17 @@ from fish_tts_tpu.models.prompt import (  # noqa: F401
     VQPart,
 )
 from fish_tts_tpu.models.tokenizer import FishTokenizer  # noqa: F401
+
+
+def __getattr__(name):
+    # GenerateResponse lives in the engine layer, which itself imports the
+    # models subpackage — resolve lazily to keep the import graph acyclic
+    # whichever side is imported first.
+    if name == "GenerateResponse":
+        from fish_tts_tpu.engine.generate import GenerateResponse
+
+        return GenerateResponse
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 __all__ = [
     "BaseModelArgs",

@@ -15,30 +15,38 @@ core's 128 MiB), so the stack is loaded from HBM once per frame:
            fast_norm -> residual-book head -> repetition penalty -> exact
            top-p -> Gumbel-max sample -> next embedding.
 
+Batched serving: the kernel handles B <= MAX_BATCH independent streams on
+the sublane axis.  The matmuls batch for free ((B, D) rows through the same
+VMEM-resident weights — the whole point: one weight load serves every
+stream); per-stream state is tiny (K=10-row KV tiles, one code per stream)
+and handled with static Python loops over B plus constant selection
+matmuls.  Per-stream sampling parameters ride in as (B, 1) columns.
+
 Mosaic-friendly layout choices (the TPU vector unit hates reshapes that
 split the 128-lane axis):
 
-- activations stay ``(1, heads*head_dim)`` end-to-end; q/k/v are lane
+- activations stay ``(B, heads*head_dim)`` end-to-end; q/k/v are lane
   *slices* of the fused qkv row, never reshaped to ``(H, Dh)``;
 - RoPE is applied with precomputed interleaved cos / signed-sin tables and a
   pairwise lane swap built from two ``pltpu.roll`` calls — no pair reshape;
+- GQA K/V head duplication is one matmul against a constant 0/1
+  ``(kv_size, q_size)`` expansion matrix (MXU), not lane concats;
 - per-head score/weighted-sum reductions go through tiny segment-mask
   matmuls (``(K, H*Dh) @ (H*Dh, H)``) on the MXU instead of axis reshapes;
-- K/V rows are written into the cache scratch duplicated per *query* head,
-  so the GQA group structure is baked into the lane layout.
+- per-stream rows (penalty window, Gumbel noise, output logits) are
+  selected/scattered with constant group matrices — no dynamic sublane
+  indexing.
 
 Sampling uses a *sort-free exact* top-p: token ``i`` stays in the nucleus iff
 ``sum_{j: l_j > l_i} p_j + p_i <= top_p`` or ``i`` is the argmax — the same
 set the reference's sort+cumsum selects (inference.py:47-57; ties at the
 boundary are kept, where an unstable sort picks an arbitrary subset).  The
-O(V^2) pairwise comparison is ~1M VPU ops for the 1024-entry residual books —
-cheaper than any sort.  Gumbel noise is drawn outside with the engine's key
-and passed in, keeping RNG handling in one place.
+O(V^2) pairwise comparison is ~1M VPU ops per stream for the 1024-entry
+residual books — cheaper than any sort.  Gumbel noise is drawn outside with
+the engine's key and passed in, keeping RNG handling in one place.
 
-Single-stream (B=1) only — the latency path this kernel exists for; batched
-serving uses the XLA loop, which amortizes weight streaming across streams.
 Weights must be int8-quantized per ``utils/quantize.py``; bf16 stacks (2x
-the bytes) do not fit in VMEM and also use the XLA path.
+the bytes) do not fit in VMEM and use the XLA path.
 """
 
 from __future__ import annotations
@@ -59,8 +67,14 @@ Params = dict[str, Any]
 
 _NEG = -1e30
 
+# Streams per kernel invocation.  Per-stream VMEM state is ~100 KB; the
+# binding constraint is VPU work in the O(V^2) top-p (linear in B), which
+# stays well under the weight-streaming win through B=8.
+MAX_BATCH = 8
 
-def _make_kernel(cfg: DualARConfig, window: int):
+
+def _make_kernel(cfg: DualARConfig, window: int, batch: int):
+    B = batch
     K = cfg.num_codebooks
     D = cfg.fast_dim
     H = cfg.fast_n_head
@@ -73,6 +87,7 @@ def _make_kernel(cfg: DualARConfig, window: int):
     q_size = H * Dh
     kv_size = Hkv * Dh
     scale = 1.0 / math.sqrt(Dh)
+    R = K - 1  # residual codebook steps / rows per stream
 
     def _rms(x, w):
         n = x * jax.lax.rsqrt(jnp.mean(x * x, axis=-1, keepdims=True) + eps)
@@ -87,14 +102,28 @@ def _make_kernel(cfg: DualARConfig, window: int):
         swap = jnp.where(lane % 2 == 0, r_next, r_prev)
         return x * cos_row + swap * sin_row
 
+    # constant (kv_size, q_size) 0/1 matrix: kv-head segment h copies into
+    # every query-head segment hq with hq//G == h (GQA duplication as one
+    # MXU pass instead of per-head lane concats)
+    dup = np.zeros((kv_size, q_size), np.float32)
+    for hq in range(H):
+        h0 = (hq // G) * Dh
+        dup[h0:h0 + Dh, hq * Dh:(hq + 1) * Dh] = np.eye(Dh)
+
+    # (B, B*R) group-sum: row b sums rows [b*R, (b+1)*R) — with a
+    # single-row mask applied first this is a per-stream row *select*
+    gsel = np.kron(np.eye(B, dtype=np.float32), np.ones((1, R), np.float32))
+
     def kernel(
-        temp_ref, top_p_ref, rep_ref,              # SMEM scalars
-        h_ref,            # (1, D) slow hidden, already fast-projected
-        a0_ref,           # (1, 1) int32 first codebook code
-        prev_ref,         # (K-1, W) int32 penalty windows
-        gumbel_ref,       # (K-1, Vr) f32
+        temp_ref, top_p_ref, rep_ref,             # (B, 1) VMEM f32
+        h_ref,            # (B, D) slow hidden, already fast-projected
+        a0_ref,           # (B, 1) int32 first codebook code
+        prev_ref,         # (B*R, W) int32 penalty windows
+        gumbel_ref,       # (B*R, Vr) f32
         cos_q_ref, sin_q_ref,                     # (K, q_size)
         cos_k_ref, sin_k_ref,                     # (K, kv_size)
+        dup_ref,          # (kv_size, q_size) f32 GQA expansion
+        gsel_ref,         # (B, B*R) f32 group select/sum
         seg_ref,          # (q_size, H) f32 segment mask
         seg_t_ref,        # (H, q_size) f32
         attn_norm_ref, ffn_norm_ref,              # (L, D)
@@ -103,12 +132,12 @@ def _make_kernel(cfg: DualARConfig, window: int):
         fast_norm_ref,                            # (1, D)
         head_q, head_s,                           # (D, Vr) int8, (1, Vr)
         emb_q, emb_s,                             # (C, D) int8, (1, C) scales
-        codes_ref,        # (1, K-1) int32 out
-        logits_out_ref,   # (K-1, Vr) f32 out (penalized, pre-mask)
+        codes_ref,        # (B, R) int32 out
+        logits_out_ref,   # (B*R, Vr) f32 out (penalized, pre-mask)
     ):
-        temp = temp_ref[0, 0]
-        top_p = top_p_ref[0, 0]
-        rep = rep_ref[0, 0]
+        temp = temp_ref[...]     # (B, 1)
+        top_p = top_p_ref[...]
+        rep = rep_ref[...]
 
         def qdot(x, wq, ws, layer):
             w = wq[layer].astype(jnp.bfloat16)
@@ -121,8 +150,8 @@ def _make_kernel(cfg: DualARConfig, window: int):
         C = emb_q.shape[0]
         c_iota = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
         v_iota = jax.lax.broadcasted_iota(jnp.int32, (1, Vr), 1)
-        r_col = jax.lax.broadcasted_iota(jnp.int32, (K - 1, 1), 0)
-        o_col = jax.lax.broadcasted_iota(jnp.int32, (1, K - 1), 1)
+        r_col = jax.lax.broadcasted_iota(jnp.int32, (B * R, 1), 0)
+        o_col = jax.lax.broadcasted_iota(jnp.int32, (1, R), 1)
 
         def select_row(table, row_mask):
             """Dynamic row pick without unaligned ref indexing: zero-mask and
@@ -132,19 +161,21 @@ def _make_kernel(cfg: DualARConfig, window: int):
 
         def embed(code):
             # one-hot matmul gather: dynamic int8 row loads are not provably
-            # tile-aligned for Mosaic, but a (1, C) @ (C, D) MXU pass over the
-            # VMEM-resident table is cheap and exact
-            onehot = (c_iota == code).astype(jnp.bfloat16)
-            row = jnp.dot(onehot, emb_q[...].astype(jnp.bfloat16),
+            # tile-aligned for Mosaic, but a (B, C) @ (C, D) MXU pass over the
+            # VMEM-resident table is cheap and exact.  code: (B, 1)
+            onehot = (c_iota == code)  # (B, C)
+            row = jnp.dot(onehot.astype(jnp.bfloat16),
+                          emb_q[...].astype(jnp.bfloat16),
                           preferred_element_type=jnp.float32)
-            s = jnp.sum(jnp.where(c_iota == code, emb_s[...], 0.0),
-                        axis=-1, keepdims=True)
+            s = jnp.sum(jnp.where(onehot, emb_s[...], 0.0),
+                        axis=-1, keepdims=True)  # (B, 1)
             return row * s
 
         def layer_stack(x, pos, kcs, vcs):
             """One traced pass over all layers at codebook position ``pos``
-            (traced scalar).  KV caches are loop-carried (K, q_size) arrays
-            updated with a where-mask — no dynamically-indexed ref writes."""
+            (traced scalar) for all B streams.  Per-stream KV caches are
+            loop-carried (K, q_size) arrays updated with a where-mask — no
+            dynamically-indexed ref writes."""
             pmask = t_col == pos  # (K, 1)
             cos_q = select_row(cos_q_ref[...], pmask)
             sin_q = select_row(sin_q_ref[...], pmask)
@@ -153,99 +184,123 @@ def _make_kernel(cfg: DualARConfig, window: int):
             new_kcs, new_vcs = [], []
             for layer in range(L):
                 h = _rms(x, attn_norm_ref[layer])
-                qkv = qdot(h, wqkv_q, wqkv_s, layer)  # (1, q+2kv)
+                qkv = qdot(h, wqkv_q, wqkv_s, layer)  # (B, q+2kv)
                 q = _rope(qkv[:, :q_size], cos_q, sin_q)
                 k = _rope(qkv[:, q_size:q_size + kv_size], cos_k, sin_k)
                 v = qkv[:, q_size + kv_size:]
-                # duplicate K/V per query head (GQA in lane layout)
-                k_rep = jnp.concatenate(
-                    [k[:, (hq // G) * Dh:(hq // G + 1) * Dh] for hq in range(H)],
-                    axis=-1,
-                )
-                v_rep = jnp.concatenate(
-                    [v[:, (hq // G) * Dh:(hq // G + 1) * Dh] for hq in range(H)],
-                    axis=-1,
-                )
-                kc = jnp.where(pmask, k_rep, kcs[layer])  # (K, q_size)
-                vc = jnp.where(pmask, v_rep, vcs[layer])
-                new_kcs.append(kc)
-                new_vcs.append(vc)
-                s = jnp.dot(kc * q, seg_ref[...],
-                            preferred_element_type=jnp.float32) * scale  # (K, H)
-                s = jnp.where(t_iota <= pos, s, _NEG)
-                p = jax.nn.softmax(s, axis=0)
-                p_exp = jnp.dot(p, seg_t_ref[...],
-                                preferred_element_type=jnp.float32)  # (K, q_size)
-                o = jnp.sum(p_exp * vc, axis=0, keepdims=True)  # (1, q_size)
+                # duplicate K/V per query head for every stream in one
+                # constant-matrix MXU pass (GQA in lane layout)
+                k_rep = jnp.dot(k, dup_ref[...],
+                                preferred_element_type=jnp.float32)  # (B, q)
+                v_rep = jnp.dot(v, dup_ref[...],
+                                preferred_element_type=jnp.float32)
+                outs = []
+                for b in range(B):
+                    kc = jnp.where(pmask, k_rep[b:b + 1], kcs[layer][b])
+                    vc = jnp.where(pmask, v_rep[b:b + 1], vcs[layer][b])
+                    new_kcs.append(kc)
+                    new_vcs.append(vc)
+                    s = jnp.dot(kc * q[b:b + 1], seg_ref[...],
+                                preferred_element_type=jnp.float32) * scale
+                    s = jnp.where(t_iota <= pos, s, _NEG)  # (K, H)
+                    p = jax.nn.softmax(s, axis=0)
+                    p_exp = jnp.dot(p, seg_t_ref[...],
+                                    preferred_element_type=jnp.float32)
+                    outs.append(
+                        jnp.sum(p_exp * vc, axis=0, keepdims=True))
+                o = jnp.concatenate(outs, axis=0) if B > 1 else outs[0]
                 x = x + qdot(o, wo_q, wo_s, layer)
                 f = _rms(x, ffn_norm_ref[layer])
                 gate = qdot(f, w1_q, w1_s, layer)
                 up = qdot(f, w3_q, w3_s, layer)
                 x = x + qdot(gate * jax.lax.logistic(gate) * up,
                              w2_q, w2_s, layer)
-            return x, new_kcs, new_vcs
+            # regroup flat [layer][stream] lists into per-layer tuples
+            kcs = [new_kcs[l * B:(l + 1) * B] for l in range(L)]
+            vcs = [new_vcs[l * B:(l + 1) * B] for l in range(L)]
+            return x, kcs, vcs
 
-        h_row = h_ref[...].astype(jnp.float32)
-        prev_all = prev_ref[...]      # (K-1, W) int32
-        gumbel_all = gumbel_ref[...]  # (K-1, Vr) f32
+        h_rows = h_ref[...].astype(jnp.float32)   # (B, D)
+        prev_all = prev_ref[...]                  # (B*R, W) int32
+        gumbel_all = gumbel_ref[...]              # (B*R, Vr) f32
 
         def body(cb, carry):
             code, codes_acc, logits_acc, kv_flat = carry
-            kcs = list(kv_flat[:L])
-            vcs = list(kv_flat[L:])
+            kcs = [list(kv_flat[l * B:(l + 1) * B]) for l in range(L)]
+            vcs = [list(kv_flat[(L + l) * B:(L + l + 1) * B])
+                   for l in range(L)]
             # pos 0 consumes the slow hidden, output discarded
             # (inference.py:121-122); later steps consume the last embedding
-            x_in = jnp.where(cb == 0, h_row, embed(code))
+            x_in = jnp.where(cb == 0, h_rows, embed(code))
             x, kcs, vcs = layer_stack(x_in, cb, kcs, vcs)
 
             hn = _rms(x, fast_norm_ref[...])
             logits = jnp.dot(
                 hn.astype(jnp.bfloat16), head_q[...].astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32,
-            ) * head_s[...]  # (1, Vr)
+            ) * head_s[...]  # (B, Vr)
 
-            # repetition penalty over window row cb+1 (inference.py:39-45);
-            # rep == 1.0 makes this an exact no-op (prefill path)
-            rmask = r_col == cb - 1  # (K-1, 1)
-            win = jnp.sum(jnp.where(rmask, prev_all, 0),
-                          axis=0, keepdims=True)  # (1, W)
-            hit = jnp.zeros((1, Vr), jnp.bool_)
+            # repetition penalty over each stream's window row cb+1
+            # (inference.py:39-45); the row mask zeroes every other row and
+            # the group matmul collapses each stream's block to its one
+            # selected row.  rep == 1.0 makes this an exact no-op (prefill).
+            rmask = r_col % R == cb - 1  # (B*R, 1)
+            win = jnp.dot(gsel_ref[...],
+                          jnp.where(rmask, prev_all, 0).astype(jnp.float32),
+                          preferred_element_type=jnp.float32)  # (B, W)
+            hit = jnp.zeros((B, Vr), jnp.bool_)
             for w in range(window):
-                hit = hit | (v_iota == win[0, w])
+                hit = hit | (v_iota == win[:, w:w + 1].astype(jnp.int32))
             logits = jnp.where(
                 hit, jnp.where(logits < 0, logits * rep, logits / rep), logits
             )
 
             # exact sort-free top-p on unscaled logits (inference.py:47-57)
             z = jax.nn.logsumexp(logits, axis=-1, keepdims=True)
-            p = jnp.exp(logits - z)  # (1, Vr)
+            p = jnp.exp(logits - z)  # (B, Vr)
             TILE = 256
             keep_parts = []
             amax = jnp.max(logits, axis=-1, keepdims=True)
             for t0 in range(0, Vr, TILE):
-                li = logits[:, t0:t0 + TILE]  # (1, TILE)
-                gt = logits[:, None, :] > li[:, :, None]  # (1, TILE, Vr)
+                li = logits[:, t0:t0 + TILE]  # (B, TILE)
+                gt = logits[:, None, :] > li[:, :, None]  # (B, TILE, Vr)
                 s_above = jnp.sum(jnp.where(gt, p[:, None, :], 0.0), axis=-1)
                 pi = p[:, t0:t0 + TILE]
-                keep_parts.append((s_above + pi <= top_p) | (li >= amax))
-            keep = jnp.concatenate(keep_parts, axis=-1)  # (1, Vr)
+                keep_parts.append(
+                    (s_above + pi <= top_p) | (li >= amax))
+            keep = jnp.concatenate(keep_parts, axis=-1)  # (B, Vr)
             masked = jnp.where(keep, logits, _NEG)
 
             scaled = masked / jnp.maximum(temp, 1e-5)
-            g = select_row(gumbel_all, rmask)
-            sampled = jnp.argmax(scaled + g, axis=-1)[0].astype(jnp.int32)
+            g = jnp.dot(gsel_ref[...],
+                        jnp.where(rmask, gumbel_all, 0.0),
+                        preferred_element_type=jnp.float32)  # (B, Vr)
+            sampled = jnp.argmax(scaled + g, axis=-1)[:, None].astype(
+                jnp.int32)  # (B, 1)
 
             live = cb >= 1
             new_code = jnp.where(live, sampled, code)
-            codes_acc = jnp.where((o_col == cb - 1) & live, sampled, codes_acc)
-            logits_acc = jnp.where(rmask & live, logits, logits_acc)
-            return new_code, codes_acc, logits_acc, tuple(kcs) + tuple(vcs)
+            codes_acc = jnp.where((o_col == cb - 1) & live, sampled,
+                                  codes_acc)
+            # scatter each stream's logits row into its group slot via the
+            # transpose of the group matrix (exact expansion on the MXU)
+            expand = jax.lax.dot_general(
+                gsel_ref[...], logits,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (B*R, Vr)
+            logits_acc = jnp.where(rmask & live, expand, logits_acc)
+            flat = tuple(kcs[l][b] for l in range(L) for b in range(B)) + \
+                tuple(vcs[l][b] for l in range(L) for b in range(B))
+            return new_code, codes_acc, logits_acc, flat
 
-        kv0 = tuple(jnp.zeros((K, q_size), jnp.float32) for _ in range(2 * L))
+        kv0 = tuple(
+            jnp.zeros((K, q_size), jnp.float32) for _ in range(2 * L * B)
+        )
         init = (
-            a0_ref[0, 0],
-            jnp.zeros((1, K - 1), jnp.int32),
-            jnp.zeros((K - 1, Vr), jnp.float32),
+            a0_ref[...],                          # (B, 1)
+            jnp.zeros((B, R), jnp.int32),
+            jnp.zeros((B * R, Vr), jnp.float32),
             kv0,
         )
         _, codes_acc, logits_acc, _ = jax.lax.fori_loop(0, K, body, init)
@@ -261,7 +316,7 @@ def supports(cfg: DualARConfig, params: Params, batch: int) -> bool:
 
     fl = params.get("fast_layers", {})
     return (
-        batch == 1
+        1 <= batch <= MAX_BATCH
         and is_quantized(fl.get("wqkv"))
         and is_quantized(params.get("fast_embeddings"))
         and is_quantized(params.get("fast_output"))
@@ -296,33 +351,45 @@ def _segment_masks(cfg: DualARConfig):
     return jnp.asarray(seg), jnp.asarray(seg.T)
 
 
+def _dup_matrix(cfg: DualARConfig):
+    H, Hkv, Dh = cfg.fast_n_head, cfg.fast_n_local_heads, cfg.fast_head_dim
+    G = H // Hkv
+    dup = np.zeros((Hkv * Dh, H * Dh), np.float32)
+    for hq in range(H):
+        h0 = (hq // G) * Dh
+        dup[h0:h0 + Dh, hq * Dh:(hq + 1) * Dh] = np.eye(Dh)
+    return jnp.asarray(dup)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "window", "interpret"))
 def fast_decode_frame(
     params: Params,
     cfg: DualARConfig,
     rope_fast: jnp.ndarray,   # (K, Dh/2, 2)
-    h_fast: jnp.ndarray,      # (1, D) slow hidden (already projected)
-    a0: jnp.ndarray,          # (1,) int32 first codebook code
-    prev_rows: jnp.ndarray,   # (1, K-1, W) int32 penalty windows
-    gumbel: jnp.ndarray,      # (1, K-1, Vr) f32
-    temperature: jnp.ndarray,
+    h_fast: jnp.ndarray,      # (B, D) slow hidden (already projected)
+    a0: jnp.ndarray,          # (B,) int32 first codebook code
+    prev_rows: jnp.ndarray,   # (B, K-1, W) int32 penalty windows
+    gumbel: jnp.ndarray,      # (B, K-1, Vr) f32
+    temperature: jnp.ndarray,  # scalar or (B, 1)
     top_p: jnp.ndarray,
     repetition_penalty: jnp.ndarray,
     *,
     window: int,
     interpret: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Run the fused per-frame codebook loop (B=1).
+    """Run the fused per-frame codebook loop for B <= MAX_BATCH streams.
 
-    Returns (codes (1, K-1) int32, penalized_logits (1, K-1, Vr) f32).
+    Returns (codes (B, K-1) int32, penalized_logits (B, K-1, Vr) f32).
     """
     K = cfg.num_codebooks
     Vr = cfg.residual_codebook_size
-    L = cfg.n_fast_layer
+    B = h_fast.shape[0]
     fl = params["fast_layers"]
 
-    def smem(x):
-        return jnp.asarray(x, jnp.float32).reshape(1, 1)
+    def col(x):
+        """Scalar or per-stream sampling param -> (B, 1) f32 column."""
+        x = jnp.asarray(x, jnp.float32)
+        return jnp.broadcast_to(x.reshape(-1, 1), (B, 1))
 
     head = params["fast_output"]
     head_q = head["q"][:, :Vr]
@@ -330,23 +397,26 @@ def fast_decode_frame(
     emb = params["fast_embeddings"]
     cos_q, sin_q, cos_k, sin_k = rope_tables(cfg, rope_fast)
     seg, seg_t = _segment_masks(cfg)
+    dup = _dup_matrix(cfg)
+    gsel = jnp.asarray(
+        np.kron(np.eye(B, dtype=np.float32), np.ones((1, K - 1), np.float32))
+    )
 
-    kernel = _make_kernel(cfg, window)
+    kernel = _make_kernel(cfg, window, B)
     vmem_bytes = (
         sum(int(fl[k]["q"].size) for k in ("wqkv", "wo", "w1", "w3", "w2"))
         + int(head_q.size) + int(emb["q"].size)
     )
 
     specs = pl.BlockSpec(memory_space=pltpu.VMEM)
-    smem_spec = pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)
 
     codes, logits = pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((1, K - 1), jnp.int32),
-            jax.ShapeDtypeStruct((K - 1, Vr), jnp.float32),
+            jax.ShapeDtypeStruct((B, K - 1), jnp.int32),
+            jax.ShapeDtypeStruct((B * (K - 1), Vr), jnp.float32),
         ),
-        in_specs=[smem_spec] * 3 + [specs] * 27,
+        in_specs=[specs] * 32,
         out_specs=(specs, specs),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(128 * 1024 * 1024,
@@ -354,12 +424,12 @@ def fast_decode_frame(
         ),
         interpret=interpret,
     )(
-        smem(temperature), smem(top_p), smem(repetition_penalty),
+        col(temperature), col(top_p), col(repetition_penalty),
         h_fast.astype(jnp.float32),
-        a0.reshape(1, 1).astype(jnp.int32),
-        prev_rows.reshape(K - 1, window).astype(jnp.int32),
-        gumbel.reshape(K - 1, Vr).astype(jnp.float32),
-        cos_q, sin_q, cos_k, sin_k, seg, seg_t,
+        a0.reshape(B, 1).astype(jnp.int32),
+        prev_rows.reshape(B * (K - 1), window).astype(jnp.int32),
+        gumbel.reshape(B * (K - 1), Vr).astype(jnp.float32),
+        cos_q, sin_q, cos_k, sin_k, dup, gsel, seg, seg_t,
         fl["attention_norm"].astype(jnp.float32),
         fl["ffn_norm"].astype(jnp.float32),
         fl["wqkv"]["q"], fl["wqkv"]["s"].astype(jnp.float32),
@@ -371,4 +441,4 @@ def fast_decode_frame(
         head_q, head_s.astype(jnp.float32),
         emb["q"], emb["s"].astype(jnp.float32).reshape(1, -1),
     )
-    return codes, logits[None]
+    return codes, logits.reshape(B, K - 1, Vr)

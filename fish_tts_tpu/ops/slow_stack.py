@@ -9,26 +9,32 @@ step computes — the textbook weight-streaming pattern.  The activation is
 carried across grid steps in a VMEM scratch.
 
 Scope and contracts:
-- single token (T=1), small batch (B <= 8): B=1 is the latency decode path;
-  B>1 amortizes the weight stream across concurrent streams for batched
-  serving (per-stream positions, independent attention); prefill keeps the
-  XLA path;
+- single token (T=1), small batch (B <= MAX_BATCH): B=1 is the latency
+  decode path; B>1 amortizes the weight stream across concurrent streams
+  for batched serving (per-stream positions, independent attention);
+  prefill keeps the XLA path;
 - int8 weights per ``utils/quantize.py`` (per-output-channel scales);
 - the KV cache is *read-only*: the kernel consumes per-layer cache slices
   (bounded by the static ``read_len`` bucket) plus the current token's K/V
   as a joint-softmax self-key (same two-part attention as
   ops/attention.gqa_attention_two_part), and returns the new K/V rows for
-  the caller's single XLA scatter — identical cache-update semantics to
+  the caller's XLA scatter — identical cache-update semantics to
   dual_ar.transformer_stack;
-- GQA is computed in lane layout: the per-layer cache slice is duplicated
-  per query head inside VMEM and reduced with segment-mask matmuls, exactly
-  like ops/fast_decoder.py;
+- GQA attention is *group-folded*: for each of the G = H/Hkv query-head
+  groups, the group's query lanes fold down to kv layout (Hkv segments of
+  Dh lanes) and scores come from one ``(R, kv_size) @ (kv_size, Hkv)``
+  segment-mask matmul against the UN-duplicated cache tile; the weighted
+  sum runs against the un-duplicated V as well.  Round 3's B>1 attempt
+  duplicated the cache per query head per stream ((R, q_size) VMEM writes
+  per stream-layer) and lost 10x to the VPU; this formulation touches each
+  cache byte once regardless of G;
 - RoPE rows for the current position are gathered *outside* (XLA handles the
   dynamic position gather); the kernel sees interleaved cos / signed-sin
   lane tables (ops/fast_decoder.rope_tables layout);
 - with ``prepare_head`` applied, grid steps L.. stream the tied LM head
   (reference llama.py:446-451) in HEAD_TILE-row vocab tiles and the kernel
-  additionally returns full logits (padded vocab; caller slices).
+  additionally returns full logits for every stream (padded vocab; caller
+  slices).
 """
 
 from __future__ import annotations
@@ -78,10 +84,19 @@ def _make_kernel(cfg: DualARConfig, read_len: int, with_head: bool, batch: int):
         swap = jnp.where(lane % 2 == 0, r_next, r_prev)
         return x * cos_row + swap * sin_row
 
-    def _dup_heads(a):
-        """(R', kv_size) -> (R', q_size): repeat each kv-head segment G times."""
+    def _fold_group(a, g):
+        """(1, q_size) -> (1, kv_size): select the query heads of group ``g``
+        (head hq = j*G + g for kv head j) into kv-segment layout."""
         return jnp.concatenate(
-            [a[:, (hq // G) * Dh:(hq // G + 1) * Dh] for hq in range(H)],
+            [a[:, (j * G + g) * Dh:(j * G + g + 1) * Dh] for j in range(Hkv)],
+            axis=-1,
+        )
+
+    def _unfold_groups(parts):
+        """G x (1, kv_size) group outputs -> (1, q_size) head-major layout."""
+        return jnp.concatenate(
+            [parts[hq % G][:, (hq // G) * Dh:(hq // G + 1) * Dh]
+             for hq in range(H)],
             axis=-1,
         )
 
@@ -121,45 +136,52 @@ def _make_kernel(cfg: DualARConfig, read_len: int, with_head: bool, batch: int):
 
             # cache attention (read-only past, mask rows >= pos) + self-key,
             # one joint softmax (gqa_attention_two_part semantics); streams
-            # are independent — a static loop over the (small) batch reuses
-            # the lane-layout reduction per stream
-            r_iota = jax.lax.broadcasted_iota(jnp.int32, (R, H), 0)
+            # are independent — a static loop over the (small) batch, with a
+            # static loop over GQA groups inside.  The cache tile is touched
+            # ONCE per stream (never duplicated per query head): all score /
+            # weighted-sum reductions run in folded kv-head layout against
+            # the (kv_size, Hkv) segment masks.
+            r_iota = jax.lax.broadcasted_iota(jnp.int32, (R, Hkv), 0)
             outs = []
             for b in range(B):
                 pos_b = pos_ref[0, b]
                 kc = kcache_ref[0, b]  # (Hkv, R, Dh)
                 vc = vcache_ref[0, b]
                 kc_flat = jnp.concatenate(
-                    [kc[hh] for hh in range(Hkv)], axis=-1)
+                    [kc[hh] for hh in range(Hkv)], axis=-1
+                ).astype(jnp.float32)  # (R, kv_size)
                 vc_flat = jnp.concatenate(
-                    [vc[hh] for hh in range(Hkv)], axis=-1)
-                kc_rep = _dup_heads(kc_flat.astype(jnp.float32))  # (R, q_size)
-                vc_rep = _dup_heads(vc_flat.astype(jnp.float32))
-                q_b = q[b:b + 1]
-                k_rep = _dup_heads(k[b:b + 1])  # (1, q_size)
-                v_rep = _dup_heads(v[b:b + 1])
+                    [vc[hh] for hh in range(Hkv)], axis=-1
+                ).astype(jnp.float32)
+                k_b = k[b:b + 1]  # (1, kv_size) current token's keys
+                v_b = v[b:b + 1]
+                o_parts = []
+                for g in range(G):
+                    q_g = _fold_group(q[b:b + 1], g)  # (1, kv_size)
+                    s_cache = jnp.dot(kc_flat * q_g, seg_ref[...],
+                                      preferred_element_type=jnp.float32)
+                    s_cache = s_cache * scale  # (R, Hkv)
+                    s_cache = jnp.where(r_iota < pos_b, s_cache, _NEG)
+                    s_self = jnp.dot(k_b * q_g, seg_ref[...],
+                                     preferred_element_type=jnp.float32)
+                    s_self = s_self * scale  # (1, Hkv)
 
-                s_cache = jnp.dot(kc_rep * q_b, seg_ref[...],
-                                  preferred_element_type=jnp.float32) * scale
-                s_cache = jnp.where(r_iota < pos_b, s_cache, _NEG)  # (R, H)
-                s_self = jnp.dot(k_rep * q_b, seg_ref[...],
-                                 preferred_element_type=jnp.float32) * scale
+                    m = jnp.maximum(
+                        jnp.max(s_cache, axis=0, keepdims=True), s_self)
+                    p_cache = jnp.exp(s_cache - m)          # (R, Hkv)
+                    p_self = jnp.exp(s_self - m)            # (1, Hkv)
+                    denom = jnp.sum(p_cache, axis=0, keepdims=True) + p_self
 
-                m = jnp.maximum(
-                    jnp.max(s_cache, axis=0, keepdims=True), s_self)
-                p_cache = jnp.exp(s_cache - m)          # (R, H)
-                p_self = jnp.exp(s_self - m)            # (1, H)
-                denom = jnp.sum(p_cache, axis=0, keepdims=True) + p_self
-
-                pc_exp = jnp.dot(p_cache, seg_t_ref[...],
-                                 preferred_element_type=jnp.float32)
-                ps_exp = jnp.dot(p_self, seg_t_ref[...],
-                                 preferred_element_type=jnp.float32)
-                den_exp = jnp.dot(denom, seg_t_ref[...],
-                                  preferred_element_type=jnp.float32)
-                outs.append(
-                    (jnp.sum(pc_exp * vc_rep, axis=0, keepdims=True)
-                     + ps_exp * v_rep) / den_exp)  # (1, q_size)
+                    pc_exp = jnp.dot(p_cache, seg_t_ref[...],
+                                     preferred_element_type=jnp.float32)
+                    ps_exp = jnp.dot(p_self, seg_t_ref[...],
+                                     preferred_element_type=jnp.float32)
+                    den_exp = jnp.dot(denom, seg_t_ref[...],
+                                      preferred_element_type=jnp.float32)
+                    o_parts.append(
+                        (jnp.sum(pc_exp * vc_flat, axis=0, keepdims=True)
+                         + ps_exp * v_b) / den_exp)  # (1, kv_size)
+                outs.append(_unfold_groups(o_parts))  # (1, q_size)
             o = jnp.concatenate(outs, axis=0) if B > 1 else outs[0]
 
             x = x + qdot(o, wo_q, wo_s)
@@ -199,12 +221,10 @@ def _make_kernel(cfg: DualARConfig, read_len: int, with_head: bool, batch: int):
     return kernel
 
 
-# The kernel generalizes to small batches (per-stream attention loop,
-# tested to MAX_BATCH), but on v5e the per-stream cache duplication work
-# grows with B*R and measured *slower* than the XLA batched path at B=8
-# (483 vs 566 aggregate tok/s), so production use is gated to B=1 — the
-# latency path the kernel exists for.  Batched serving amortizes weight
-# streaming under XLA instead.
+# Streams per kernel invocation.  Round 3's B>1 variant duplicated the
+# cache per query head per stream and measured SLOWER than XLA at B=8
+# (483 vs 566); the group-folded attention rewrite touches each cache byte
+# once, so batching now only adds the compulsory per-stream cache reads.
 MAX_BATCH = 8
 
 
@@ -213,7 +233,8 @@ def supports(cfg: DualARConfig, params: Params, batch: int) -> bool:
 
     layers = params.get("layers", {})
     return (
-        batch == 1
+        1 <= batch <= MAX_BATCH
+        and cfg.n_head % cfg.n_local_heads == 0
         and is_quantized(layers.get("wqkv"))
         and cfg.head_dim % 2 == 0
         and not cfg.attention_qkv_bias
@@ -244,8 +265,11 @@ def prepare_head(params: Params, cfg: DualARConfig) -> Params:
 
 
 def _segment_masks(cfg: DualARConfig):
-    H, Dh = cfg.n_head, cfg.head_dim
-    seg = np.kron(np.eye(H, dtype=np.float32), np.ones((Dh, 1), np.float32))
+    """(kv_size, Hkv) per-kv-head segment mask + transpose: the attention
+    reductions run in folded group layout, so the masks are kv-sized (the
+    cache is never duplicated out to q_size)."""
+    Hkv, Dh = cfg.n_local_heads, cfg.head_dim
+    seg = np.kron(np.eye(Hkv, dtype=np.float32), np.ones((Dh, 1), np.float32))
     return jnp.asarray(seg), jnp.asarray(seg.T)
 
 

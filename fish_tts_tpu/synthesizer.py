@@ -80,6 +80,37 @@ class VoiceProfile:
         return cls(codes=codes, text=text, name=name)
 
 
+class _StreamVocoder:
+    """Per-stream stateful vocoder decode (models/vocoder_stream.py).
+
+    Carries the exact conv/attention state across chunks, so each streamed
+    chunk decodes only its own ``n`` frames — no context recompute, and the
+    concatenated audio equals the jointly-decoded waveform.  One instance
+    per audio stream.
+    """
+
+    def __init__(self, tts: "FishTTS"):
+        from fish_tts_tpu.models import vocoder_stream as vs
+
+        self._tts = tts
+        self._state = vs.init_decode_state(
+            tts._vocoder_params, tts._vocoder_cfg, batch=1
+        )
+
+    def decode_async(self, codes: np.ndarray):
+        """Dispatch one chunk (K, n) without blocking; returns
+        (device_audio, n)."""
+        import jax.numpy as jnp
+
+        tts = self._tts
+        fn = tts._stream_decode_fn()
+        self._state, audio = fn(
+            tts._vocoder_params, self._state,
+            jnp.asarray(codes.astype(np.int32)[None]),
+        )
+        return audio, codes.shape[-1]
+
+
 class _ContextBuffer:
     """Rolling code history for context-streamed vocoder decode.
 
@@ -301,15 +332,19 @@ class FishTTS:
                 if response.action == "next":
                     break
             if self._vocoder_params is not None:
-                # every bucket the default streaming path hits: first chunk
-                # (10 -> bucket 10), second chunk with partial context
-                # (10 hist + 20 -> 40), steady state (32 ctx + 20 -> 80),
-                # and 20 for short non-streaming/context-free decodes
-                for bucket in _VOCODER_BUCKETS[:4]:
+                # non-streaming decode buckets a short synthesize hits
+                for bucket in _VOCODER_BUCKETS[:2]:
                     dummy = np.zeros(
                         (self._vocoder_cfg.num_codebooks, bucket), np.int64
                     )
                     self._decode_codes(dummy)
+                # stateful streaming chunk shapes (first flush 10, then 20)
+                sv = _StreamVocoder(self)
+                for n in (10, 20):
+                    audio, _ = sv.decode_async(
+                        np.zeros((self._vocoder_cfg.num_codebooks, n), np.int64)
+                    )
+                np.asarray(audio)
             self._is_warmed_up = True
             logger.info(
                 "Warmup complete in %.1fs (compilation cached)",
@@ -477,13 +512,15 @@ class FishTTS:
         top_p: float | list[float] = 0.8,
         repetition_penalty: float | list[float] = 1.1,
         max_tokens: int = 2048,
+        vocoder_mode: Literal["stateful", "context"] = "stateful",
     ) -> Iterator[list[bytes | None]]:
         """Streaming batched synthesis: all texts decode concurrently in one
         batched device program, and each yielded item is a list with one raw
         int16 PCM chunk per text (``None`` where that stream had nothing to
-        flush this round).  Per-stream flush thresholds and vocoder left
-        context match :meth:`synthesize_stream`; sampling params accept one
-        value per text (see :meth:`synthesize_batch`).
+        flush this round).  Per-stream flush thresholds and ``vocoder_mode``
+        semantics match :meth:`synthesize_stream` (one stateful vocoder
+        state per stream); sampling params accept one value per text (see
+        :meth:`synthesize_batch`).
 
         Green-field: the reference has neither batching nor multi-stream
         streaming.
@@ -493,14 +530,25 @@ class FishTTS:
         bufs: list[list[np.ndarray]] = [[] for _ in range(B)]
         totals = [0] * B
         firsts = [True] * B
-        ctxs = [_ContextBuffer(context_frames) for _ in range(B)]
 
-        def flush(b):
-            codes, ctx = ctxs[b].take(np.concatenate(bufs[b], axis=1))
-            bufs[b] = []
-            totals[b] = 0
-            audio, n = self._decode_codes_async(codes)
-            return audio, n - ctx, ctx
+        if vocoder_mode == "stateful":
+            svs = [_StreamVocoder(self) for _ in range(B)]
+
+            def flush(b):
+                codes = np.concatenate(bufs[b], axis=1)
+                bufs[b] = []
+                totals[b] = 0
+                audio, n = svs[b].decode_async(codes)
+                return audio, n, 0
+        else:
+            ctxs = [_ContextBuffer(context_frames) for _ in range(B)]
+
+            def flush(b):
+                codes, ctx = ctxs[b].take(np.concatenate(bufs[b], axis=1))
+                bufs[b] = []
+                totals[b] = 0
+                audio, n = self._decode_codes_async(codes)
+                return audio, n - ctx, ctx
 
         def emit(handles):
             # every flushing stream's decode was dispatched before any is
@@ -547,6 +595,7 @@ class FishTTS:
         top_p: float = 0.8,
         repetition_penalty: float = 1.1,
         max_tokens: int = 2048,
+        vocoder_mode: Literal["stateful", "context"] = "stateful",
     ) -> Iterator[bytes]:
         """Streaming synthesis with async-dispatch pipelining.
 
@@ -560,13 +609,19 @@ class FishTTS:
         up the next decode step, replacing the reference's decoder thread
         (synthesizer.py:513-527).
 
-        ``context_frames``: each chunk after the first is decoded with that
-        many preceding frames prepended and the overlap trimmed from the
-        audio.  The codec is fully causal, so with enough context this equals
-        the jointly-decoded waveform; the reference decodes every chunk
-        independently (synthesizer.py:513-527), which is ``context_frames=0``
-        here — audibly clicky at chunk boundaries.  The first chunk never
-        carries context, so time-to-first-audio is unaffected.
+        ``vocoder_mode``:
+
+        - ``"stateful"`` (default): the vocoder carries its exact
+          conv-tail / windowed-KV state across chunks
+          (models/vocoder_stream.py) — each chunk decodes only its own
+          frames and the concatenated audio equals the jointly-decoded
+          waveform.  ``context_frames`` is ignored.
+        - ``"context"``: the round-3 scheme — re-decode ``context_frames``
+          of history per chunk and trim the overlap (~2.6x redundant
+          steady-state vocoder compute; equal audio for sufficient context).
+          The reference decodes every chunk independently
+          (synthesizer.py:513-527), which is ``context_frames=0`` here —
+          audibly clicky at chunk boundaries.
 
         All sampling parameters are explicit keywords — unknown kwargs raise
         ``TypeError``.  The reference's stale ``pipeline=`` tolerance
@@ -577,15 +632,23 @@ class FishTTS:
         prompt_text, prompt_tokens, use_prefix = self._get_prompt_data(references)
 
         buffer: list[np.ndarray] = []
-        ctx_buf = _ContextBuffer(context_frames)
         total = 0
         is_first = True
         in_flight = None  # device array of the previous chunk's audio
 
-        def flush(buffer):
-            codes, ctx = ctx_buf.take(np.concatenate(buffer, axis=1))
-            audio, n = self._decode_codes_async(codes)
-            return audio, n - ctx, ctx
+        if vocoder_mode == "stateful":
+            sv = _StreamVocoder(self)
+
+            def flush(buffer):
+                audio, n = sv.decode_async(np.concatenate(buffer, axis=1))
+                return audio, n, 0
+        else:
+            ctx_buf = _ContextBuffer(context_frames)
+
+            def flush(buffer):
+                codes, ctx = ctx_buf.take(np.concatenate(buffer, axis=1))
+                audio, n = self._decode_codes_async(codes)
+                return audio, n - ctx, ctx
 
         for response in self._engine.generate_long(
             text,
@@ -647,6 +710,22 @@ class FishTTS:
             )
         fn = self._vocoder_jit_cache["decode"]
         return lambda c: fn(self._vocoder_params, c)
+
+    def _stream_decode_fn(self):
+        """Jitted stateful streaming decode (one function; XLA compiles per
+        chunk length — streaming lengths are the 10/20 thresholds plus one
+        final partial, so the variant set stays small)."""
+        if "stream_decode" not in self._vocoder_jit_cache:
+            import jax
+
+            from fish_tts_tpu.models import vocoder_stream as vs
+
+            cfg = self._vocoder_cfg
+            self._vocoder_jit_cache["stream_decode"] = jax.jit(
+                lambda p, st, c: vs.decode_chunk(p, cfg, st, c),
+                donate_argnums=(1,),
+            )
+        return self._vocoder_jit_cache["stream_decode"]
 
     def _decode_codes_async(self, codes: np.ndarray):
         """Dispatch vocoder decode without blocking.  Returns (device_audio,

@@ -20,13 +20,24 @@ _initialized = False
 
 
 def setup_compile_cache(cache_dir: str | Path | None = None) -> None:
-    """Enable the JAX persistent compilation cache (idempotent)."""
+    """Enable the JAX persistent compilation cache (idempotent).
+
+    ``FISH_TTS_TPU_CACHE_DIR=""`` (empty) disables it entirely — used by the
+    test suite: CPU-test executables are host-machine-specific AOT artifacts
+    (loading entries compiled on a different machine warns about SIGILL
+    risk), and concurrent pytest workers racing cache *writes* have
+    segfaulted inside zstd compression.  The cache's value is TPU warm
+    starts; hermetic CPU tests lose nothing by skipping it.
+    """
     global _initialized
     if _initialized:
         return
-    cache_dir = Path(cache_dir or os.environ.get(
-        "FISH_TTS_TPU_CACHE_DIR", _DEFAULT_CACHE_DIR
-    ))
+    env = os.environ.get("FISH_TTS_TPU_CACHE_DIR")
+    if env == "":
+        _initialized = True
+        logger.info("XLA compilation cache disabled via FISH_TTS_TPU_CACHE_DIR")
+        return
+    cache_dir = Path(cache_dir or env or _DEFAULT_CACHE_DIR)
     cache_dir.mkdir(parents=True, exist_ok=True)
     try:
         import jax

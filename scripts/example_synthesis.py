@@ -45,6 +45,13 @@ def parse_args(argv=None) -> argparse.Namespace:
                     help="synthesize several texts concurrently in one "
                          "batched device program; writes OUTPUT-0.wav, "
                          "OUTPUT-1.wav, ... (overrides --text)")
+    ap.add_argument("--serve", nargs="+", metavar="TEXT",
+                    help="continuous-batching demo: requests are SUBMITTED "
+                         "STAGGERED (each after the previous has started "
+                         "decoding) and join the running pool mid-flight; "
+                         "writes OUTPUT-0.wav, ... (overrides --text)")
+    ap.add_argument("--slots", type=int, default=4,
+                    help="serving pool size for --serve")
 
     clone = ap.add_argument_group("voice cloning")
     clone.add_argument("-r", "--reference", type=Path,
@@ -96,6 +103,67 @@ def synthesize_streaming(args, synth, references) -> bytes:
     return to_wav_bytes(samples)
 
 
+def serve_demo(args, synth, references) -> int:
+    """Continuous batching: requests join the RUNNING decode pool.
+
+    Each text is submitted only after the previous request has produced its
+    first frames, so later requests genuinely admit mid-flight (the thing
+    static ``--batch`` cannot do).  Audio is vocoder-decoded per request as
+    its chunks arrive.
+    """
+    import numpy as np
+
+    from fish_tts_tpu.engine.serve import ContinuousBatcher
+    from fish_tts_tpu.utils.audio import to_wav_bytes
+
+    if references is not None:
+        synth.set_references(references)
+    srv = ContinuousBatcher(synth._engine, slots=args.slots)
+    texts = list(args.serve)
+    t0 = time.perf_counter()
+    rid_to_idx = {srv.submit(
+        texts[0], temperature=args.temperature, top_p=args.top_p
+    ): 0}
+    started = {0: time.perf_counter()}
+    next_idx = 1
+    chunks: dict[int, list[np.ndarray]] = {}
+    first_at: dict[int, float] = {}
+    done_at: dict[int, float] = {}
+    while srv.busy or next_idx < len(texts):
+        for ev in srv.step():
+            idx = rid_to_idx[ev.request_id]
+            if idx not in first_at and ev.codes.shape[1]:
+                first_at[idx] = time.perf_counter() - started[idx]
+            chunks.setdefault(idx, []).append(ev.codes)
+            if ev.done:
+                done_at[idx] = time.perf_counter()
+                print(f"req {idx}: {ev.frames_total} frames, first frame "
+                      f"after {first_at.get(idx, 0) * 1e3:.0f} ms")
+        # stagger: admit the next request once the previous one is running
+        if next_idx < len(texts):
+            rid = srv.submit(texts[next_idx], temperature=args.temperature,
+                             top_p=args.top_p)
+            rid_to_idx[rid] = next_idx
+            started[next_idx] = time.perf_counter()
+            next_idx += 1
+    wall = time.perf_counter() - t0
+    total_audio = 0.0
+    for idx, parts in sorted(chunks.items()):
+        codes = np.concatenate(parts, axis=1)
+        if codes.shape[1] > 1:
+            codes = codes[:, :-1]  # strip the EOS frame for final audio
+        wav = synth._decode_to_wav(codes)
+        out = args.output.with_name(f"{args.output.stem}-{idx}.wav")
+        out.write_bytes(wav)
+        audio_s = (len(wav) - 44) / (44100 * 2)
+        total_audio += audio_s
+        print(f"{out}: {audio_s:.1f}s audio")
+    print(f"served {len(texts)} staggered requests over {args.slots} slots: "
+          f"{total_audio:.1f}s audio in {wall:.2f}s "
+          f"(aggregate RTF {wall / max(total_audio, 1e-9):.3f})")
+    return 0
+
+
 def main(argv=None) -> int:
     args = parse_args(argv)
 
@@ -107,6 +175,8 @@ def main(argv=None) -> int:
     references = build_references(args, synth)
 
     t0 = time.perf_counter()
+    if args.serve:
+        return serve_demo(args, synth, references)
     if args.batch:
         wavs = synth.synthesize_batch(
             args.batch, references=references,

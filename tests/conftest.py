@@ -7,6 +7,10 @@ first, so this is the one reliable place.
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Disable the persistent XLA cache for tests: CPU executables are
+# host-specific AOT artifacts (cross-machine entries risk SIGILL) and
+# concurrent pytest runs have segfaulted racing cache writes.
+os.environ["FISH_TTS_TPU_CACHE_DIR"] = ""
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

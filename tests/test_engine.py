@@ -204,7 +204,7 @@ def test_window_buffer_records_frames(setup):
     frames = np.asarray(frames)
     for i in range(5):
         np.testing.assert_array_equal(prev[0, :, i], frames[0, i])
-    assert int(state["step"]) == 5
+    assert (np.asarray(state["step"]) == 5).all()
 
 
 def test_penalty_column_matches_reference_window_rule():
@@ -220,15 +220,15 @@ def test_penalty_column_matches_reference_window_rule():
 
     # early steps: column 0 = step-0 frame (value 1)
     for step in (1, 5, 15):
-        col = np.asarray(decode.penalty_column(prev, jnp.int32(step)))
+        col = np.asarray(decode.penalty_column(prev, jnp.full((B,), step, jnp.int32)))
         np.testing.assert_array_equal(col, np.full((B, K1), 1))
     # step 0: slot 0 not yet written in a real run — zeros
     fresh = jnp.zeros((B, K1, W), jnp.int32)
-    col = np.asarray(decode.penalty_column(fresh, jnp.int32(0)))
+    col = np.asarray(decode.penalty_column(fresh, jnp.zeros((B,), jnp.int32)))
     np.testing.assert_array_equal(col, np.zeros((B, K1)))
     # steady state: slot step % W = frame from step - W (the oldest)
     for step in (16, 17, 33):
-        col = np.asarray(decode.penalty_column(prev, jnp.int32(step)))
+        col = np.asarray(decode.penalty_column(prev, jnp.full((B,), step, jnp.int32)))
         np.testing.assert_array_equal(col, np.full((B, K1), (step % W) + 1))
 
 

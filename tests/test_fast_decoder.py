@@ -150,5 +150,61 @@ def test_supports_gates():
     params = dual_ar.init_params(jax.random.PRNGKey(0), CFG, jnp.float32)
     qp = quantize_lm_params(params)
     assert fast_decoder.supports(CFG, qp, batch=1)
-    assert not fast_decoder.supports(CFG, qp, batch=2)  # single-stream only
+    assert fast_decoder.supports(CFG, qp, batch=fast_decoder.MAX_BATCH)
+    assert not fast_decoder.supports(CFG, qp, batch=fast_decoder.MAX_BATCH + 1)
     assert not fast_decoder.supports(CFG, params, batch=1)  # bf16/fp32 params
+
+
+def test_batched_kernel_matches_per_stream_runs(qsetup):
+    """B concurrent streams through one kernel produce exactly what B
+    separate B=1 invocations produce for the same per-stream inputs —
+    batching must be semantics-free (it only amortizes weight streaming)."""
+    qp, rope = qsetup
+    B = 3
+    rng = jax.random.PRNGKey(40)
+    h = jax.random.normal(rng, (B, CFG.fast_dim)) * 0.4
+    a0 = jnp.asarray([1, 9, 4], jnp.int32)
+    prev = jax.random.randint(
+        jax.random.PRNGKey(41), (B, K - 1, W), 0, Vr).astype(jnp.int32)
+    g = jax.random.gumbel(jax.random.PRNGKey(42), (B, K - 1, Vr))
+    # per-stream sampling params exercise the (B, 1) column path
+    temps = jnp.asarray([[0.7], [0.9], [0.5]], jnp.float32)
+    tops = jnp.asarray([[0.8], [0.6], [0.95]], jnp.float32)
+    reps = jnp.asarray([[1.1], [1.3], [1.0]], jnp.float32)
+
+    codes_b, logits_b = fast_decoder.fast_decode_frame(
+        qp, CFG, rope["fast"], h, a0, prev, g, temps, tops, reps,
+        window=W, interpret=True,
+    )
+    for b in range(B):
+        codes_1, logits_1 = fast_decoder.fast_decode_frame(
+            qp, CFG, rope["fast"], h[b:b + 1], a0[b:b + 1],
+            prev[b:b + 1], g[b:b + 1],
+            temps[b, 0], tops[b, 0], reps[b, 0],
+            window=W, interpret=True,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(codes_b)[b], np.asarray(codes_1)[0]
+        )
+        np.testing.assert_allclose(
+            np.asarray(logits_b)[b], np.asarray(logits_1)[0],
+            rtol=1e-5, atol=1e-5,
+        )
+
+
+def test_decode_chunk_batched_fast_kernel_interpret(qsetup):
+    """decode_chunk(fast_kernel=True) at B>1: the fused fast decoder runs
+    for the whole batch and emits valid frames per stream."""
+    qp, rope = qsetup
+    B = 3
+    state = decode_mod.init_state(qp, CFG, batch=B)
+    state["pos"] = jnp.asarray([8, 10, 9], jnp.int32)
+    t, p, r = jnp.float32(0.7), jnp.float32(0.8), jnp.float32(1.1)
+    state, frames, emitted = decode_mod.decode_chunk(
+        qp, rope, state, jax.random.PRNGKey(1), t, p, r,
+        cfg=CFG, ids=IDS, num_frames=2, top_k=-1, fast_kernel=True,
+    )
+    frames = np.asarray(frames)
+    assert frames.shape == (B, 2, 1 + K)
+    assert (frames[:, :, 1] >= 0).all() and (frames[:, :, 1] < CFG.codebook_size).all()
+    assert (frames[:, :, 2:] >= 0).all() and (frames[:, :, 2:] < Vr).all()

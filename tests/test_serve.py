@@ -1,0 +1,160 @@
+"""Continuous-batching scheduler tests (tiny config, CPU).
+
+The load-bearing property: a request admitted into a RUNNING pool samples
+bit-identical codes to a solo ``generate_long`` run with the same seed —
+per-slot steps + per-request keys make decode invariant to co-tenants and
+admission time.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fish_tts_tpu.config import EngineConfig, TINY_CONFIG
+from fish_tts_tpu.engine.generate import GenerationEngine
+from fish_tts_tpu.engine.serve import ContinuousBatcher
+from fish_tts_tpu.models import dual_ar
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_jax_state():
+    """XLA:CPU has segfaulted compiling this module's programs late in a
+    long single-process suite (hundreds of live executables); dropping the
+    in-process caches first has been reliable.  Cheap — this module compiles
+    its own shapes either way."""
+    jax.clear_caches()
+    yield
+
+
+@pytest.fixture(scope="module")
+def engine(tiny_tokenizer):
+    params = dual_ar.init_params(
+        jax.random.PRNGKey(0), TINY_CONFIG, dtype=jnp.float32
+    )
+    ecfg = EngineConfig(prompt_buckets=(32,), decode_chunk=8, first_chunk=4)
+    return GenerationEngine(
+        params, TINY_CONFIG, tiny_tokenizer, engine_cfg=ecfg, seed=0
+    )
+
+
+def _solo_codes(engine, text, seed, max_new):
+    """Reference answer: solo streaming generate_long with a pinned seed."""
+    engine.reseed(seed)
+    chunks = [
+        r.codes for r in engine.generate_long(
+            text, max_new_tokens=max_new, streaming=True,
+            temperature=0.7, top_p=0.8, repetition_penalty=1.1,
+        ) if r.action == "sample"
+    ]
+    return np.concatenate(chunks, axis=1)
+
+
+def _collect(events):
+    out: dict[int, list[np.ndarray]] = {}
+    done: set[int] = set()
+    for ev in events:
+        out.setdefault(ev.request_id, []).append(ev.codes)
+        if ev.done:
+            done.add(ev.request_id)
+    return {k: np.concatenate(v, axis=1) for k, v in out.items()}, done
+
+
+def test_single_request_matches_solo(engine):
+    solo = _solo_codes(engine, "hello pool", seed=5, max_new=20)
+    srv = ContinuousBatcher(engine, slots=3)
+    rid = srv.submit(
+        "hello pool", max_new_tokens=20, seed=5,
+        temperature=0.7, top_p=0.8, repetition_penalty=1.1,
+    )
+    codes, done = _collect(srv.run())
+    assert rid in done
+    np.testing.assert_array_equal(codes[rid], solo)
+
+
+def test_midflight_admission_matches_solo(engine):
+    """A request admitted while other slots are mid-decode produces codes
+    identical to its solo run — THE continuous-batching correctness bar."""
+    solo_a = _solo_codes(engine, "first request text", seed=11, max_new=30)
+    solo_b = _solo_codes(engine, "late joiner", seed=22, max_new=18)
+
+    srv = ContinuousBatcher(engine, slots=2)
+    rid_a = srv.submit("first request text", max_new_tokens=30, seed=11,
+                       temperature=0.7, top_p=0.8, repetition_penalty=1.1)
+    events = []
+    # run a few rounds so request A is genuinely mid-flight...
+    for _ in range(2):
+        events += srv.step()
+    # ...then admit B into the running pool
+    rid_b = srv.submit("late joiner", max_new_tokens=18, seed=22,
+                       temperature=0.7, top_p=0.8, repetition_penalty=1.1)
+    events += list(srv.run())
+    codes, done = _collect(events)
+    assert {rid_a, rid_b} <= done
+    np.testing.assert_array_equal(codes[rid_a], solo_a)
+    np.testing.assert_array_equal(codes[rid_b], solo_b)
+
+
+def test_more_requests_than_slots(engine):
+    """Queueing: 5 requests through 2 slots all finish with per-request
+    budgets respected and every request's codes matching its solo run."""
+    texts = [f"req number {i}" for i in range(5)]
+    solos = [
+        _solo_codes(engine, t, seed=100 + i, max_new=10)
+        for i, t in enumerate(texts)
+    ]
+    srv = ContinuousBatcher(engine, slots=2)
+    rids = [
+        srv.submit(t, max_new_tokens=10, seed=100 + i,
+                   temperature=0.7, top_p=0.8, repetition_penalty=1.1)
+        for i, t in enumerate(texts)
+    ]
+    codes, done = _collect(srv.run())
+    assert set(rids) <= done
+    for rid, solo in zip(rids, solos):
+        np.testing.assert_array_equal(codes[rid], solo)
+        assert codes[rid].shape[1] <= 10
+
+
+def test_per_request_sampling_params(engine):
+    """Params are per-slot: two co-tenant requests with different
+    temperatures each match their solo runs at those temperatures."""
+    def solo(text, seed, temp):
+        engine.reseed(seed)
+        chunks = [
+            r.codes for r in engine.generate_long(
+                text, max_new_tokens=12, streaming=True,
+                temperature=temp, top_p=0.8, repetition_penalty=1.1,
+            ) if r.action == "sample"
+        ]
+        return np.concatenate(chunks, axis=1)
+
+    s1 = solo("cool stream", 7, 0.5)
+    s2 = solo("hot stream", 8, 1.3)
+    srv = ContinuousBatcher(engine, slots=2)
+    r1 = srv.submit("cool stream", max_new_tokens=12, seed=7,
+                    temperature=0.5, top_p=0.8, repetition_penalty=1.1)
+    r2 = srv.submit("hot stream", max_new_tokens=12, seed=8,
+                    temperature=1.3, top_p=0.8, repetition_penalty=1.1)
+    codes, done = _collect(srv.run())
+    np.testing.assert_array_equal(codes[r1], s1)
+    np.testing.assert_array_equal(codes[r2], s2)
+
+
+def test_serve_with_voice_prefix(engine):
+    """Admission forks the engine's cached voice-profile prefix: the served
+    codes match a solo run conditioned on the same references."""
+    rng = np.random.RandomState(3)
+    codes_ref = rng.randint(0, 24, (TINY_CONFIG.num_codebooks, 8)).astype(np.int64)
+    codes_ref[0] = rng.randint(0, 48, 8)
+    engine.set_prefix(["ref text"], [codes_ref])
+    try:
+        solo = _solo_codes(engine, "with a voice", seed=31, max_new=14)
+        srv = ContinuousBatcher(engine, slots=2)
+        rid = srv.submit("with a voice", max_new_tokens=14, seed=31,
+                         temperature=0.7, top_p=0.8, repetition_penalty=1.1)
+        codes, done = _collect(srv.run())
+        assert rid in done
+        np.testing.assert_array_equal(codes[rid], solo)
+    finally:
+        engine.clear_prefix()

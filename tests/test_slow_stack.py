@@ -130,9 +130,8 @@ def test_supports_gates():
     params = dual_ar.init_params(jax.random.PRNGKey(0), CFG, jnp.float32)
     qp = quantize_lm_params(params)
     assert slow_stack.supports(CFG, qp, batch=1)
-    # B>1 is implemented + tested but gated off in production (measured
-    # slower than the XLA batched path on v5e; see slow_stack.MAX_BATCH)
-    assert not slow_stack.supports(CFG, qp, batch=2)
+    assert slow_stack.supports(CFG, qp, batch=slow_stack.MAX_BATCH)
+    assert not slow_stack.supports(CFG, qp, batch=slow_stack.MAX_BATCH + 1)
     assert not slow_stack.supports(CFG, params, batch=1)
 
 

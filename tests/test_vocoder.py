@@ -202,3 +202,67 @@ def test_quantizer_residual_reduces_error(vparams):
         # require boundedness and finiteness of the greedy loop.
         assert np.isfinite(err)
         err_prev = err
+
+
+# ---------------------------------------------------------------------------
+# Stateful streaming decode (models/vocoder_stream.py)
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_decode_matches_joint(vparams):
+    """Carried-state chunked decode == one joint dac_decode, for uneven
+    chunk splits — the exactness contract (no context recompute at all)."""
+    import jax.numpy as jnp
+
+    from fish_tts_tpu.models import vocoder_stream as vs
+
+    params, cfg = vparams, TINY_VOCODER_CONFIG
+    rng = np.random.RandomState(0)
+    T = 37
+    codes = rng.randint(0, 24, (1, cfg.num_codebooks, T)).astype(np.int32)
+    codes[0, 0] = rng.randint(0, 48, T)
+
+    full = np.asarray(vocoder.dac_decode(params, cfg, jnp.asarray(codes)))
+
+    for splits in ([10, 20, 7], [1, 1, 35], [37], [5] * 7 + [2]):
+        st = vs.init_decode_state(params, cfg, batch=1)
+        out = []
+        t0 = 0
+        for n in splits:
+            st, audio = vs.decode_chunk(
+                params, cfg, st, jnp.asarray(codes[:, :, t0:t0 + n])
+            )
+            out.append(np.asarray(audio))
+            t0 += n
+        streamed = np.concatenate(out, axis=-1)
+        assert streamed.shape == full.shape
+        np.testing.assert_allclose(streamed, full, rtol=1e-4, atol=2e-5)
+
+
+def test_streaming_decode_beyond_wlt_window(vparams):
+    """Sequences longer than the WLT window exercise the rolling-KV
+    eviction: equality must hold when early positions have left the
+    window."""
+    import jax.numpy as jnp
+
+    from fish_tts_tpu.models import vocoder_stream as vs
+
+    params, cfg = vparams, TINY_VOCODER_CONFIG
+    W = cfg.quantizer_window
+    T = W + 13
+    rng = np.random.RandomState(1)
+    codes = rng.randint(0, 24, (1, cfg.num_codebooks, T)).astype(np.int32)
+    codes[0, 0] = rng.randint(0, 48, T)
+    full = np.asarray(vocoder.dac_decode(params, cfg, jnp.asarray(codes)))
+
+    st = vs.init_decode_state(params, cfg, batch=1)
+    out = []
+    t0 = 0
+    for n in ([16] * (T // 16) + ([T % 16] if T % 16 else [])):
+        st, audio = vs.decode_chunk(
+            params, cfg, st, jnp.asarray(codes[:, :, t0:t0 + n])
+        )
+        out.append(np.asarray(audio))
+        t0 += n
+    streamed = np.concatenate(out, axis=-1)
+    np.testing.assert_allclose(streamed, full, rtol=1e-4, atol=3e-5)
