@@ -458,6 +458,13 @@ def _measure_user_path(args, cfg, vcfg, params, dtype, real_tts=None):
     out["rtf_e2e"] = round(rtfs[1], 4)
     print(f"# e2e: {audio_sec:.2f}s audio, RTF p50 {rtfs[1]:.4f} "
           f"(runs {[round(r, 4) for r in rtfs]})", file=sys.stderr)
+
+    # -- continuous batching through the slot scheduler ---------------------
+    try:
+        out.update(_measure_serving(tts, tiny=args.tiny))
+    except Exception as e:  # noqa: BLE001 — serving extras are best-effort
+        print(f"# serve bench failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
     if real_tts is not None:
         # fidelity signal on real weights: non-silent, finite audio
         pcm = np.frombuffer(wav[44:], dtype=np.int16).astype(np.float32)
@@ -468,6 +475,42 @@ def _measure_user_path(args, cfg, vcfg, params, dtype, real_tts=None):
         print(f"# fidelity: rms={rms:.4f} finite={out['audio_finite']}",
               file=sys.stderr)
     return out
+
+
+def _measure_serving(tts, tiny: bool) -> dict:
+    """Continuous-batching throughput: staggered requests through the
+    ``ContinuousBatcher`` slot pool (LM decode only; frames emitted per
+    wall-clock second across all requests)."""
+    from fish_tts_tpu.engine.serve import ContinuousBatcher
+
+    slots = 4 if tiny else 8
+    n_req = 2 * slots
+    budget = 16 if tiny else 100
+    srv = ContinuousBatcher(tts._engine, slots=slots)
+    # warmup pass: compile admission + pool-decode shapes
+    srv.submit("warm up the pool", max_new_tokens=4)
+    srv.submit("warm two", max_new_tokens=4)
+    for _ in srv.run():
+        pass
+
+    t0 = time.perf_counter()
+    pending = n_req
+    frames = 0
+    for _ in range(slots):  # first wave
+        srv.submit("a serving benchmark request", max_new_tokens=budget)
+        pending -= 1
+    while srv.busy or pending:
+        for ev in srv.step():
+            frames += ev.codes.shape[1]
+            if ev.done and pending:  # staggered: refill as slots free up
+                srv.submit("a serving benchmark request", max_new_tokens=budget)
+                pending -= 1
+    wall = time.perf_counter() - t0
+    agg = frames / wall
+    print(f"# continuous batching: {agg:.0f} tok/s aggregate "
+          f"({n_req} staggered requests x {budget} tok over {slots} slots)",
+          file=sys.stderr)
+    return {"serve_tok_per_sec": round(agg, 1), "serve_slots": slots}
 
 
 if __name__ == "__main__":

@@ -90,12 +90,11 @@ class _StreamVocoder:
     """
 
     def __init__(self, tts: "FishTTS"):
-        from fish_tts_tpu.models import vocoder_stream as vs
-
         self._tts = tts
-        self._state = vs.init_decode_state(
-            tts._vocoder_params, tts._vocoder_cfg, batch=1
-        )
+        # one jitted call: eager init would dispatch ~30 small zeros
+        # allocations, each paying a device round trip on tunneled platforms
+        # (directly on the TTFA path — a fresh instance per stream)
+        self._state = tts._stream_init_fn()(tts._vocoder_params)
 
     def decode_async(self, codes: np.ndarray):
         """Dispatch one chunk (K, n) without blocking; returns
@@ -710,6 +709,19 @@ class FishTTS:
             )
         fn = self._vocoder_jit_cache["decode"]
         return lambda c: fn(self._vocoder_params, c)
+
+    def _stream_init_fn(self):
+        """Jitted fresh streaming-vocoder state (B=1)."""
+        if "stream_init" not in self._vocoder_jit_cache:
+            import jax
+
+            from fish_tts_tpu.models import vocoder_stream as vs
+
+            cfg = self._vocoder_cfg
+            self._vocoder_jit_cache["stream_init"] = jax.jit(
+                lambda p: vs.init_decode_state(p, cfg, batch=1)
+            )
+        return self._vocoder_jit_cache["stream_init"]
 
     def _stream_decode_fn(self):
         """Jitted stateful streaming decode (one function; XLA compiles per
