@@ -380,7 +380,8 @@ def _decode_one(
     inp = state["frame"][:, :, None]  # (B, 1+K, 1)
     positions = pos[:, None]  # (B, 1)
 
-    if fast_kernel and slow_stack.supports(cfg, params, B):
+    if (fast_kernel and slow_stack.supports(cfg, params, B)
+            and slow_stack.fits(cfg, B, R)):
         # Fused weight-streaming Pallas step (ops/slow_stack.py): embeds in
         # XLA, runs the 28-layer stack in one kernel against the read-only
         # cache slice, then scatters the returned K/V rows — numerically the

@@ -72,6 +72,10 @@ class _Request:
     key: jax.Array  # slot base key (fold_in(request_key, 0))
     produced: int = 0
     prompt_len: int = 0  # full context length (prefix + prompt)
+    # prefill-sampled first frame, still on device: fetched together with
+    # the request's first decode chunk so admission never blocks on a
+    # device->host round trip of its own
+    first_dev: object = None
 
 
 @partial(jax.jit, static_argnames=("rows",), donate_argnames=("state",))
@@ -144,6 +148,12 @@ class ContinuousBatcher:
         self._r = np.full((slots, 1), 1.1, np.float32)
         base = jax.random.PRNGKey(0)
         self._keys = [jax.random.fold_in(base, i) for i in range(slots)]
+        # one in-flight decode chunk: (frames_dev, emitted_dev, snapshot of
+        # slot->request at dispatch time).  Chunk k+1 is dispatched before
+        # chunk k's outputs are fetched, so the device never idles on the
+        # host's per-chunk fetch round trip (the same pipelining the
+        # single-stream engine uses).
+        self._pending = None
 
     # -- submission --------------------------------------------------------
 
@@ -204,22 +214,34 @@ class ContinuousBatcher:
     def _free_slots(self) -> list[int]:
         return [i for i, r in enumerate(self._slot_req) if r is None]
 
-    def _admit(self, slot: int, req: _Request) -> Event | None:
-        """Prefill ``req`` into ``slot``.  Returns an Event carrying the
-        prefill-sampled first frame (solo decode emits it too)."""
+    def _admit(self, slot: int, req: _Request) -> None:
+        """Prefill ``req`` into ``slot``.  The prefill-sampled first frame
+        stays on device (``req.first_dev``) and is emitted with the
+        request's first processed chunk — admission dispatches only, so it
+        costs no host round trip."""
         eng = self.engine
         cfg, ecfg = eng.cfg, eng.engine_cfg
         if eng.has_prefix:
             adm = eng._fork_prefix()
             prefix_len = int(adm["pos"][0])
         else:
-            if self._adm_state is None:
-                self._adm_state = eng._init_state(1)
             adm = self._adm_state
-            self._adm_state = None  # consumed by donation below
-            adm = jax.tree_util.tree_map(
-                jnp.zeros_like, adm
-            )  # fresh scratch (cheap device-side clear)
+            self._adm_state = None  # consumed by prefill's donation below
+            if adm is None:
+                adm = eng._init_state(1)
+            else:
+                # reuse the scratch: only the small per-call fields need
+                # clearing — stale KV rows at positions >= pos are never
+                # attended (cache_bias masks them) and get overwritten by
+                # future writes, so the ~470 MB cache skips the round trip
+                adm = {
+                    "kv": adm["kv"],
+                    "frame": jnp.zeros_like(adm["frame"]),
+                    "pos": jnp.zeros_like(adm["pos"]),
+                    "prev": jnp.zeros_like(adm["prev"]),
+                    "step": jnp.zeros_like(adm["step"]),
+                    "done": jnp.zeros_like(adm["done"]),
+                }
             prefix_len = 0
         padded, T = eng._pad_prompt(req.values)
         kv_pre = (
@@ -241,19 +263,14 @@ class ContinuousBatcher:
         self._state = _install_slot(
             self._state, adm, jnp.int32(slot), rows=rows
         )
+        if not eng.has_prefix:
+            self._adm_state = adm  # reusable after install's copy
         self._slot_req[slot] = req
         self._t[slot, 0] = req.temperature
         self._p[slot, 0] = req.top_p
         self._r[slot, 0] = req.repetition_penalty
         self._keys[slot] = req.key
-        first_np = np.asarray(first)[0]  # (1+K,)
-        req.produced = 1
-        done = bool(first_np[0] == eng.ids.im_end) or req.max_new <= 1
-        codes = np.maximum(first_np[None, 1:], 0).T.astype(np.int64)
-        ev = Event(req.id, codes, done, 1)
-        if done:
-            self._release(slot)
-        return ev
+        req.first_dev = first  # (1, 1+K), fetched at first _process
 
     def _release(self, slot: int) -> None:
         self._slot_req[slot] = None
@@ -263,48 +280,76 @@ class ContinuousBatcher:
         )
 
     def step(self) -> list[Event]:
-        """One scheduler round: admit into free slots, then decode one chunk
-        for the pool.  Returns the round's events (possibly empty)."""
+        """One scheduler round: admit queued requests into free slots,
+        dispatch the next decode chunk for the pool, then process the
+        PREVIOUS chunk's (already in-flight) outputs.  The dispatch-before-
+        fetch order keeps the device busy across the host's fetch latency;
+        the cost is that a slot released this round decodes one speculative
+        chunk before its successor admits (those frames are dropped via the
+        snapshot mapping, exactly like the engine's speculative post-EOS
+        chunk)."""
         events: list[Event] = []
         with self._lock:
-            pending = len(self._queue)
-        if pending:
+            queued = len(self._queue)
+        if queued:
             for slot in self._free_slots():
                 with self._lock:
                     if not self._queue:
                         break
                     req = self._queue.popleft()
-                events.append(self._admit(slot, req))
-        live = [i for i, r in enumerate(self._slot_req) if r is not None]
-        if not live:
-            return events
+                self._admit(slot, req)
 
+        live = [i for i, r in enumerate(self._slot_req) if r is not None]
+        nxt = None
+        if live:
+            eng = self.engine
+            cfg, ecfg = eng.cfg, eng.engine_cfg
+            # attention read bound: max live context after this chunk
+            need = max(
+                self._slot_req[i].prompt_len + self._slot_req[i].produced
+                + self.chunk
+                for i in live
+            ) + self.chunk  # +1 extra chunk: results land one round late
+            kv_b = _kv_bucket(need, ecfg.kv_bucket_step, cfg.max_seq_len)
+            keys = jnp.stack(self._keys)
+            self._state, frames, emitted = decode_mod.decode_chunk(
+                eng.params, eng.rope, self._state, keys,
+                jnp.asarray(self._t), jnp.asarray(self._p),
+                jnp.asarray(self._r),
+                cfg=cfg, ids=eng.ids, num_frames=self.chunk,
+                top_k=ecfg.sample_top_k, approx=ecfg.approx_top_k,
+                kv_bucket=kv_b, fast_kernel=eng._fast_kernel,
+            )
+            nxt = (frames, emitted, dict(enumerate(self._slot_req)))
+
+        if self._pending is not None:
+            events += self._process(*self._pending)
+        self._pending = nxt
+        return events
+
+    def _process(self, frames, emitted, snapshot) -> list[Event]:
+        """Fetch one decoded chunk and route frames to the requests that
+        owned each slot when it was dispatched."""
         eng = self.engine
-        cfg, ecfg = eng.cfg, eng.engine_cfg
-        # attention read bound: max live context after this chunk
-        need = max(
-            self._slot_req[i].prompt_len + self._slot_req[i].produced
-            for i in live
-        ) + self.chunk
-        kv_b = _kv_bucket(need, ecfg.kv_bucket_step, cfg.max_seq_len)
-        keys = jnp.stack(self._keys)
-        self._state, frames, emitted = decode_mod.decode_chunk(
-            eng.params, eng.rope, self._state, keys,
-            jnp.asarray(self._t), jnp.asarray(self._p), jnp.asarray(self._r),
-            cfg=cfg, ids=eng.ids, num_frames=self.chunk,
-            top_k=ecfg.sample_top_k, approx=ecfg.approx_top_k,
-            kv_bucket=kv_b, fast_kernel=eng._fast_kernel,
-        )
+        cfg = eng.cfg
         frames_np = np.asarray(frames)
         emitted_np = np.asarray(emitted)
-        eng.metrics.record_tokens(int(emitted_np[live].sum()))
-
+        events: list[Event] = []
         budget_done = jnp.zeros((self.slots,), bool)
         any_budget_done = False
-        for slot in live:
-            req = self._slot_req[slot]
+        n_tokens = 0
+        for slot, req in snapshot.items():
+            if req is None or self._slot_req[slot] is not req:
+                continue  # slot was free, or released before this chunk
             em = emitted_np[slot]
             fs = frames_np[slot][em]  # (m, 1+K)
+            if req.first_dev is not None:
+                # the admission's prefill frame rides this fetch (it always
+                # emits; solo decode emits it too — inference.py:721)
+                first_np = np.asarray(req.first_dev)[:1]  # (1, 1+K)
+                req.first_dev = None
+                fs = np.concatenate([first_np, fs], axis=0)
+            n_tokens += fs.shape[0]
             room = req.max_new - req.produced
             fs = fs[:room]
             req.produced += fs.shape[0]
@@ -323,6 +368,7 @@ class ContinuousBatcher:
                 if not eos:  # device flag not set — force it
                     budget_done = budget_done.at[slot].set(True)
                     any_budget_done = True
+        eng.metrics.record_tokens(n_tokens)
         if any_budget_done:
             self._state = _mark_done(self._state, budget_done)
         return events
@@ -331,7 +377,11 @@ class ContinuousBatcher:
     def busy(self) -> bool:
         with self._lock:
             q = bool(self._queue)
-        return q or any(r is not None for r in self._slot_req)
+        return (
+            q
+            or any(r is not None for r in self._slot_req)
+            or self._pending is not None
+        )
 
     def run(self) -> Iterator[Event]:
         """Drive the scheduler until the queue and all slots drain."""

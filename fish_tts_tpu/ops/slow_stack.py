@@ -243,6 +243,29 @@ def supports(cfg: DualARConfig, params: Params, batch: int) -> bool:
     )
 
 
+VMEM_BUDGET = 100 * 1024 * 1024  # matches the pallas_call vmem limit
+
+
+def fits(cfg: DualARConfig, batch: int, read_len: int) -> bool:
+    """Static VMEM estimate for a (batch, read_len) kernel variant.
+
+    The per-layer cache window blocks are ``(1, B, Hkv, R, Dh)`` x2 (K and
+    V) x2 (double-buffered); they grow with B*R while everything else is
+    constant, so deep-context batched decode must fall back to XLA before
+    the Mosaic allocator would refuse the kernel (e.g. B=8 at R=2048 is
+    ~64 MB of cache blocks on top of ~46 MB of weights/head tiles).
+    """
+    cache = 2 * 2 * batch * cfg.n_local_heads * read_len * cfg.head_dim * 2
+    qkv_out = (cfg.n_head + 2 * cfg.n_local_heads) * cfg.head_dim
+    per_layer = cfg.dim * (qkv_out + cfg.n_head * cfg.head_dim) \
+        + 3 * cfg.dim * cfg.intermediate_size  # int8 bytes
+    weights = 2 * per_layer
+    head = 2 * HEAD_TILE * cfg.dim  # int8 tiles, double-buffered
+    logits_out = batch * HEAD_TILE * 4 * 2
+    misc = 8 * 1024 * 1024
+    return cache + weights + head + logits_out + misc <= VMEM_BUDGET
+
+
 def prepare_head(params: Params, cfg: DualARConfig) -> Params:
     """Pad the tied LM head into HEAD_TILE-aligned vocab tiles for the fused
     head phase (``_slow_head`` entry).  One-time cost at engine init; no-op

@@ -195,3 +195,39 @@ def test_slow_stack_batched_matches_per_stream(qsetup):
         np.testing.assert_allclose(
             np.asarray(nv_b)[:, b], np.asarray(nv_1)[:, 0], rtol=1e-5, atol=1e-5
         )
+
+
+def test_vmem_fit_gate_falls_back_to_xla(qsetup, monkeypatch):
+    """When the (B, R) kernel variant would exceed the VMEM budget,
+    decode_chunk silently takes the XLA slow path instead of failing to
+    compile — deep-context batched decode must degrade, not crash."""
+    from fish_tts_tpu.config import S1_MINI_CONFIG
+
+    # budget table at production shapes: single-stream keeps the kernel at
+    # full context; batched decode falls back beyond its depth
+    assert slow_stack.fits(S1_MINI_CONFIG, 1, 4096)
+    assert slow_stack.fits(S1_MINI_CONFIG, 8, 1024)
+    assert not slow_stack.fits(S1_MINI_CONFIG, 8, 4096)
+
+    qp, rope, state = qsetup
+    monkeypatch.setattr(slow_stack, "fits", lambda cfg, b, r: False)
+    calls = []
+    real = slow_stack.slow_stack_step
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(slow_stack, "slow_stack_step", spy)
+    st = decode_mod.init_state(qp, CFG, batch=1)
+    st["pos"] = jnp.asarray([8], jnp.int32)
+    t, p, r = jnp.float32(0.7), jnp.float32(0.8), jnp.float32(1.1)
+    st, frames, _ = decode_mod.decode_chunk(
+        qp, rope, st, jax.random.PRNGKey(0), t, p, r,
+        cfg=CFG, ids=IDS, num_frames=2, top_k=-1, kv_bucket=32,
+        fast_kernel=True,
+    )
+    assert not calls  # the slow kernel was never entered
+    frames = np.asarray(frames)
+    assert frames.shape == (1, 2, 1 + CFG.num_codebooks)
+    assert (frames[:, :, 1] < CFG.codebook_size).all()
