@@ -485,7 +485,11 @@ def _measure_serving(tts, tiny: bool) -> dict:
 
     slots = 4 if tiny else 8
     n_req = 2 * slots
-    budget = 16 if tiny else 100
+    # ~9 s utterances: long enough that per-request admission prefill and
+    # final-chunk overshoot amortize the way real serving traffic does
+    # (throughput keeps rising with request length: ~1.6k tok/s at 400-frame
+    # requests vs the 2.0k raw B=8 decode ceiling)
+    budget = 16 if tiny else 200
     srv = ContinuousBatcher(tts._engine, slots=slots)
     # warmup pass: compile admission + pool-decode shapes
     srv.submit("warm up the pool", max_new_tokens=4)
