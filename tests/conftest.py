@@ -7,10 +7,14 @@ first, so this is the one reliable place.
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
-# Disable the persistent XLA cache for tests: CPU executables are
-# host-specific AOT artifacts (cross-machine entries risk SIGILL) and
-# concurrent pytest runs have segfaulted racing cache writes.
-os.environ["FISH_TTS_TPU_CACHE_DIR"] = ""
+# Point the persistent XLA cache at a MACHINE-LOCAL dir for tests: the
+# shared ~/.cache dir accumulates CPU AOT artifacts compiled on other
+# machines (loading them warns about SIGILL risk) and has segfaulted under
+# concurrent writers.  /tmp is per-machine and per-boot, so entries are
+# always host-compatible; repeat suite runs on one machine stay fast.
+os.environ.setdefault(
+    "FISH_TTS_TPU_CACHE_DIR", "/tmp/fish-tts-tpu-test-xla-cache"
+)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
