@@ -408,22 +408,10 @@ def fast_decode_frame(
         + int(head_q.size) + int(emb["q"].size)
     )
 
+
     specs = pl.BlockSpec(memory_space=pltpu.VMEM)
 
-    codes, logits = pl.pallas_call(
-        kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((B, K - 1), jnp.int32),
-            jax.ShapeDtypeStruct((B * (K - 1), Vr), jnp.float32),
-        ),
-        in_specs=[specs] * 32,
-        out_specs=(specs, specs),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=min(128 * 1024 * 1024,
-                                 vmem_bytes + 48 * 1024 * 1024),
-        ),
-        interpret=interpret,
-    )(
+    inputs = (
         col(temperature), col(top_p), col(repetition_penalty),
         h_fast.astype(jnp.float32),
         a0.reshape(B, 1).astype(jnp.int32),
@@ -441,4 +429,26 @@ def fast_decode_frame(
         head_q, head_s.astype(jnp.float32),
         emb["q"], emb["s"].astype(jnp.float32).reshape(1, -1),
     )
+    # Known XLA:TPU hazard (harness-only so far): if this custom call's
+    # OUTPUTS are consumed directly by a scan's stacking updates, XLA wraps
+    # call+stacking into one kCustom fusion and charges the kernel's ~69 MB
+    # VMEM against the fusion's 16 MB scoped-vmem budget -> "Scoped
+    # allocation ... exceeded scoped vmem limit" at compile time.  The
+    # production decode path post-processes the outputs (concatenate /
+    # state updates), which breaks that fusion; standalone benchmark
+    # harnesses should do the same (see scripts/profile_batch.py).
+    codes, logits = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, K - 1), jnp.int32),
+            jax.ShapeDtypeStruct((B * (K - 1), Vr), jnp.float32),
+        ),
+        in_specs=[specs] * 32,
+        out_specs=(specs, specs),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(128 * 1024 * 1024,
+                                 vmem_bytes + 48 * 1024 * 1024),
+        ),
+        interpret=interpret,
+    )(*inputs)
     return codes, logits.reshape(B, K - 1, Vr)
