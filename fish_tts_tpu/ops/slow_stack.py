@@ -243,27 +243,25 @@ def supports(cfg: DualARConfig, params: Params, batch: int) -> bool:
     )
 
 
-VMEM_BUDGET = 100 * 1024 * 1024  # matches the pallas_call vmem limit
+# Empirically calibrated on v5e at S1-mini shapes: the binding VMEM terms
+# scale with B*R — the double-buffered (1, B, Hkv, R, Dh) x2 cache window
+# blocks PLUS the kernel-body f32 temporaries (kc/vc upcasts and score
+# products, ~B*R*kv_size*4 bytes of Mosaic stack).  Measured boundary:
+# B=1 R=4096 OK, B=2 R=2048 OK, B=4 R=1024 OK, B=8 R=512 OK,
+# B=8 R=768 and R=1024 fail Mosaic allocation.
+_MAX_BATCH_READ = 4096
 
 
 def fits(cfg: DualARConfig, batch: int, read_len: int) -> bool:
-    """Static VMEM estimate for a (batch, read_len) kernel variant.
+    """True when the (batch, read_len) kernel variant fits VMEM.
 
-    The per-layer cache window blocks are ``(1, B, Hkv, R, Dh)`` x2 (K and
-    V) x2 (double-buffered); they grow with B*R while everything else is
-    constant, so deep-context batched decode must fall back to XLA before
-    the Mosaic allocator would refuse the kernel (e.g. B=8 at R=2048 is
-    ~64 MB of cache blocks on top of ~46 MB of weights/head tiles).
+    Deep-context batched decode must fall back to XLA before the Mosaic
+    allocator refuses the kernel.  The bound scales inversely with the
+    head/cache geometry relative to the calibrated S1-mini shapes
+    (Hkv*Dh = 512 lanes per cache row).
     """
-    cache = 2 * 2 * batch * cfg.n_local_heads * read_len * cfg.head_dim * 2
-    qkv_out = (cfg.n_head + 2 * cfg.n_local_heads) * cfg.head_dim
-    per_layer = cfg.dim * (qkv_out + cfg.n_head * cfg.head_dim) \
-        + 3 * cfg.dim * cfg.intermediate_size  # int8 bytes
-    weights = 2 * per_layer
-    head = 2 * HEAD_TILE * cfg.dim  # int8 tiles, double-buffered
-    logits_out = batch * HEAD_TILE * 4 * 2
-    misc = 8 * 1024 * 1024
-    return cache + weights + head + logits_out + misc <= VMEM_BUDGET
+    row = cfg.n_local_heads * cfg.head_dim
+    return batch * read_len * row <= _MAX_BATCH_READ * 512
 
 
 def prepare_head(params: Params, cfg: DualARConfig) -> Params:

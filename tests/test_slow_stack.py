@@ -205,8 +205,10 @@ def test_vmem_fit_gate_falls_back_to_xla(qsetup, monkeypatch):
 
     # budget table at production shapes: single-stream keeps the kernel at
     # full context; batched decode falls back beyond its depth
+    # empirically calibrated boundary (see slow_stack._MAX_BATCH_READ)
     assert slow_stack.fits(S1_MINI_CONFIG, 1, 4096)
-    assert slow_stack.fits(S1_MINI_CONFIG, 8, 1024)
+    assert slow_stack.fits(S1_MINI_CONFIG, 8, 512)
+    assert not slow_stack.fits(S1_MINI_CONFIG, 8, 768)
     assert not slow_stack.fits(S1_MINI_CONFIG, 8, 4096)
 
     qp, rope, state = qsetup
