@@ -3,10 +3,10 @@
 One fused kernel for the 28-layer slow transformer's single-token decode
 forward, optionally including the tied LM head.  XLA's GEMV path leaves most
 of the HBM bandwidth on the table for M=1 matmuls; here the grid iterates
-over layers (then vocab tiles) and each step's int8 weights are BlockSpec
-inputs, so Pallas double-buffers the next step's weights while the current
-step computes — the textbook weight-streaming pattern.  The activation is
-carried across grid steps in a VMEM scratch.
+over (layer, cache-block) — then vocab tiles — and each step's int8 weights
+and KV-cache blocks are BlockSpec inputs, so Pallas double-buffers the next
+step's data while the current step computes — the textbook weight-streaming
+pattern.  The activation is carried across grid steps in a VMEM scratch.
 
 Scope and contracts:
 - single token (T=1), small batch (B <= MAX_BATCH): B=1 is the latency
@@ -20,14 +20,19 @@ Scope and contracts:
   ops/attention.gqa_attention_two_part), and returns the new K/V rows for
   the caller's XLA scatter — identical cache-update semantics to
   dual_ar.transformer_stack;
+- the cache streams through the grid in ``RB``-row blocks with an ONLINE
+  softmax (flash-attention accumulation: running max / denominator /
+  weighted sum in VMEM scratch), so VMEM demand is fixed at
+  ``B * RB * row`` regardless of context depth — B=8 decode keeps the
+  kernel at every kv bucket up to ``max_seq_len`` instead of falling back
+  to XLA past R=512 (the pre-blocking Mosaic allocation limit);
 - GQA attention is *group-folded*: for each of the G = H/Hkv query-head
   groups, the group's query lanes fold down to kv layout (Hkv segments of
-  Dh lanes) and scores come from one ``(R, kv_size) @ (kv_size, Hkv)``
-  segment-mask matmul against the UN-duplicated cache tile; the weighted
+  Dh lanes) and scores come from one ``(RB, kv_size) @ (kv_size, Hkv)``
+  segment-mask matmul against the UN-duplicated cache block; the weighted
   sum runs against the un-duplicated V as well.  Round 3's B>1 attempt
-  duplicated the cache per query head per stream ((R, q_size) VMEM writes
-  per stream-layer) and lost 10x to the VPU; this formulation touches each
-  cache byte once regardless of G;
+  duplicated the cache per query head per stream and lost 10x to the VPU;
+  this formulation touches each cache byte once regardless of G;
 - RoPE rows for the current position are gathered *outside* (XLA handles the
   dynamic position gather); the kernel sees interleaved cos / signed-sin
   lane tables (ops/fast_decoder.rope_tables layout);
@@ -57,17 +62,23 @@ _NEG = -1e30
 
 HEAD_TILE = 8192  # vocab rows per head grid step (8 MB int8 tiles)
 
+# Cache rows per grid block.  Empirically calibrated on v5e at S1-mini
+# shapes (Hkv*Dh = 512-lane rows): B * RB <= 4096 rows fit (B=8 at RB=512
+# compiles; RB=768+ fails Mosaic allocation on the block + f32 temporaries).
+RB_ROWS = 512
+_MAX_BATCH_ROWS = 4096
 
-def _make_kernel(cfg: DualARConfig, read_len: int, with_head: bool, batch: int):
+
+def _make_kernel(cfg: DualARConfig, rb_size: int, n_rb: int,
+                 with_head: bool, batch: int):
     B = batch
-    D = cfg.dim
     H = cfg.n_head
     Hkv = cfg.n_local_heads
     Dh = cfg.head_dim
     G = H // Hkv
     L = cfg.n_layer
     eps = cfg.norm_eps
-    R = read_len
+    RB = rb_size
     q_size = H * Dh
     kv_size = Hkv * Dh
     scale = 1.0 / math.sqrt(Dh)
@@ -107,15 +118,18 @@ def _make_kernel(cfg: DualARConfig, read_len: int, with_head: bool, batch: int):
              kcache_ref, vcache_ref,
              wqkv_q, wqkv_s, wo_q, wo_s, w1_q, w1_s, w3_q, w3_s, w2_q, w2_s,
              final_norm_ref, head_q, head_s,
-             x_out_ref, new_k_ref, new_v_ref, logits_ref, x_scr) = refs
+             x_out_ref, new_k_ref, new_v_ref, logits_ref,
+             x_scr, q_scr, k_scr, v_scr, m_scr, den_scr, acc_scr) = refs
         else:
             (pos_ref, x_ref, cos_q_ref, sin_q_ref, cos_k_ref, sin_k_ref,
              seg_ref, seg_t_ref, attn_norm_ref, ffn_norm_ref,
              kcache_ref, vcache_ref,
              wqkv_q, wqkv_s, wo_q, wo_s, w1_q, w1_s, w3_q, w3_s, w2_q, w2_s,
-             x_out_ref, new_k_ref, new_v_ref, x_scr) = refs
+             x_out_ref, new_k_ref, new_v_ref,
+             x_scr, q_scr, k_scr, v_scr, m_scr, den_scr, acc_scr) = refs
 
         step = pl.program_id(0)
+        rb = pl.program_id(1)
 
         def qdot(xv, wq, ws):
             w = wq[0].astype(jnp.bfloat16)
@@ -123,7 +137,12 @@ def _make_kernel(cfg: DualARConfig, read_len: int, with_head: bool, batch: int):
                           preferred_element_type=jnp.float32)
             return out * ws[0]
 
-        def layer_body():
+        @pl.when((step == 0) & (rb == 0))
+        def _():
+            x_scr[...] = x_ref[...]
+
+        def attn_begin():
+            """rb 0 of a layer step: project q/k/v, init the softmax state."""
             x = x_scr[...]  # (B, D)
             h = _rms(x, attn_norm_ref[0])
             qkv = qdot(h, wqkv_q, wqkv_s)  # (B, q+2kv)
@@ -133,53 +152,86 @@ def _make_kernel(cfg: DualARConfig, read_len: int, with_head: bool, batch: int):
             v = qkv[:, q_size + kv_size:]
             new_k_ref[...] = k[None]
             new_v_ref[...] = v[None]
+            q_scr[...] = q
+            k_scr[...] = k
+            v_scr[...] = v
+            m_scr[...] = jnp.full((B * G, Hkv), _NEG, jnp.float32)
+            den_scr[...] = jnp.zeros((B * G, Hkv), jnp.float32)
+            acc_scr[...] = jnp.zeros((B * G, kv_size), jnp.float32)
 
-            # cache attention (read-only past, mask rows >= pos) + self-key,
-            # one joint softmax (gqa_attention_two_part semantics); streams
-            # are independent — a static loop over the (small) batch, with a
-            # static loop over GQA groups inside.  The cache tile is touched
-            # ONCE per stream (never duplicated per query head): all score /
-            # weighted-sum reductions run in folded kv-head layout against
-            # the (kv_size, Hkv) segment masks.
-            r_iota = jax.lax.broadcasted_iota(jnp.int32, (R, Hkv), 0)
-            outs = []
+        def attn_block():
+            """Every rb: fold this cache block into the online softmax.
+            Streams are independent — static loops over batch and GQA
+            groups; the cache block is touched ONCE per stream (never
+            duplicated per query head)."""
+            base = rb * RB
+            r_iota = jax.lax.broadcasted_iota(jnp.int32, (RB, Hkv), 0)
+            q = q_scr[...]
             for b in range(B):
                 pos_b = pos_ref[0, b]
-                kc = kcache_ref[0, b]  # (Hkv, R, Dh)
+                kc = kcache_ref[0, b]  # (Hkv, RB, Dh)
                 vc = vcache_ref[0, b]
                 kc_flat = jnp.concatenate(
                     [kc[hh] for hh in range(Hkv)], axis=-1
-                ).astype(jnp.float32)  # (R, kv_size)
+                ).astype(jnp.float32)  # (RB, kv_size)
                 vc_flat = jnp.concatenate(
                     [vc[hh] for hh in range(Hkv)], axis=-1
                 ).astype(jnp.float32)
-                k_b = k[b:b + 1]  # (1, kv_size) current token's keys
+                for g in range(G):
+                    row = b * G + g
+                    q_g = _fold_group(q[b:b + 1], g)  # (1, kv_size)
+                    s = jnp.dot(kc_flat * q_g, seg_ref[...],
+                                preferred_element_type=jnp.float32) * scale
+                    s = jnp.where(base + r_iota < pos_b, s, _NEG)  # (RB, Hkv)
+
+                    m_old = m_scr[row:row + 1, :]
+                    m_new = jnp.maximum(
+                        m_old, jnp.max(s, axis=0, keepdims=True))
+                    alpha = jnp.exp(m_old - m_new)           # (1, Hkv)
+                    p = jnp.exp(s - m_new)                   # (RB, Hkv)
+                    den = den_scr[row:row + 1, :] * alpha + jnp.sum(
+                        p, axis=0, keepdims=True)
+                    alpha_exp = jnp.dot(alpha, seg_t_ref[...],
+                                        preferred_element_type=jnp.float32)
+                    pc_exp = jnp.dot(p, seg_t_ref[...],
+                                     preferred_element_type=jnp.float32)
+                    acc = acc_scr[row:row + 1, :] * alpha_exp + jnp.sum(
+                        pc_exp * vc_flat, axis=0, keepdims=True)
+                    m_scr[row:row + 1, :] = m_new
+                    den_scr[row:row + 1, :] = den
+                    acc_scr[row:row + 1, :] = acc
+
+        def attn_end_mlp():
+            """Last rb: join the current token's self-key into the softmax
+            (two-part attention semantics), finish the block (wo + FFN)."""
+            x = x_scr[...]
+            q = q_scr[...]
+            k = k_scr[...]
+            v = v_scr[...]
+            outs = []
+            for b in range(B):
+                k_b = k[b:b + 1]
                 v_b = v[b:b + 1]
                 o_parts = []
                 for g in range(G):
-                    q_g = _fold_group(q[b:b + 1], g)  # (1, kv_size)
-                    s_cache = jnp.dot(kc_flat * q_g, seg_ref[...],
-                                      preferred_element_type=jnp.float32)
-                    s_cache = s_cache * scale  # (R, Hkv)
-                    s_cache = jnp.where(r_iota < pos_b, s_cache, _NEG)
+                    row = b * G + g
+                    q_g = _fold_group(q[b:b + 1], g)
                     s_self = jnp.dot(k_b * q_g, seg_ref[...],
                                      preferred_element_type=jnp.float32)
                     s_self = s_self * scale  # (1, Hkv)
-
-                    m = jnp.maximum(
-                        jnp.max(s_cache, axis=0, keepdims=True), s_self)
-                    p_cache = jnp.exp(s_cache - m)          # (R, Hkv)
-                    p_self = jnp.exp(s_self - m)            # (1, Hkv)
-                    denom = jnp.sum(p_cache, axis=0, keepdims=True) + p_self
-
-                    pc_exp = jnp.dot(p_cache, seg_t_ref[...],
-                                     preferred_element_type=jnp.float32)
+                    m_old = m_scr[row:row + 1, :]
+                    m_fin = jnp.maximum(m_old, s_self)
+                    alpha = jnp.exp(m_old - m_fin)
+                    p_self = jnp.exp(s_self - m_fin)
+                    den = den_scr[row:row + 1, :] * alpha + p_self
+                    alpha_exp = jnp.dot(alpha, seg_t_ref[...],
+                                        preferred_element_type=jnp.float32)
                     ps_exp = jnp.dot(p_self, seg_t_ref[...],
                                      preferred_element_type=jnp.float32)
-                    den_exp = jnp.dot(denom, seg_t_ref[...],
+                    den_exp = jnp.dot(den, seg_t_ref[...],
                                       preferred_element_type=jnp.float32)
                     o_parts.append(
-                        (jnp.sum(pc_exp * vc_flat, axis=0, keepdims=True)
+                        (acc_scr[row:row + 1, :] * alpha_exp
                          + ps_exp * v_b) / den_exp)  # (1, kv_size)
                 outs.append(_unfold_groups(o_parts))  # (1, q_size)
             o = jnp.concatenate(outs, axis=0) if B > 1 else outs[0]
@@ -205,18 +257,18 @@ def _make_kernel(cfg: DualARConfig, read_len: int, with_head: bool, batch: int):
                 hn.astype(jnp.bfloat16), head_q[...].astype(jnp.bfloat16),
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # (1, HEAD_TILE)
+            )  # (B, HEAD_TILE)
             logits_ref[...] = lg * head_s[...]
 
-        @pl.when(step == 0)
-        def _():
-            x_scr[...] = x_ref[...]
-
         if with_head:
-            pl.when(step < L)(layer_body)
-            pl.when(step >= L)(head_body)
+            pl.when((step < L) & (rb == 0))(attn_begin)
+            pl.when(step < L)(attn_block)
+            pl.when((step < L) & (rb == n_rb - 1))(attn_end_mlp)
+            pl.when((step >= L) & (rb == 0))(head_body)
         else:
-            layer_body()
+            pl.when(rb == 0)(attn_begin)
+            attn_block()
+            pl.when(rb == n_rb - 1)(attn_end_mlp)
 
     return kernel
 
@@ -243,25 +295,26 @@ def supports(cfg: DualARConfig, params: Params, batch: int) -> bool:
     )
 
 
-# Empirically calibrated on v5e at S1-mini shapes: the binding VMEM terms
-# scale with B*R — the double-buffered (1, B, Hkv, R, Dh) x2 cache window
-# blocks PLUS the kernel-body f32 temporaries (kc/vc upcasts and score
-# products, ~B*R*kv_size*4 bytes of Mosaic stack).  Measured boundary:
-# B=1 R=4096 OK, B=2 R=2048 OK, B=4 R=1024 OK, B=8 R=512 OK,
-# B=8 R=768 and R=1024 fail Mosaic allocation.
-_MAX_BATCH_READ = 4096
+def _rb_size(read_len: int) -> int:
+    """Cache rows per grid block: whole-R for shallow contexts, RB_ROWS
+    blocks (read_len is a multiple of the 512 kv bucket step) beyond."""
+    return read_len if read_len <= RB_ROWS else RB_ROWS
 
 
 def fits(cfg: DualARConfig, batch: int, read_len: int) -> bool:
     """True when the (batch, read_len) kernel variant fits VMEM.
 
-    Deep-context batched decode must fall back to XLA before the Mosaic
-    allocator refuses the kernel.  The bound scales inversely with the
-    head/cache geometry relative to the calibrated S1-mini shapes
-    (Hkv*Dh = 512 lanes per cache row).
+    With the R-blocked online-softmax grid, VMEM demand scales with
+    ``B * RB`` (one cache block + its f32 temporaries), not with the full
+    context — the calibrated v5e bound is 4096 rows at S1-mini row width
+    (Hkv*Dh = 512 lanes).  Deep contexts only add grid steps.  ``read_len``
+    must tile into RB blocks exactly (kv buckets are multiples of 512).
     """
+    rb = _rb_size(read_len)
+    if read_len % rb:
+        return False
     row = cfg.n_local_heads * cfg.head_dim
-    return batch * read_len * row <= _MAX_BATCH_READ * 512
+    return batch * rb * row <= _MAX_BATCH_ROWS * 512
 
 
 def prepare_head(params: Params, cfg: DualARConfig) -> Params:
@@ -333,7 +386,11 @@ def slow_stack_step(
     L = cfg.n_layer
     Dh = cfg.head_dim
     Hkv = cfg.n_local_heads
+    G = cfg.n_head // Hkv
     R = read_len
+    RB = _rb_size(R)
+    assert R % RB == 0, (R, RB)
+    n_rb = R // RB
     B = x.shape[0]
     head = params.get("_slow_head")
     with_head = head is not None
@@ -343,12 +400,11 @@ def slow_stack_step(
     seg, seg_t = _segment_masks(cfg)
     pos_smem = pos.reshape(1, B).astype(jnp.int32)
 
-    # The kernel reads only rows [0:R) of the cache.  The full (L,B,Hkv,S,Dh)
-    # arrays are passed and the BlockSpec windows the R-row prefix per layer —
-    # slicing here instead would force XLA to materialize a fresh
-    # (L,B,Hkv,R,Dh) copy (~2*L*Hkv*R*Dh bytes, ~59 MB at S1-mini bucket 512)
-    # on every decode step before the kernel could read it.
-    cache_block = (L, B, Hkv, R, Dh)
+    # The kernel reads only rows [0:R) of the cache, RB rows per grid block.
+    # The full (L,B,Hkv,S,Dh) arrays are passed and the BlockSpec windows
+    # the (layer, block) slice — slicing here instead would force XLA to
+    # materialize a fresh copy on every decode step.
+    cache_block = (1, B, Hkv, RB, Dh)
 
     smem_spec = pl.BlockSpec((1, B), memory_space=pltpu.SMEM)
     whole = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -361,8 +417,15 @@ def slow_stack_step(
     def per_layer(shape):
         block = (1,) + tuple(shape[1:])
         nzero = len(shape) - 1
-        return pl.BlockSpec(block, lambda l: (layer_idx(l),) + (0,) * nzero,
-                            memory_space=pltpu.VMEM)
+        return pl.BlockSpec(
+            block, lambda l, r: (layer_idx(l),) + (0,) * nzero,
+            memory_space=pltpu.VMEM,
+        )
+
+    cache_spec = pl.BlockSpec(
+        cache_block, lambda l, r: (layer_idx(l), 0, 0, r, 0),
+        memory_space=pltpu.VMEM,
+    )
 
     lw = layers
     in_specs = (
@@ -370,7 +433,7 @@ def slow_stack_step(
         + [whole] * 7  # x, 4 rope rows, seg, seg_t
         + [per_layer((L, 1, cfg.dim))] * 2  # norms (layer axis kept off the
         #   last-two block dims, which Pallas requires to be full-array)
-        + [per_layer(cache_block)] * 2  # R-row cache windows (see above)
+        + [cache_spec] * 2  # RB-row cache blocks (see above)
         + [
             per_layer(lw["wqkv"]["q"].shape), per_layer(lw["wqkv"]["s"].shape),
             per_layer(lw["wo"]["q"].shape), per_layer(lw["wo"]["s"].shape),
@@ -385,10 +448,11 @@ def slow_stack_step(
         jax.ShapeDtypeStruct((L, B, Hkv * Dh), jnp.float32),
     ]
     out_specs = [
-        pl.BlockSpec((B, cfg.dim), lambda l: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, B, Hkv * Dh), lambda l: (layer_idx(l), 0, 0),
+        pl.BlockSpec((B, cfg.dim), lambda l, r: (0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, B, Hkv * Dh), lambda l: (layer_idx(l), 0, 0),
+        pl.BlockSpec((1, B, Hkv * Dh), lambda l, r: (layer_idx(l), 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, B, Hkv * Dh), lambda l, r: (layer_idx(l), 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     inputs = [
@@ -404,17 +468,17 @@ def slow_stack_step(
         lw["w3"]["q"], lw["w3"]["s"].astype(jnp.float32),
         lw["w2"]["q"], lw["w2"]["s"].astype(jnp.float32),
     ]
-    grid = L
+    outer = L
     if with_head:
         Vp = head["q"].shape[0]
-        grid = L + n_tiles
+        outer = L + n_tiles
         in_specs += [
             whole,  # final norm (1, D)
             pl.BlockSpec((HEAD_TILE, cfg.dim),
-                         lambda l: (jnp.maximum(l - L, 0), 0),
+                         lambda l, r: (jnp.maximum(l - L, 0), 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, HEAD_TILE),
-                         lambda l: (0, jnp.maximum(l - L, 0)),
+                         lambda l, r: (0, jnp.maximum(l - L, 0)),
                          memory_space=pltpu.VMEM),
         ]
         inputs += [
@@ -424,20 +488,30 @@ def slow_stack_step(
         out_shape.append(jax.ShapeDtypeStruct((B, Vp), jnp.float32))
         out_specs.append(
             pl.BlockSpec((B, HEAD_TILE),
-                         lambda l: (0, jnp.maximum(l - L, 0)),
+                         lambda l, r: (0, jnp.maximum(l - L, 0)),
                          memory_space=pltpu.VMEM)
         )
 
-    kernel = _make_kernel(cfg, R, with_head, B)
+    q_size = cfg.n_head * Dh
+    kv_size = Hkv * Dh
+    kernel = _make_kernel(cfg, RB, n_rb, with_head, B)
     outs = pl.pallas_call(
         kernel,
-        grid=(grid,),
+        grid=(outer, n_rb),
         out_shape=tuple(out_shape),
         in_specs=in_specs,
         out_specs=tuple(out_specs),
-        scratch_shapes=[pltpu.VMEM((B, cfg.dim), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((B, cfg.dim), jnp.float32),      # x
+            pltpu.VMEM((B, q_size), jnp.float32),       # q
+            pltpu.VMEM((B, kv_size), jnp.float32),      # k
+            pltpu.VMEM((B, kv_size), jnp.float32),      # v
+            pltpu.VMEM((B * G, Hkv), jnp.float32),      # running max
+            pltpu.VMEM((B * G, Hkv), jnp.float32),      # running denom
+            pltpu.VMEM((B * G, kv_size), jnp.float32),  # running weighted sum
+        ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,

@@ -205,11 +205,13 @@ def test_vmem_fit_gate_falls_back_to_xla(qsetup, monkeypatch):
 
     # budget table at production shapes: single-stream keeps the kernel at
     # full context; batched decode falls back beyond its depth
-    # empirically calibrated boundary (see slow_stack._MAX_BATCH_READ)
+    # with the R-blocked online-softmax grid, every 512-multiple bucket
+    # fits at any supported batch (VMEM scales with B*RB, not B*R);
+    # non-RB-multiple read lengths cannot tile and fall back
     assert slow_stack.fits(S1_MINI_CONFIG, 1, 4096)
     assert slow_stack.fits(S1_MINI_CONFIG, 8, 512)
-    assert not slow_stack.fits(S1_MINI_CONFIG, 8, 768)
-    assert not slow_stack.fits(S1_MINI_CONFIG, 8, 4096)
+    assert slow_stack.fits(S1_MINI_CONFIG, 8, 4096)
+    assert not slow_stack.fits(S1_MINI_CONFIG, 8, 768)  # 768 % 512 != 0
 
     qp, rope, state = qsetup
     monkeypatch.setattr(slow_stack, "fits", lambda cfg, b, r: False)
@@ -233,3 +235,32 @@ def test_vmem_fit_gate_falls_back_to_xla(qsetup, monkeypatch):
     frames = np.asarray(frames)
     assert frames.shape == (1, 2, 1 + CFG.num_codebooks)
     assert (frames[:, :, 1] < CFG.codebook_size).all()
+
+
+def test_multi_block_online_softmax_matches_single_block(qsetup, monkeypatch):
+    """Streaming the cache in RB-row blocks with online softmax must equal
+    the single-block pass exactly (flash-attention accumulation identity) —
+    this is what keeps deep-context batched decode on the kernel."""
+    qp, rope, state = qsetup
+    pos = jnp.asarray([12], jnp.int32)
+    frame = jnp.zeros((1, 1 + CFG.num_codebooks), jnp.int32)
+    frame = frame.at[0, 0].set(417).at[0, 1].set(17)
+    x_emb = dual_ar.embed_inputs(qp, CFG, IDS, frame[:, :, None])
+
+    one, nk1, nv1, _ = slow_stack.slow_stack_step(
+        qp, CFG, rope["slow"], x_emb[:, 0], state["kv"], pos,
+        read_len=32, interpret=True,
+    )
+    # force 4 blocks of 8 rows over the same 32-row window
+    monkeypatch.setattr(slow_stack, "RB_ROWS", 8)
+    slow_stack.slow_stack_step._clear_cache()
+    multi, nk2, nv2, _ = slow_stack.slow_stack_step(
+        qp, CFG, rope["slow"], x_emb[:, 0], state["kv"], pos,
+        read_len=32, interpret=True,
+    )
+    slow_stack.slow_stack_step._clear_cache()
+    np.testing.assert_allclose(
+        np.asarray(multi), np.asarray(one), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(np.asarray(nk2), np.asarray(nk1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(nv2), np.asarray(nv1), rtol=1e-6)
