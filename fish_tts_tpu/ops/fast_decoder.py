@@ -69,8 +69,9 @@ _NEG = -1e30
 
 # Streams per kernel invocation.  Per-stream VMEM state is ~100 KB; the
 # binding constraint is VPU work in the O(V^2) top-p (linear in B), which
-# stays well under the weight-streaming win through B=8.
-MAX_BATCH = 8
+# stays well under the weight-streaming win through B=16 (matches the
+# slow-stack kernel's batch ceiling).
+MAX_BATCH = 16
 
 
 def _make_kernel(cfg: DualARConfig, window: int, batch: int):

@@ -277,7 +277,9 @@ def _make_kernel(cfg: DualARConfig, rb_size: int, n_rb: int,
 # cache per query head per stream and measured SLOWER than XLA at B=8
 # (483 vs 566); the group-folded attention rewrite touches each cache byte
 # once, so batching now only adds the compulsory per-stream cache reads.
-MAX_BATCH = 8
+# Beyond B=8 the cache block shrinks (see _rb_size) to hold the B*RB VMEM
+# bound; B=16 runs at RB=256.
+MAX_BATCH = 16
 
 
 def supports(cfg: DualARConfig, params: Params, batch: int) -> bool:
@@ -295,10 +297,15 @@ def supports(cfg: DualARConfig, params: Params, batch: int) -> bool:
     )
 
 
-def _rb_size(read_len: int) -> int:
-    """Cache rows per grid block: whole-R for shallow contexts, RB_ROWS
-    blocks (read_len is a multiple of the 512 kv bucket step) beyond."""
-    return read_len if read_len <= RB_ROWS else RB_ROWS
+def _rb_size(read_len: int, batch: int = 1) -> int:
+    """Cache rows per grid block: bounded by the calibrated ``B * RB``
+    VMEM budget (so larger batches take proportionally smaller blocks) and
+    by RB_ROWS; whole-R for shallow contexts.  Power-of-two fractions of
+    RB_ROWS, so every 512-multiple kv bucket tiles exactly."""
+    cap = RB_ROWS
+    while batch * cap > _MAX_BATCH_ROWS and cap > 1:
+        cap //= 2
+    return read_len if read_len <= cap else cap
 
 
 def fits(cfg: DualARConfig, batch: int, read_len: int) -> bool:
@@ -310,7 +317,7 @@ def fits(cfg: DualARConfig, batch: int, read_len: int) -> bool:
     (Hkv*Dh = 512 lanes).  Deep contexts only add grid steps.  ``read_len``
     must tile into RB blocks exactly (kv buckets are multiples of 512).
     """
-    rb = _rb_size(read_len)
+    rb = _rb_size(read_len, batch)
     if read_len % rb:
         return False
     row = cfg.n_local_heads * cfg.head_dim
@@ -388,10 +395,10 @@ def slow_stack_step(
     Hkv = cfg.n_local_heads
     G = cfg.n_head // Hkv
     R = read_len
-    RB = _rb_size(R)
+    B = x.shape[0]
+    RB = _rb_size(R, B)
     assert R % RB == 0, (R, RB)
     n_rb = R // RB
-    B = x.shape[0]
     head = params.get("_slow_head")
     with_head = head is not None
     n_tiles = head["q"].shape[0] // HEAD_TILE if with_head else 0
