@@ -54,7 +54,7 @@ def main() -> None:
                          "JSON); default is random weights (throughput only)")
     ap.add_argument("--budget", type=float,
                     default=float(__import__("os").environ.get(
-                        "FISH_TTS_BENCH_BUDGET", 900.0)),
+                        "FISH_TTS_BENCH_BUDGET", 1200.0)),
                     help="wall-clock seconds after which optional stages "
                          "(aggregate batch, TTFA/e2e) are skipped so the "
                          "JSON line always lands; full runs take ~6-8 min "
