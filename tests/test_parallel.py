@@ -220,3 +220,33 @@ def test_engine_tp_dp_int8(eight_devices, engine_tokenizer):
                 assert codes.shape[0] == CFG.num_codebooks
                 acc[b] += codes.shape[1]
     assert all(a >= 1 for a in acc)
+
+
+def test_continuous_batching_on_mesh(eight_devices, engine_tokenizer):
+    """The slot scheduler runs on a (dp=2, tp=4) mesh: the pool state is
+    GSPMD-sharded, admission installs into slots through sharded
+    dynamic_update_slice, and a served request still matches its solo run
+    (same seed) — the co-tenant/admission invariance composes with TP."""
+    from fish_tts_tpu.engine.serve import ContinuousBatcher
+
+    eng = _tiny_engine(engine_tokenizer, tp=4, dp=1)
+
+    eng.reseed(17)
+    solo = []
+    for r in eng.generate_long("mesh served", max_new_tokens=10,
+                               streaming=True, temperature=0.7, top_p=0.8,
+                               repetition_penalty=1.1):
+        if r.action == "sample":
+            solo.append(r.codes)
+    solo = np.concatenate(solo, axis=1)
+
+    srv = ContinuousBatcher(eng, slots=2)
+    rid = srv.submit("mesh served", max_new_tokens=10, seed=17,
+                     temperature=0.7, top_p=0.8, repetition_penalty=1.1)
+    rid2 = srv.submit("co tenant", max_new_tokens=6)
+    got = {}
+    for ev in srv.run():
+        got.setdefault(ev.request_id, []).append(ev.codes)
+    served = np.concatenate(got[rid], axis=1)
+    np.testing.assert_array_equal(served, solo)
+    assert rid2 in got

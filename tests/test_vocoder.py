@@ -266,3 +266,35 @@ def test_streaming_decode_beyond_wlt_window(vparams):
         t0 += n
     streamed = np.concatenate(out, axis=-1)
     np.testing.assert_allclose(streamed, full, rtol=1e-4, atol=3e-5)
+
+
+def test_streaming_decode_batched_matches_per_stream(vparams):
+    """B=2 streaming decode equals two independent B=1 streams (state is
+    per-stream; batching only vectorizes)."""
+    import jax.numpy as jnp
+
+    from fish_tts_tpu.models import vocoder_stream as vs
+
+    params, cfg = vparams, TINY_VOCODER_CONFIG
+    rng = np.random.RandomState(5)
+    T = 24
+    codes = rng.randint(0, 24, (2, cfg.num_codebooks, T)).astype(np.int32)
+    codes[:, 0] = rng.randint(0, 48, (2, T))
+
+    st = vs.init_decode_state(params, cfg, batch=2)
+    out_b = []
+    for t0 in range(0, T, 8):
+        st, audio = vs.decode_chunk(params, cfg, st,
+                                    jnp.asarray(codes[:, :, t0:t0 + 8]))
+        out_b.append(np.asarray(audio))
+    batched = np.concatenate(out_b, axis=-1)
+
+    for b in range(2):
+        st1 = vs.init_decode_state(params, cfg, batch=1)
+        out1 = []
+        for t0 in range(0, T, 8):
+            st1, audio = vs.decode_chunk(
+                params, cfg, st1, jnp.asarray(codes[b:b + 1, :, t0:t0 + 8]))
+            out1.append(np.asarray(audio))
+        solo = np.concatenate(out1, axis=-1)
+        np.testing.assert_allclose(batched[b], solo[0], rtol=1e-5, atol=1e-6)
