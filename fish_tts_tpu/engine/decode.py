@@ -44,7 +44,7 @@ from fish_tts_tpu.config import DualARConfig
 from fish_tts_tpu.engine.sampling import sample
 from fish_tts_tpu.models import dual_ar
 from fish_tts_tpu.models.dual_ar import Params, TokenIds
-from fish_tts_tpu.ops import fast_decoder, slow_stack
+from fish_tts_tpu.ops import fast_decoder, sampler_kernel, slow_stack
 from fish_tts_tpu.utils.quantize import qgather
 
 _NEG_INF = float(np.finfo(np.float32).min)
@@ -167,10 +167,26 @@ def _sample_frame(
     prev_col = None
     if prev is not None:
         prev_col = penalty_column(prev, step)  # (B, 1+K)
-    token = sample(
-        k_slow, logits, temperature, top_p, repetition_penalty,
-        prev_idx=prev_col, top_k=top_k, approx=approx,
-    )  # (B,)
+    if fast_kernel and sampler_kernel.supports(B, top_k):
+        # fused sampler: penalty + exact threshold top-p + Gumbel argmax
+        # with the (B, V) logits VMEM-resident (ops/sampler_kernel.py)
+        if prev_col is None:
+            pc = jnp.zeros((B, 1), jnp.int32)
+            rep_eff = jnp.float32(1.0)  # exact no-op (prefill has no penalty)
+        else:
+            pc = prev_col
+            rep_eff = repetition_penalty
+        token = sampler_kernel.sample_slow(
+            k_slow, logits.astype(jnp.float32), pc,
+            temperature, top_p, rep_eff,
+            vocab=cfg.vocab_size,
+            interpret=jax.default_backend() != "tpu",
+        )
+    else:
+        token = sample(
+            k_slow, logits, temperature, top_p, repetition_penalty,
+            prev_idx=prev_col, top_k=top_k, approx=approx,
+        )  # (B,)
 
     # Fast transformer: fresh cache each frame (= reference's zeroing,
     # inference.py:116-119); position 0 consumes the slow hidden state and its

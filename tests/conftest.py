@@ -32,6 +32,24 @@ from pathlib import Path  # noqa: E402
 import pytest  # noqa: E402
 
 
+# XLA:CPU segfaults nondeterministically in backend_compile_and_load once a
+# single process has accumulated a few hundred compiled executables (seen at
+# different tests on different runs; stack always bottoms out in the CPU
+# client's compile path).  Dropping the in-memory executable caches every
+# ~40 tests keeps the per-process executable count bounded; the /tmp
+# persistent cache below makes the re-traces cheap.
+_CLEAR_EVERY = 40
+_done = {"n": 0}
+
+
+@pytest.fixture(autouse=True)
+def _periodic_clear_caches():
+    yield
+    _done["n"] += 1
+    if _done["n"] % _CLEAR_EVERY == 0:
+        jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def tiny_vocab_path(tmp_path_factory) -> Path:
     from fish_tts_tpu.models.tokenizer import write_tiny_vocab
