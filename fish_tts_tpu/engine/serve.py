@@ -11,11 +11,16 @@ Design (TPU-shaped):
 - ONE persistent batched decode state (``decode.init_state(B)``).  Free
   slots sit with ``done=True`` so the decode program holds them (no position
   advance, no emission) at negligible cost.
-- Admission = a B=1 prefill into a reusable scratch state (bucketed prompt,
-  so the compile set stays closed) + a jitted "install" that copies the
-  prefix KV rows into the slot and resets the slot's per-slot fields.  The
-  other slots' caches are untouched; they resume decoding in the very next
-  chunk.
+- Admission = ONE device program per scheduler round (:func:`_admit_group`):
+  a pool-sized batched prefill over every request admitted this round
+  (padded with sentinel rows — prefill is weight-bound, so spare rows are
+  nearly free and the compile set stays one program per prompt bucket)
+  followed by a scatter-install of the prefilled KV rows into the slots.
+  The other slots' caches are untouched; they resume decoding in the very
+  next chunk.  On the tunneled platform this matters enormously: the
+  per-request path cost ~45-60 ms of dispatch overhead per admission
+  (~500 ms pool stall per 8-request wave); the group program is one
+  dispatch per wave.
 - Reproducibility: every request carries its own PRNG key, and the decode
   state keeps PER-SLOT step counters (decode.init_state) with per-slot
   ``fold_in(key, step)`` frame keys — a request's sampled codes are
@@ -46,7 +51,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from fish_tts_tpu.engine import decode as decode_mod
-from fish_tts_tpu.engine.generate import GenerationEngine, _kv_bucket
+from fish_tts_tpu.engine.generate import (
+    GenerationEngine, _kv_bucket, _pick_bucket,
+)
 
 logger = logging.getLogger(__name__)
 
@@ -78,30 +85,79 @@ class _Request:
     first_dev: object = None
 
 
-@partial(jax.jit, static_argnames=("rows",), donate_argnames=("state",))
-def _install_slot(state, adm, slot, rows: int):
-    """Copy an admitted B=1 state into slot ``slot`` of the pool state.
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "ids", "top_k", "approx", "kv_pre", "rows",
+                     "scratch_seq", "window"),
+    donate_argnames=("state",),
+)
+def _admit_group(
+    params, rope, state, prefix_kv, prefix_pos, padded, lengths, keys,
+    t, p, r, slots, *, cfg, ids, top_k, approx, kv_pre: int, rows: int,
+    scratch_seq: int, window: int,
+):
+    """ONE device program admitting a whole group of requests.
 
-    Only the first ``rows`` KV rows (the admitted context, rounded to its
-    bucket) are copied; the other slots' arrays are untouched outside row
-    ``slot``.  The slot's step restarts at 0 (per-slot frame counter) and
-    its penalty window clears — exactly the state a solo decode would have
-    right after prefill.
+    Zero-initializes a G-row scratch state *inside* the jit (``scratch_seq``
+    rows — just enough for the padded write extent), runs the batched
+    prefill, then scatter-installs every row into its pool slot.  The old
+    per-request path (B=1 prefill + install + ~8 small reset/transfer
+    dispatches) cost ~45-60 ms *per request* on the tunneled platform —
+    nearly all of it per-dispatch overhead, not compute; a wave of 8
+    admissions stalled the pool for ~500 ms.  As one program the whole wave
+    is a single dispatch (prefill at G rows costs about the same HBM
+    traffic as at 1 — it is weight-bound).
+
+    ``slots`` may contain the sentinel ``num_slots`` for padding rows
+    (groups are always G = pool size so the compile set stays one program
+    per (bucket, rows)): their updates drop out of the scatter
+    (``mode="drop"``) and the pool is untouched.
+
+    With a cached voice prefix, ``prefix_kv`` is the (layers, 1, heads, S,
+    d) prefix cache and ``kv_pre`` its bucketed row count: the scratch
+    forks the prefix rows and prefill continues at position ``kv_pre``
+    reading them.  Without one, ``prefix_kv`` is None and ``kv_pre`` 0.
+
+    The slot's step restarts at 0 (per-slot frame counter) and its penalty
+    window clears — exactly the state a solo decode would have right after
+    prefill, so served codes stay bit-identical to solo runs.
     """
-    k = jax.lax.dynamic_update_slice(
-        state["kv"]["k"], adm["kv"]["k"][:, :, :, :rows], (0, slot, 0, 0, 0)
+    G = padded.shape[0]
+    adm = decode_mod.init_state(
+        params, cfg, batch=G, max_seq_len=scratch_seq, window=window
     )
-    v = jax.lax.dynamic_update_slice(
-        state["kv"]["v"], adm["kv"]["v"][:, :, :, :rows], (0, slot, 0, 0, 0)
+    if prefix_kv is not None:
+        def fork(vv):
+            sl = vv[:, :, :, :scratch_seq]
+            return jnp.broadcast_to(sl, (sl.shape[0], G) + sl.shape[2:])
+
+        adm["kv"] = {kk: fork(vv) for kk, vv in prefix_kv.items()}
+        # true write offset (NOT the kv_pre bucket): prefill's cache_bias
+        # validates rows < pos only
+        adm["pos"] = jnp.broadcast_to(prefix_pos, (G,)).astype(jnp.int32)
+    adm, first = decode_mod.prefill(
+        params, rope, adm, padded, lengths, keys, t, p, r,
+        cfg=cfg, ids=ids, top_k=top_k, approx=approx, kv_bucket=kv_pre,
+    )
+    k = state["kv"]["k"].at[:, slots, :, :rows].set(
+        adm["kv"]["k"][:, :, :, :rows], mode="drop"
+    )
+    v = state["kv"]["v"].at[:, slots, :, :rows].set(
+        adm["kv"]["v"][:, :, :, :rows], mode="drop"
     )
     return {
         "kv": {"k": k, "v": v},
-        "frame": state["frame"].at[slot].set(adm["frame"][0]),
-        "pos": state["pos"].at[slot].set(adm["pos"][0]),
-        "prev": state["prev"].at[slot].set(jnp.zeros_like(adm["prev"][0])),
-        "step": state["step"].at[slot].set(0),
-        "done": state["done"].at[slot].set(adm["done"][0]),
-    }
+        "frame": state["frame"].at[slots].set(adm["frame"], mode="drop"),
+        "pos": state["pos"].at[slots].set(adm["pos"], mode="drop"),
+        "prev": state["prev"].at[slots].set(
+            jnp.zeros((G,) + state["prev"].shape[1:], state["prev"].dtype),
+            mode="drop",
+        ),
+        "step": state["step"].at[slots].set(
+            jnp.zeros((G,), jnp.int32), mode="drop"
+        ),
+        "done": state["done"].at[slots].set(adm["done"], mode="drop"),
+    }, first
 
 
 @partial(jax.jit, donate_argnames=("state",))
@@ -139,9 +195,6 @@ class ContinuousBatcher:
         # pool state: free slots are done=True so decode holds them
         state = engine._init_state(slots)
         self._state = _mark_done(state, jnp.ones((slots,), bool))
-        # reusable B=1 admission scratch (prefill target); rebuilt lazily
-        # after each admission consumes (donates) it
-        self._adm_state = None
         # per-slot sampling params + base keys, mirrored on host
         self._t = np.full((slots, 1), 0.7, np.float32)
         self._p = np.full((slots, 1), 0.8, np.float32)
@@ -214,63 +267,83 @@ class ContinuousBatcher:
     def _free_slots(self) -> list[int]:
         return [i for i, r in enumerate(self._slot_req) if r is None]
 
-    def _admit(self, slot: int, req: _Request) -> None:
-        """Prefill ``req`` into ``slot``.  The prefill-sampled first frame
+    def _admit_many(self, slot_ids: list[int], reqs: list[_Request]) -> None:
+        """Prefill a group of requests into their slots in ONE device
+        program (:func:`_admit_group`).  Each prefill-sampled first frame
         stays on device (``req.first_dev``) and is emitted with the
         request's first processed chunk — admission dispatches only, so it
-        costs no host round trip."""
+        costs no host round trip.
+
+        The group is always padded to G = pool size with sentinel rows
+        (dropped by the install scatter) so the compile set stays one
+        program per (prompt bucket, install rows) pair — prefill is
+        weight-bound, so the padding rows are nearly free."""
         eng = self.engine
         cfg, ecfg = eng.cfg, eng.engine_cfg
+        G = self.slots
         if eng.has_prefix:
-            adm = eng._fork_prefix()
-            prefix_len = int(adm["pos"][0])
+            prefix = eng._prefix_state
+            prefix_len = int(prefix["pos"][0])
+            kv_pre = _kv_bucket(
+                prefix_len, ecfg.kv_bucket_step, cfg.max_seq_len
+            )
+            prefix_kv, prefix_pos = prefix["kv"], prefix["pos"][0]
         else:
-            adm = self._adm_state
-            self._adm_state = None  # consumed by prefill's donation below
-            if adm is None:
-                adm = eng._init_state(1)
-            else:
-                # reuse the scratch: only the small per-call fields need
-                # clearing — stale KV rows at positions >= pos are never
-                # attended (cache_bias masks them) and get overwritten by
-                # future writes, so the ~470 MB cache skips the round trip
-                adm = {
-                    "kv": adm["kv"],
-                    "frame": jnp.zeros_like(adm["frame"]),
-                    "pos": jnp.zeros_like(adm["pos"]),
-                    "prev": jnp.zeros_like(adm["prev"]),
-                    "step": jnp.zeros_like(adm["step"]),
-                    "done": jnp.zeros_like(adm["done"]),
-                }
-            prefix_len = 0
-        padded, T = eng._pad_prompt(req.values)
-        kv_pre = (
-            0 if prefix_len == 0
-            else _kv_bucket(prefix_len, ecfg.kv_bucket_step, cfg.max_seq_len)
+            prefix_len, kv_pre = 0, 0
+            prefix_kv, prefix_pos = None, jnp.int32(0)
+
+        cap = cfg.max_seq_len - 1
+        # shared prompt bucket: max member bucket (padding invariance is
+        # exact, so short members sample identically to their own bucket)
+        bucket = max(
+            _pick_bucket(ecfg.prompt_buckets, r.prompt_len - prefix_len, cap)
+            for r in reqs
         )
-        adm, first = decode_mod.prefill(
-            eng.params, eng.rope, adm,
-            jnp.asarray(padded), jnp.asarray([T], jnp.int32),
-            # (1,)-shaped key batch: the same prefill-frame key a solo
-            # prefill_chunk would fold (step index 0x7FFFFFFF)
-            jax.random.fold_in(req.key, 0x7FFFFFFF)[None],
-            jnp.float32(req.temperature), jnp.float32(req.top_p),
-            jnp.float32(req.repetition_penalty),
+        rows = _kv_bucket(
+            max(r.prompt_len for r in reqs),
+            ecfg.kv_bucket_step, cfg.max_seq_len,
+        )
+        # scratch covers the whole padded write extent (prefill writes all
+        # bucket rows; short scratch would clamp the KV block writes)
+        scratch_seq = _kv_bucket(
+            kv_pre + bucket + 1, ecfg.kv_bucket_step, cfg.max_seq_len
+        )
+
+        padded = np.zeros((G, 1 + cfg.num_codebooks, bucket), np.int32)
+        lengths = np.ones((G,), np.int32)
+        slots_arr = np.full((G,), self.slots, np.int32)  # sentinel: dropped
+        keys = [jax.random.PRNGKey(0)] * G
+        t = np.full((G, 1), 0.7, np.float32)
+        p = np.full((G, 1), 0.8, np.float32)
+        r_ = np.full((G, 1), 1.1, np.float32)
+        for g, (slot, req) in enumerate(zip(slot_ids, reqs)):
+            vals = req.values
+            padded[g, :, : vals.shape[1]] = vals
+            lengths[g] = vals.shape[1]
+            slots_arr[g] = slot
+            # the same prefill-frame key a solo prefill_chunk would fold
+            # (step index 0x7FFFFFFF)
+            keys[g] = jax.random.fold_in(req.key, 0x7FFFFFFF)
+            t[g, 0] = req.temperature
+            p[g, 0] = req.top_p
+            r_[g, 0] = req.repetition_penalty
+
+        self._state, first = _admit_group(
+            eng.params, eng.rope, self._state, prefix_kv, prefix_pos,
+            jnp.asarray(padded), jnp.asarray(lengths), jnp.stack(keys),
+            jnp.asarray(t), jnp.asarray(p), jnp.asarray(r_),
+            jnp.asarray(slots_arr),
             cfg=cfg, ids=eng.ids, top_k=ecfg.sample_top_k,
-            approx=ecfg.approx_top_k, kv_bucket=kv_pre,
+            approx=ecfg.approx_top_k, kv_pre=kv_pre, rows=rows,
+            scratch_seq=scratch_seq, window=ecfg.rep_penalty_window,
         )
-        rows = _kv_bucket(req.prompt_len, ecfg.kv_bucket_step, cfg.max_seq_len)
-        self._state = _install_slot(
-            self._state, adm, jnp.int32(slot), rows=rows
-        )
-        if not eng.has_prefix:
-            self._adm_state = adm  # reusable after install's copy
-        self._slot_req[slot] = req
-        self._t[slot, 0] = req.temperature
-        self._p[slot, 0] = req.top_p
-        self._r[slot, 0] = req.repetition_penalty
-        self._keys[slot] = req.key
-        req.first_dev = first  # (1, 1+K), fetched at first _process
+        for g, (slot, req) in enumerate(zip(slot_ids, reqs)):
+            self._slot_req[slot] = req
+            self._t[slot, 0] = req.temperature
+            self._p[slot, 0] = req.top_p
+            self._r[slot, 0] = req.repetition_penalty
+            self._keys[slot] = req.key
+            req.first_dev = (first, g)  # (G, 1+K) row g, fetched at _process
 
     def _release(self, slot: int) -> None:
         self._slot_req[slot] = None
@@ -292,12 +365,13 @@ class ContinuousBatcher:
         with self._lock:
             queued = len(self._queue)
         if queued:
-            for slot in self._free_slots():
-                with self._lock:
-                    if not self._queue:
-                        break
-                    req = self._queue.popleft()
-                self._admit(slot, req)
+            free = self._free_slots()
+            take: list[_Request] = []
+            with self._lock:
+                while self._queue and len(take) < len(free):
+                    take.append(self._queue.popleft())
+            if take:
+                self._admit_many(free[: len(take)], take)
 
         live = [i for i, r in enumerate(self._slot_req) if r is not None]
         nxt = None
@@ -346,7 +420,8 @@ class ContinuousBatcher:
             if req.first_dev is not None:
                 # the admission's prefill frame rides this fetch (it always
                 # emits; solo decode emits it too — inference.py:721)
-                first_np = np.asarray(req.first_dev)[:1]  # (1, 1+K)
+                arr, g = req.first_dev  # (G, 1+K) group frames, row g
+                first_np = np.asarray(arr)[g:g + 1]
                 req.first_dev = None
                 fs = np.concatenate([first_np, fs], axis=0)
             n_tokens += fs.shape[0]

@@ -141,6 +141,35 @@ def test_per_request_sampling_params(engine):
     np.testing.assert_array_equal(codes[r2], s2)
 
 
+def test_mixed_bucket_group_admission(tiny_tokenizer):
+    """Two requests admitted in the SAME round whose prompts land in
+    different buckets: the group prefills at the larger shared bucket, and
+    exact padding invariance keeps both bit-identical to their solo runs
+    (which pad to their own buckets)."""
+    params = dual_ar.init_params(
+        jax.random.PRNGKey(0), TINY_CONFIG, dtype=jnp.float32
+    )
+    ecfg = EngineConfig(prompt_buckets=(16, 32), decode_chunk=8,
+                        first_chunk=4)
+    eng = GenerationEngine(
+        params, TINY_CONFIG, tiny_tokenizer, engine_cfg=ecfg, seed=0
+    )
+    short_text = "hi"
+    long_text = "bucket two here"  # 29 prompt tokens -> bucket 32; short=16
+    solo_s = _solo_codes(eng, short_text, seed=41, max_new=12)
+    solo_l = _solo_codes(eng, long_text, seed=42, max_new=12)
+
+    srv = ContinuousBatcher(eng, slots=2)
+    r_s = srv.submit(short_text, max_new_tokens=12, seed=41,
+                     temperature=0.7, top_p=0.8, repetition_penalty=1.1)
+    r_l = srv.submit(long_text, max_new_tokens=12, seed=42,
+                     temperature=0.7, top_p=0.8, repetition_penalty=1.1)
+    codes, done = _collect(srv.run())
+    assert {r_s, r_l} <= done
+    np.testing.assert_array_equal(codes[r_s], solo_s)
+    np.testing.assert_array_equal(codes[r_l], solo_l)
+
+
 def test_serve_with_voice_prefix(engine):
     """Admission forks the engine's cached voice-profile prefix: the served
     codes match a solo run conditioned on the same references."""
