@@ -739,6 +739,9 @@ class GenerationEngine:
                     self._next_key(), t_g, p_g, r_g,
                     cfg=cfg, ids=self.ids, top_k=ecfg.sample_top_k,
                     approx=ecfg.approx_top_k, kv_bucket=kv_pre,
+                    # first-frame path matches prefill_chunk (solo
+                    # streaming) and serve admission on TPU
+                    fast_kernel=self._fast_kernel,
                 )
                 group_states.append(state_g)
                 group_firsts.append(first_g)

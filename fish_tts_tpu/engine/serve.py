@@ -88,13 +88,13 @@ class _Request:
 @partial(
     jax.jit,
     static_argnames=("cfg", "ids", "top_k", "approx", "kv_pre", "rows",
-                     "scratch_seq", "window"),
+                     "scratch_seq", "window", "fast_kernel"),
     donate_argnames=("state",),
 )
 def _admit_group(
     params, rope, state, prefix_kv, prefix_pos, padded, lengths, keys,
     t, p, r, slots, *, cfg, ids, top_k, approx, kv_pre: int, rows: int,
-    scratch_seq: int, window: int,
+    scratch_seq: int, window: int, fast_kernel: bool = False,
 ):
     """ONE device program admitting a whole group of requests.
 
@@ -138,6 +138,9 @@ def _admit_group(
     adm, first = decode_mod.prefill(
         params, rope, adm, padded, lengths, keys, t, p, r,
         cfg=cfg, ids=ids, top_k=top_k, approx=approx, kv_bucket=kv_pre,
+        # same first-frame path as the solo prefill_chunk (TTFA) route, so
+        # served first frames stay consistent with solo streaming on TPU
+        fast_kernel=fast_kernel,
     )
     k = state["kv"]["k"].at[:, slots, :, :rows].set(
         adm["kv"]["k"][:, :, :, :rows], mode="drop"
@@ -336,6 +339,7 @@ class ContinuousBatcher:
             cfg=cfg, ids=eng.ids, top_k=ecfg.sample_top_k,
             approx=ecfg.approx_top_k, kv_pre=kv_pre, rows=rows,
             scratch_seq=scratch_seq, window=ecfg.rep_penalty_window,
+            fast_kernel=eng._fast_kernel,
         )
         for g, (slot, req) in enumerate(zip(slot_ids, reqs)):
             self._slot_req[slot] = req
