@@ -28,8 +28,12 @@ Design (TPU-shaped):
   matter when it was admitted or who its co-tenants are (tested in
   tests/test_serve.py).
 - The decode chunk is dispatched over the full pool; per-slot EOS uses the
-  existing on-device ``done`` flags, and the host enforces per-request token
-  budgets by force-finishing slots.
+  existing on-device ``done`` flags.  Token budgets are enforced by
+  *predictive retirement*: the host knows ``max_new`` up front, so a slot
+  whose dispatched frames will exhaust it is freed at dispatch time — its
+  successor admits the next round (device-ordered after the final chunk)
+  and budget-bound turnover wastes zero decode work.  Only device-side EOS
+  pays the one speculative in-flight chunk.
 
 Events are streaming-semantics (each emitted frame including the EOS frame,
 like the reference's streaming path, inference.py:271-274); callers that
@@ -79,6 +83,13 @@ class _Request:
     key: jax.Array  # slot base key (fold_in(request_key, 0))
     produced: int = 0
     prompt_len: int = 0  # full context length (prefix + prompt)
+    # frames that will exist once every in-flight chunk lands (prefill frame
+    # counts 1; each dispatched chunk adds ``chunk``): the scheduler's
+    # budget lookahead — when it reaches max_new at dispatch, the slot is
+    # retired immediately instead of waiting a round for the fetch to
+    # confirm what the host already knows (predictive retirement)
+    dispatched: int = 1
+    finished: bool = False  # done event emitted; drop any late frames
     # prefill-sampled first frame, still on device: fetched together with
     # the request's first decode chunk so admission never blocks on a
     # device->host round trip of its own
@@ -198,6 +209,11 @@ class ContinuousBatcher:
         # pool state: free slots are done=True so decode holds them
         state = engine._init_state(slots)
         self._state = _mark_done(state, jnp.ones((slots,), bool))
+        # slots retired at dispatch time (predictive budget retirement):
+        # the device state is still mid-decode on the request's final chunk
+        # but the slot is admit-eligible next round; if admission does not
+        # take it, it is force-finished so it stops burning decode work
+        self._dirty: set[int] = set()
         # per-slot sampling params + base keys, mirrored on host
         self._t = np.full((slots, 1), 0.7, np.float32)
         self._p = np.full((slots, 1), 0.8, np.float32)
@@ -349,22 +365,20 @@ class ContinuousBatcher:
             self._keys[slot] = req.key
             req.first_dev = (first, g)  # (G, 1+K) row g, fetched at _process
 
-    def _release(self, slot: int) -> None:
-        self._slot_req[slot] = None
-        self._state = _mark_done(
-            self._state,
-            jnp.zeros((self.slots,), bool).at[slot].set(True),
-        )
-
     def step(self) -> list[Event]:
         """One scheduler round: admit queued requests into free slots,
         dispatch the next decode chunk for the pool, then process the
         PREVIOUS chunk's (already in-flight) outputs.  The dispatch-before-
-        fetch order keeps the device busy across the host's fetch latency;
-        the cost is that a slot released this round decodes one speculative
-        chunk before its successor admits (those frames are dropped via the
-        snapshot mapping, exactly like the engine's speculative post-EOS
-        chunk)."""
+        fetch order keeps the device busy across the host's fetch latency.
+
+        Budget-bound turnover is gapless: the host knows ``max_new`` ahead
+        of time, so when the chunk being dispatched will exhaust a
+        request's budget the slot is retired *at dispatch* — its successor
+        admits in the very next round, device-ordered after the final chunk
+        (one program stream), with zero wasted speculative decode.  Only
+        device-side EOS (unknowable ahead) still costs the one in-flight
+        speculative chunk, whose frames are dropped via the snapshot
+        mapping exactly like the engine's speculative post-EOS chunk."""
         events: list[Event] = []
         with self._lock:
             queued = len(self._queue)
@@ -375,7 +389,17 @@ class ContinuousBatcher:
                 while self._queue and len(take) < len(free):
                     take.append(self._queue.popleft())
             if take:
-                self._admit_many(free[: len(take)], take)
+                taken = free[: len(take)]
+                self._admit_many(taken, take)
+                self._dirty -= set(taken)
+        if self._dirty:
+            # retired slots no successor claimed: force-finish so they stop
+            # decoding past their request's budget (ordered after the
+            # in-flight final chunk, which still lands intact)
+            mask = np.zeros((self.slots,), bool)
+            mask[list(self._dirty)] = True
+            self._state = _mark_done(self._state, jnp.asarray(mask))
+            self._dirty.clear()
 
         live = [i for i, r in enumerate(self._slot_req) if r is not None]
         nxt = None
@@ -399,6 +423,12 @@ class ContinuousBatcher:
                 kv_bucket=kv_b, fast_kernel=eng._fast_kernel,
             )
             nxt = (frames, emitted, dict(enumerate(self._slot_req)))
+            for i in live:  # predictive retirement (after snapshot)
+                req = self._slot_req[i]
+                req.dispatched += self.chunk
+                if req.dispatched >= req.max_new:
+                    self._slot_req[i] = None
+                    self._dirty.add(i)
 
         if self._pending is not None:
             events += self._process(*self._pending)
@@ -417,8 +447,9 @@ class ContinuousBatcher:
         any_budget_done = False
         n_tokens = 0
         for slot, req in snapshot.items():
-            if req is None or self._slot_req[slot] is not req:
-                continue  # slot was free, or released before this chunk
+            if req is None or req.finished:
+                continue  # slot was free, or this is a speculative
+                # post-EOS chunk for an already-finished request
             em = emitted_np[slot]
             fs = frames_np[slot][em]  # (m, 1+K)
             if req.first_dev is not None:
@@ -443,10 +474,15 @@ class ContinuousBatcher:
                           True, req.produced)
                 )
             if done:
-                self._slot_req[slot] = None
-                if not eos:  # device flag not set — force it
-                    budget_done = budget_done.at[slot].set(True)
-                    any_budget_done = True
+                req.finished = True
+                if self._slot_req[slot] is req:
+                    # EOS before the predicted budget: free the slot now
+                    # (predictively retired slots are already free, and may
+                    # even host a successor by the time this chunk lands)
+                    self._slot_req[slot] = None
+                    if not eos:  # device flag not set — force it
+                        budget_done = budget_done.at[slot].set(True)
+                        any_budget_done = True
         eng.metrics.record_tokens(n_tokens)
         if any_budget_done:
             self._state = _mark_done(self._state, budget_done)
