@@ -687,6 +687,39 @@ class FishTTS:
         if in_flight is not None:
             yield self._force_pcm(*in_flight)
 
+    def serve(
+        self,
+        slots: int = 8,
+        chunk_tokens: int = 20,
+        min_first_chunk: int = 10,
+    ) -> "ServeSession":
+        """Continuous-batching audio serving: a session whose requests JOIN
+        the running decode pool (``engine.serve.ContinuousBatcher``) and
+        stream raw PCM per request through per-request stateful vocoder
+        states.  Green-field — the reference is strictly one-request-at-a-
+        time (batch hard-coded 1, inference.py:314, 676).
+
+        >>> sess = tts.serve(slots=8)
+        >>> rid = sess.submit("hello", max_new_tokens=400)
+        >>> for ev in sess.run():
+        ...     play(ev.request_id, ev.pcm)   # raw int16 PCM @ 44.1 kHz
+
+        Requests submitted while ``run()``/``step()`` is being driven are
+        admitted into free slots between decode chunks.  Voice references
+        are session-level: the profile set via :meth:`set_references` when a
+        request is *admitted* conditions it (per-request voices would need
+        per-slot prefixes — not supported).
+        """
+        if self._vocoder_params is None:
+            raise RuntimeError(
+                "Audio serving requires the vocoder; this instance loaded "
+                "without one (LM codes only)."
+            )
+        return ServeSession(
+            self, slots=slots, chunk_tokens=chunk_tokens,
+            min_first_chunk=min_first_chunk,
+        )
+
     # ------------------------------------------------------------------
     # Vocoder plumbing
     # ------------------------------------------------------------------
@@ -836,6 +869,107 @@ class FishTTS:
     @property
     def precision(self) -> str:
         return self._precision
+
+
+@dataclass
+class AudioEvent:
+    """One serving-round audio outcome for one request."""
+
+    request_id: int
+    pcm: bytes  # raw int16 PCM @ 44.1 kHz mono (b"" on a frame-less finish)
+    done: bool
+    frames_total: int  # cumulative LM frames emitted for this request
+
+
+class ServeSession:
+    """Audio-level continuous batching (created via :meth:`FishTTS.serve`).
+
+    LM side: one :class:`~fish_tts_tpu.engine.serve.ContinuousBatcher` slot
+    pool — requests admit into the running batched decode between chunks.
+    Audio side: one stateful vocoder stream per request (exact conv-tail /
+    windowed-KV carry, models/vocoder_stream.py), flushed at the same
+    thresholds as :meth:`FishTTS.synthesize_stream` (``min_first_chunk``
+    tokens for the first audio, ``chunk_tokens`` after).
+
+    Pipelining: ``step()`` first drives the batcher (which dispatches the
+    NEXT LM chunk before fetching the previous one), then dispatches every
+    flushing request's vocoder chunk, and only then forces PCM — the device
+    overlaps vocoder decodes with each other and with the in-flight LM
+    chunk.  Streamed PCM includes the EOS frame, matching
+    ``synthesize_stream`` (the reference streaming quirk, inference.py:
+    271-274).
+    """
+
+    def __init__(
+        self,
+        tts: FishTTS,
+        slots: int = 8,
+        chunk_tokens: int = 20,
+        min_first_chunk: int = 10,
+    ):
+        from fish_tts_tpu.engine.serve import ContinuousBatcher
+
+        self._tts = tts
+        self._srv = ContinuousBatcher(tts._engine, slots=slots)
+        self._chunk_tokens = chunk_tokens
+        self._min_first = min_first_chunk
+        # rid -> [vocoder stream, buffered code chunks, buffered frames,
+        #         first-flush pending]
+        self._streams: dict[int, list] = {}
+
+    def submit(
+        self,
+        text: str,
+        *,
+        max_new_tokens: int = 2048,
+        temperature: float = 0.7,
+        top_p: float = 0.8,
+        repetition_penalty: float = 1.1,
+        seed: int | None = None,
+    ) -> int:
+        """Queue a request; returns its id.  Thread-safe.  ``seed`` pins the
+        request's sampling to its solo-run stream (engine.serve.submit)."""
+        rid = self._srv.submit(
+            text, max_new_tokens=max_new_tokens, temperature=temperature,
+            top_p=top_p, repetition_penalty=repetition_penalty, seed=seed,
+        )
+        self._streams[rid] = [_StreamVocoder(self._tts), [], 0, True]
+        return rid
+
+    def step(self) -> list[AudioEvent]:
+        """One scheduler round; returns this round's audio events."""
+        flushing: list[tuple[int, tuple | None, bool, int]] = []
+        for ev in self._srv.step():
+            st = self._streams[ev.request_id]
+            if ev.codes.shape[1]:
+                st[1].append(ev.codes)
+                st[2] += ev.codes.shape[1]
+            threshold = self._min_first if st[3] else self._chunk_tokens
+            if st[1] and (ev.done or st[2] >= threshold):
+                codes = np.concatenate(st[1], axis=1)
+                st[1], st[2], st[3] = [], 0, False
+                audio, n = st[0].decode_async(codes)  # dispatch only
+                flushing.append(
+                    (ev.request_id, (audio, n, 0), ev.done, ev.frames_total)
+                )
+            elif ev.done:
+                flushing.append((ev.request_id, None, True, ev.frames_total))
+            if ev.done:
+                del self._streams[ev.request_id]
+        return [
+            AudioEvent(rid, self._tts._force_pcm(*h) if h else b"",
+                       done, total)
+            for rid, h, done, total in flushing
+        ]
+
+    @property
+    def busy(self) -> bool:
+        return self._srv.busy
+
+    def run(self) -> Iterator[AudioEvent]:
+        """Drive the session until the queue and all slots drain."""
+        while self.busy:
+            yield from self.step()
 
 
 def get_instance(

@@ -107,55 +107,50 @@ def serve_demo(args, synth, references) -> int:
     """Continuous batching: requests join the RUNNING decode pool.
 
     Each text is submitted only after the previous request has produced its
-    first frames, so later requests genuinely admit mid-flight (the thing
-    static ``--batch`` cannot do).  Audio is vocoder-decoded per request as
-    its chunks arrive.
+    first audio, so later requests genuinely admit mid-flight (the thing
+    static ``--batch`` cannot do).  Audio streams per request through the
+    public ``FishTTS.serve`` session (per-request stateful vocoder states).
     """
     import numpy as np
 
-    from fish_tts_tpu.engine.serve import ContinuousBatcher
     from fish_tts_tpu.utils.audio import to_wav_bytes
 
     if references is not None:
         synth.set_references(references)
-    srv = ContinuousBatcher(synth._engine, slots=args.slots)
+    sess = synth.serve(slots=args.slots)
     texts = list(args.serve)
     t0 = time.perf_counter()
-    rid_to_idx = {srv.submit(
+    rid_to_idx = {sess.submit(
         texts[0], temperature=args.temperature, top_p=args.top_p
     ): 0}
     started = {0: time.perf_counter()}
     next_idx = 1
-    chunks: dict[int, list[np.ndarray]] = {}
+    pcm: dict[int, bytearray] = {}
     first_at: dict[int, float] = {}
-    done_at: dict[int, float] = {}
-    while srv.busy or next_idx < len(texts):
-        for ev in srv.step():
+    while sess.busy or next_idx < len(texts):
+        for ev in sess.step():
             idx = rid_to_idx[ev.request_id]
-            if idx not in first_at and ev.codes.shape[1]:
+            if idx not in first_at and ev.pcm:
                 first_at[idx] = time.perf_counter() - started[idx]
-            chunks.setdefault(idx, []).append(ev.codes)
+            pcm.setdefault(idx, bytearray()).extend(ev.pcm)
             if ev.done:
-                done_at[idx] = time.perf_counter()
-                print(f"req {idx}: {ev.frames_total} frames, first frame "
+                print(f"req {idx}: {ev.frames_total} frames, first audio "
                       f"after {first_at.get(idx, 0) * 1e3:.0f} ms")
         # stagger: admit the next request once the previous one is running
         if next_idx < len(texts):
-            rid = srv.submit(texts[next_idx], temperature=args.temperature,
-                             top_p=args.top_p)
+            rid = sess.submit(texts[next_idx], temperature=args.temperature,
+                              top_p=args.top_p)
             rid_to_idx[rid] = next_idx
             started[next_idx] = time.perf_counter()
             next_idx += 1
     wall = time.perf_counter() - t0
     total_audio = 0.0
-    for idx, parts in sorted(chunks.items()):
-        codes = np.concatenate(parts, axis=1)
-        if codes.shape[1] > 1:
-            codes = codes[:, :-1]  # strip the EOS frame for final audio
-        wav = synth._decode_to_wav(codes)
+    for idx, buf in sorted(pcm.items()):
+        samples = np.frombuffer(bytes(buf), np.int16)
+        wav = to_wav_bytes(samples.astype(np.float32) / 32767.0)
         out = args.output.with_name(f"{args.output.stem}-{idx}.wav")
         out.write_bytes(wav)
-        audio_s = (len(wav) - 44) / (44100 * 2)
+        audio_s = samples.size / 44100
         total_audio += audio_s
         print(f"{out}: {audio_s:.1f}s audio")
     print(f"served {len(texts)} staggered requests over {args.slots} slots: "

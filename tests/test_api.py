@@ -516,3 +516,54 @@ def test_engine_config_passthrough():
     assert tts._engine.engine_cfg.decode_chunk == 8
     assert tts._engine.engine_cfg.sample_top_k == 0
     assert tts.synthesize("knobs", max_tokens=12)[:4] == b"RIFF"
+
+
+def test_serve_session_audio(tts):
+    """Top-level audio serving: staggered requests through FishTTS.serve
+    produce whole-frame PCM whose per-request sample count matches the LM
+    frames emitted, and the whole path is deterministic under pinned
+    seeds (two identical sessions -> byte-identical audio)."""
+    fl = tts._vocoder_cfg.frame_length
+
+    def drive():
+        sess = tts.serve(slots=2, chunk_tokens=8, min_first_chunk=4)
+        rids = [sess.submit(f"serve req {i}", max_new_tokens=m, seed=60 + i)
+                for i, m in enumerate((44, 39))]
+        events = []
+        for _ in range(2):  # get the pool genuinely mid-flight...
+            events += sess.step()
+        # ...then admit a third request into the running pool
+        rids.append(sess.submit("late audio joiner",
+                                max_new_tokens=11, seed=77))
+        events += list(sess.run())
+        pcm: dict[int, list[bytes]] = {}
+        frames_total: dict[int, int] = {}
+        done = set()
+        for ev in events:
+            pcm.setdefault(ev.request_id, []).append(ev.pcm)
+            frames_total[ev.request_id] = ev.frames_total
+            if ev.done:
+                done.add(ev.request_id)
+        assert set(rids) == done
+        return {r: b"".join(pcm[r]) for r in rids}, frames_total
+
+    audio, frames_total = drive()
+    for rid, buf in audio.items():
+        n_samples = len(buf) // 2
+        assert n_samples == frames_total[rid] * fl  # every frame vocoded
+        assert n_samples > 0
+    # deterministic end to end: same seeds -> byte-identical audio
+    audio2, _ = drive()
+    assert {r: a for r, a in audio.items()} == audio2
+
+
+def test_serve_requires_vocoder():
+    from fish_tts_tpu.synthesizer import FishTTS
+    from fish_tts_tpu.testing import make_tiny_bundle
+
+    bundle = make_tiny_bundle()
+    tts = FishTTS(precision="fp32", warmup=False,
+                  _testing_bundle=(bundle[0], bundle[1], bundle[2],
+                                   None, None))
+    with pytest.raises(RuntimeError, match="vocoder"):
+        tts.serve()
