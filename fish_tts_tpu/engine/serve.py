@@ -70,6 +70,7 @@ class Event:
     codes: np.ndarray  # (num_codebooks, m) new vocoder rows this round
     done: bool
     frames_total: int  # cumulative emitted frames for this request
+    slot: int = -1  # pool slot that decoded this chunk (stable per request)
 
 
 @dataclass
@@ -467,11 +468,11 @@ class ContinuousBatcher:
             done = (not bool(em[-1])) or eos or req.produced >= req.max_new
             if fs.shape[0]:
                 codes = np.maximum(fs[:, 1:], 0).T.astype(np.int64)
-                events.append(Event(req.id, codes, done, req.produced))
+                events.append(Event(req.id, codes, done, req.produced, slot))
             elif done:
                 events.append(
                     Event(req.id, np.zeros((cfg.num_codebooks, 0), np.int64),
-                          True, req.produced)
+                          True, req.produced, slot)
                 )
             if done:
                 req.finished = True

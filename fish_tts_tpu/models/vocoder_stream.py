@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from fish_tts_tpu.config import VocoderConfig, VocoderTransformerConfig
-from fish_tts_tpu.ops.attention import attention, window_causal_bias
+from fish_tts_tpu.ops.attention import attention
 from fish_tts_tpu.ops.conv import conv1d, conv_transpose1d
 from fish_tts_tpu.ops.norms import layer_norm, silu, snake, vocoder_rms_norm
 from fish_tts_tpu.ops.rope import apply_rotary_emb, precompute_freqs_cis
@@ -109,15 +109,17 @@ def init_wlt_state(
     p: Params, tcfg: VocoderTransformerConfig, window: int, batch: int, dtype
 ) -> Params:
     """Rolling KV window: last ``window`` positions per layer (post-RoPE
-    keys), with -1-position slots marked invalid."""
+    keys), with -1-position slots marked invalid.  ``pos``/``off`` are
+    per-stream so a slot pool can hold streams at different ages
+    (ServeSession's slot-aligned vocoder)."""
     L = p["layers"]["wqkv"].shape[0]
     Hkv, Dh = tcfg.n_local_heads, tcfg.head_dim
     shape = (L, batch, Hkv, window, Dh)
     return {
         "k": jnp.zeros(shape, dtype),
         "v": jnp.zeros(shape, dtype),
-        "pos": jnp.full((window,), -1, jnp.int32),
-        "off": jnp.zeros((), jnp.int32),
+        "pos": jnp.full((batch, window), -1, jnp.int32),
+        "off": jnp.zeros((batch,), jnp.int32),
     }
 
 
@@ -132,13 +134,15 @@ def stream_wlt(
     if "input_proj" in p:
         x = x @ p["input_proj"]["w"] + p["input_proj"]["b"]
     B, T, _ = x.shape
-    W = st["pos"].shape[0]
-    qpos = st["off"] + jnp.arange(T, dtype=jnp.int32)
+    W = st["pos"].shape[-1]
+    # per-stream absolute positions: (B, T) queries over (B, W+T) keys
+    qpos = st["off"][:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
     table = precompute_freqs_cis(tcfg.block_size, tcfg.head_dim, tcfg.rope_base)
-    freqs = table[qpos]  # (T, Dh/2, 2)
-    kpos = jnp.concatenate([st["pos"], qpos])  # (W + T,)
-    bias = window_causal_bias(qpos, kpos, window)
-    bias = jnp.where(kpos[None, None, None, :] >= 0, bias, _NEG_INF)
+    freqs = table[qpos]  # (B, T, Dh/2, 2)
+    kpos = jnp.concatenate([st["pos"], qpos], axis=1)  # (B, W + T)
+    diff = qpos[:, :, None] - kpos[:, None, :]
+    allowed = (diff >= 0) & (diff < window) & (kpos[:, None, :] >= 0)
+    bias = jnp.where(allowed, 0.0, _NEG_INF)[:, None].astype(jnp.float32)
 
     H, Hkv, Dh = tcfg.n_head, tcfg.n_local_heads, tcfg.head_dim
     kv_size = Hkv * Dh
@@ -173,7 +177,7 @@ def stream_wlt(
     new_st = {
         "k": new_k,
         "v": new_v,
-        "pos": kpos[-W:],
+        "pos": kpos[:, -W:],
         "off": st["off"] + T,
     }
     return new_st, jnp.swapaxes(x, 1, 2)
@@ -301,3 +305,80 @@ def decode_chunk(
         "final": fin_t,
     }
     return new_state, audio
+
+
+# ---------------------------------------------------------------------------
+# Slot-pool decode (continuous-batching serving)
+# ---------------------------------------------------------------------------
+#
+# ServeSession keeps ONE batched stream state aligned with its LM slot pool
+# and decodes every flushing slot's chunk in ONE program per scheduler round
+# (B=1-per-request dispatch + fetch cost ~42 ms/chunk on the tunneled
+# platform vs ~8 ms of actual compute; batched B=16 runs the same 16 chunks
+# in ~135 ms total).  Slots join and leave mid-flight:
+#
+# - ``reset``  (B,) bool: slot restarts its stream this chunk (a freshly
+#   admitted request's first flush) — state zeroed, positions restarted.
+# - ``active`` (B,) bool: slot advances; inactive slots' state passes
+#   through unchanged and their audio lanes are garbage to be ignored.
+#
+# Ragged final chunks ride the same fixed-width program: the decode path is
+# causal, so a chunk zero-padded from m to T frames emits the SAME first
+# m*frame_length samples as an exact-m decode — the host simply truncates,
+# and the slot's (now poisoned) state is reset by the next admission.
+
+
+def _where_b(mask: jnp.ndarray, a, b, bdim: int):
+    """Per-slot select with the batch on axis ``bdim``."""
+    shape = [1] * a.ndim
+    shape[bdim] = mask.shape[0]
+    return jnp.where(mask.reshape(shape), a, b)
+
+
+def _pool_merge(state, other, take_other: jnp.ndarray):
+    """Per-slot state select (conv tails batch axis 0, WLT k/v axis 1)."""
+    post_s, post_o = state["post"], other["post"]
+    post = {
+        "k": _where_b(take_other, post_o["k"], post_s["k"], 1),
+        "v": _where_b(take_other, post_o["v"], post_s["v"], 1),
+        "pos": _where_b(take_other, post_o["pos"], post_s["pos"], 0),
+        "off": jnp.where(take_other, post_o["off"], post_s["off"]),
+    }
+    rest_s = {k: v for k, v in state.items() if k != "post"}
+    rest_o = {k: v for k, v in other.items() if k != "post"}
+    rest = jax.tree.map(
+        lambda s, o: _where_b(take_other, o, s, 0), rest_s, rest_o
+    )
+    return {"post": post, **rest}
+
+
+def pool_reset(state: Params, reset: jnp.ndarray) -> Params:
+    """Restart the streams of the masked slots (fresh init values)."""
+    post = state["post"]
+    fresh = {
+        "post": {
+            "k": jnp.zeros_like(post["k"]),
+            "v": jnp.zeros_like(post["v"]),
+            "pos": jnp.full_like(post["pos"], -1),
+            "off": jnp.zeros_like(post["off"]),
+        },
+        **jax.tree.map(
+            jnp.zeros_like,
+            {k: v for k, v in state.items() if k != "post"},
+        ),
+    }
+    return _pool_merge(state, fresh, reset)
+
+
+def decode_chunk_pool(
+    params: Params, cfg: VocoderConfig, state: Params,
+    indices: jnp.ndarray,  # (B, 1+R, T) — garbage rows OK where ~active
+    active: jnp.ndarray,   # (B,) bool: advance this slot's stream
+    reset: jnp.ndarray,    # (B,) bool: restart the stream first
+):
+    """One slot-pool streaming decode round.  Active slots' audio is the
+    exact continuation of their stream; inactive slots keep their state and
+    emit garbage lanes (host ignores them)."""
+    base = pool_reset(state, reset)
+    new_state, audio = decode_chunk(params, cfg, base, indices)
+    return _pool_merge(base, new_state, active), audio

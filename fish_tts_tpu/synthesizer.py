@@ -687,17 +687,13 @@ class FishTTS:
         if in_flight is not None:
             yield self._force_pcm(*in_flight)
 
-    def serve(
-        self,
-        slots: int = 8,
-        chunk_tokens: int = 20,
-        min_first_chunk: int = 10,
-    ) -> "ServeSession":
+    def serve(self, slots: int = 8) -> "ServeSession":
         """Continuous-batching audio serving: a session whose requests JOIN
         the running decode pool (``engine.serve.ContinuousBatcher``) and
-        stream raw PCM per request through per-request stateful vocoder
-        states.  Green-field — the reference is strictly one-request-at-a-
-        time (batch hard-coded 1, inference.py:314, 676).
+        stream raw PCM per request through ONE pool-wide batched stateful
+        vocoder (one device program + one PCM fetch per round — see
+        :class:`ServeSession`).  Green-field — the reference is strictly
+        one-request-at-a-time (batch hard-coded 1, inference.py:314, 676).
 
         >>> sess = tts.serve(slots=8)
         >>> rid = sess.submit("hello", max_new_tokens=400)
@@ -715,10 +711,7 @@ class FishTTS:
                 "Audio serving requires the vocoder; this instance loaded "
                 "without one (LM codes only)."
             )
-        return ServeSession(
-            self, slots=slots, chunk_tokens=chunk_tokens,
-            min_first_chunk=min_first_chunk,
-        )
+        return ServeSession(self, slots=slots)
 
     # ------------------------------------------------------------------
     # Vocoder plumbing
@@ -771,6 +764,27 @@ class FishTTS:
                 donate_argnums=(1,),
             )
         return self._vocoder_jit_cache["stream_decode"]
+
+    def _pool_vocoder_fns(self, batch: int):
+        """Jitted (init, decode) pair for the slot-pool streaming vocoder
+        (ServeSession): one batched state aligned with the LM slot pool."""
+        key = ("pool", batch)
+        if key not in self._vocoder_jit_cache:
+            import jax
+
+            from fish_tts_tpu.models import vocoder_stream as vs
+
+            cfg = self._vocoder_cfg
+            self._vocoder_jit_cache[key] = (
+                jax.jit(lambda p: vs.init_decode_state(p, cfg, batch=batch)),
+                jax.jit(
+                    lambda p, st, c, a, r: vs.decode_chunk_pool(
+                        p, cfg, st, c, a, r
+                    ),
+                    donate_argnums=(1,),
+                ),
+            )
+        return self._vocoder_jit_cache[key]
 
     def _decode_codes_async(self, codes: np.ndarray):
         """Dispatch vocoder decode without blocking.  Returns (device_audio,
@@ -881,41 +895,76 @@ class AudioEvent:
     frames_total: int  # cumulative LM frames emitted for this request
 
 
+class _SlotAudioStream:
+    """One request's audio stream within the pool vocoder."""
+
+    __slots__ = ("rid", "bufs", "buffered", "needs_reset", "lm_done",
+                 "frames_total")
+
+    def __init__(self, rid: int):
+        self.rid = rid
+        self.bufs: list[np.ndarray] = []  # FIFO of (K, m) code chunks
+        self.buffered = 0
+        self.needs_reset = True  # first flush restarts the slot's stream
+        self.lm_done = False
+        self.frames_total = 0
+
+    def take(self, m: int) -> np.ndarray:
+        """Pop the oldest ``m`` buffered frames."""
+        out, need = [], m
+        while need:
+            head = self.bufs[0]
+            if head.shape[1] <= need:
+                out.append(self.bufs.pop(0))
+                need -= head.shape[1]
+            else:
+                out.append(head[:, :need])
+                self.bufs[0] = head[:, need:]
+                need = 0
+        self.buffered -= m
+        return out[0] if len(out) == 1 else np.concatenate(out, axis=1)
+
+
 class ServeSession:
     """Audio-level continuous batching (created via :meth:`FishTTS.serve`).
 
     LM side: one :class:`~fish_tts_tpu.engine.serve.ContinuousBatcher` slot
     pool — requests admit into the running batched decode between chunks.
-    Audio side: one stateful vocoder stream per request (exact conv-tail /
-    windowed-KV carry, models/vocoder_stream.py), flushed at the same
-    thresholds as :meth:`FishTTS.synthesize_stream` (``min_first_chunk``
-    tokens for the first audio, ``chunk_tokens`` after).
+    Audio side: ONE pool-wide batched stateful vocoder
+    (``vocoder_stream.decode_chunk_pool``) whose per-slot streams are
+    aligned with the LM slots — every flushing request's chunk decodes in a
+    single device program per round and all PCM is fetched in a single
+    device->host transfer.  Per-request B=1 vocoder dispatches cost ~42 ms
+    each on a tunneled platform (~8 ms of it compute); at 16 slots that is
+    ~670 ms/round of round-trips — the pool program does the same work in
+    one ~135 ms dispatch, and its audio is forced one round late so the
+    fetch overlaps device work.
 
-    Pipelining: ``step()`` first drives the batcher (which dispatches the
-    NEXT LM chunk before fetching the previous one), then dispatches every
-    flushing request's vocoder chunk, and only then forces PCM — the device
-    overlaps vocoder decodes with each other and with the in-flight LM
-    chunk.  Streamed PCM includes the EOS frame, matching
-    ``synthesize_stream`` (the reference streaming quirk, inference.py:
-    271-274).
+    Flushes are fixed-width (the engine's ``decode_chunk`` frames): each
+    live stream emits exactly that many frames per round in steady state
+    (PCM chunks of ``decode_chunk * frame_length`` samples); a request's
+    ragged final chunk is zero-padded into the same program — the decode
+    path is causal, so the emitted prefix is exact and the host truncates.
+    Streamed PCM includes the EOS frame, matching ``synthesize_stream``
+    (the reference streaming quirk, inference.py:271-274).
     """
 
-    def __init__(
-        self,
-        tts: FishTTS,
-        slots: int = 8,
-        chunk_tokens: int = 20,
-        min_first_chunk: int = 10,
-    ):
+    def __init__(self, tts: FishTTS, slots: int = 8):
         from fish_tts_tpu.engine.serve import ContinuousBatcher
 
         self._tts = tts
         self._srv = ContinuousBatcher(tts._engine, slots=slots)
-        self._chunk_tokens = chunk_tokens
-        self._min_first = min_first_chunk
-        # rid -> [vocoder stream, buffered code chunks, buffered frames,
-        #         first-flush pending]
-        self._streams: dict[int, list] = {}
+        self._slots = slots
+        self._n = self._srv.chunk  # pool flush width == LM chunk frames
+        init, self._decode = tts._pool_vocoder_fns(slots)
+        self._state = init(tts._vocoder_params)
+        self._streams: dict[int, _SlotAudioStream] = {}
+        # per-slot FIFO of audio streams: [0] is flushing, the rest wait
+        # (a successor admitted while its predecessor's tail drains)
+        self._slot_q: list[list[_SlotAudioStream]] = [[] for _ in range(slots)]
+        # one in-flight pool decode: (device_audio | None, emit list) —
+        # forced NEXT round so the PCM fetch overlaps device work
+        self._pending = None
 
     def submit(
         self,
@@ -929,42 +978,89 @@ class ServeSession:
     ) -> int:
         """Queue a request; returns its id.  Thread-safe.  ``seed`` pins the
         request's sampling to its solo-run stream (engine.serve.submit)."""
-        rid = self._srv.submit(
+        return self._srv.submit(
             text, max_new_tokens=max_new_tokens, temperature=temperature,
             top_p=top_p, repetition_penalty=repetition_penalty, seed=seed,
         )
-        self._streams[rid] = [_StreamVocoder(self._tts), [], 0, True]
-        return rid
 
     def step(self) -> list[AudioEvent]:
-        """One scheduler round; returns this round's audio events."""
-        flushing: list[tuple[int, tuple | None, bool, int]] = []
+        """One scheduler round; returns the previous round's audio events
+        (audio is forced one round late for fetch/compute overlap)."""
+        import jax.numpy as jnp
+
         for ev in self._srv.step():
-            st = self._streams[ev.request_id]
+            st = self._streams.get(ev.request_id)
+            if st is None:
+                st = _SlotAudioStream(ev.request_id)
+                self._streams[ev.request_id] = st
+                self._slot_q[ev.slot].append(st)
             if ev.codes.shape[1]:
-                st[1].append(ev.codes)
-                st[2] += ev.codes.shape[1]
-            threshold = self._min_first if st[3] else self._chunk_tokens
-            if st[1] and (ev.done or st[2] >= threshold):
-                codes = np.concatenate(st[1], axis=1)
-                st[1], st[2], st[3] = [], 0, False
-                audio, n = st[0].decode_async(codes)  # dispatch only
-                flushing.append(
-                    (ev.request_id, (audio, n, 0), ev.done, ev.frames_total)
-                )
-            elif ev.done:
-                flushing.append((ev.request_id, None, True, ev.frames_total))
-            if ev.done:
-                del self._streams[ev.request_id]
+                st.bufs.append(ev.codes)
+                st.buffered += ev.codes.shape[1]
+            st.lm_done |= ev.done
+            st.frames_total = ev.frames_total
+
+        n = self._n
+        codes = np.zeros((self._slots, self._tts._cfg.num_codebooks, n),
+                         np.int32)
+        active = np.zeros((self._slots,), bool)
+        reset = np.zeros((self._slots,), bool)
+        emits: list[tuple[int, _SlotAudioStream, int, bool]] = []
+        for s in range(self._slots):
+            q = self._slot_q[s]
+            if not q:
+                continue
+            st = q[0]
+            if st.lm_done and not st.buffered:  # frame-less finish
+                emits.append((s, st, 0, True))
+                q.pop(0)
+                del self._streams[st.rid]
+            elif st.buffered >= n or (st.lm_done and st.buffered):
+                m = min(n, st.buffered)
+                codes[s, :, :m] = st.take(m)
+                active[s] = True
+                reset[s] = st.needs_reset
+                st.needs_reset = False
+                done = st.lm_done and not st.buffered
+                emits.append((s, st, m, done))
+                if done:
+                    q.pop(0)
+                    del self._streams[st.rid]
+        audio = None
+        if active.any():
+            self._state, audio = self._decode(
+                self._tts._vocoder_params, self._state, jnp.asarray(codes),
+                jnp.asarray(active), jnp.asarray(reset),
+            )
+        nxt = (audio, emits) if (audio is not None or emits) else None
+        out = self._emit(*self._pending) if self._pending is not None else []
+        self._pending = nxt
+        return out
+
+    def _emit(self, audio, emits) -> list[AudioEvent]:
+        from fish_tts_tpu.utils.audio import to_pcm_bytes
+
+        fl = self._tts._vocoder_cfg.frame_length
+        arr = None
+        if audio is not None:
+            with self._tts._engine.metrics.span("vocoder"):
+                arr = np.asarray(audio, dtype=np.float32)  # ONE fetch
         return [
-            AudioEvent(rid, self._tts._force_pcm(*h) if h else b"",
-                       done, total)
-            for rid, h, done, total in flushing
+            AudioEvent(
+                st.rid,
+                to_pcm_bytes(arr[s, 0, : m * fl]) if m else b"",
+                done, st.frames_total,
+            )
+            for s, st, m, done in emits
         ]
 
     @property
     def busy(self) -> bool:
-        return self._srv.busy
+        return (
+            self._srv.busy
+            or self._pending is not None
+            or any(self._slot_q)
+        )
 
     def run(self) -> Iterator[AudioEvent]:
         """Drive the session until the queue and all slots drain."""

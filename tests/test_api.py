@@ -526,7 +526,7 @@ def test_serve_session_audio(tts):
     fl = tts._vocoder_cfg.frame_length
 
     def drive():
-        sess = tts.serve(slots=2, chunk_tokens=8, min_first_chunk=4)
+        sess = tts.serve(slots=2)
         rids = [sess.submit(f"serve req {i}", max_new_tokens=m, seed=60 + i)
                 for i, m in enumerate((44, 39))]
         events = []

@@ -298,3 +298,79 @@ def test_streaming_decode_batched_matches_per_stream(vparams):
             out1.append(np.asarray(audio))
         solo = np.concatenate(out1, axis=-1)
         np.testing.assert_allclose(batched[b], solo[0], rtol=1e-5, atol=1e-6)
+
+
+def test_streaming_decode_pool_joins_and_leaves(vparams):
+    """Slot-pool decode (decode_chunk_pool): streams join (reset), idle
+    (inactive), end on a ragged zero-padded tail, and get replaced — each
+    stream's emitted audio equals its solo B=1 stream decode, with the
+    padded tail truncated host-side (causality makes padding invisible)."""
+    import jax.numpy as jnp
+
+    from fish_tts_tpu.models import vocoder_stream as vs
+
+    params, cfg = vparams, TINY_VOCODER_CONFIG
+    fl = cfg.frame_length
+    N = 8  # pool chunk width
+    rng = np.random.RandomState(7)
+
+    def mk(T, seed):
+        c = rng.randint(0, 24, (1, cfg.num_codebooks, T)).astype(np.int32)
+        c[0, 0] = rng.randint(0, 48, T)
+        return c
+
+    A = mk(32, 0)   # slot 0, rounds 0-3, aligned
+    B = mk(13, 1)   # slot 1, joins round 1, ragged tail (13 = 8 + 5)
+    C = mk(8, 2)    # slot 2, round 0 only
+    D = mk(8, 3)    # slot 2 successor, resets at round 3
+
+    # schedule: per round, per slot -> (codes_chunk|None, reset)
+    rounds = [
+        [(A[:, :, 0:8], True), (None, False), (C, True)],
+        [(A[:, :, 8:16], False), (B[:, :, 0:8], True), (None, False)],
+        [(A[:, :, 16:24], False), (B[:, :, 8:13], False), (None, False)],
+        [(A[:, :, 24:32], False), (None, False), (D, True)],
+    ]
+
+    st = vs.init_decode_state(params, cfg, batch=3)
+    got: dict[str, list[np.ndarray]] = {}
+    names = [["A"] * 4, [None, "B", "B", None], ["C", None, None, "D"]]
+    for r, row in enumerate(rounds):
+        codes = np.zeros((3, cfg.num_codebooks, N), np.int32)
+        active = np.zeros((3,), bool)
+        reset = np.zeros((3,), bool)
+        m = [0] * 3
+        for s, (chunk, rs) in enumerate(row):
+            if chunk is not None:
+                m[s] = chunk.shape[-1]
+                codes[s, :, : m[s]] = chunk[0]
+                active[s] = True
+                reset[s] = rs
+        st, audio = vs.decode_chunk_pool(
+            params, cfg, st, jnp.asarray(codes),
+            jnp.asarray(active), jnp.asarray(reset),
+        )
+        audio = np.asarray(audio)
+        for s in range(3):
+            if m[s]:
+                got.setdefault(names[s][r], []).append(
+                    audio[s: s + 1, :, : m[s] * fl]
+                )
+
+    for name, codes, splits in (
+        ("A", A, [8, 8, 8, 8]), ("B", B, [8, 5]), ("C", C, [8]),
+        ("D", D, [8]),
+    ):
+        st1 = vs.init_decode_state(params, cfg, batch=1)
+        solo = []
+        t0 = 0
+        for n in splits:
+            st1, audio = vs.decode_chunk(
+                params, cfg, st1, jnp.asarray(codes[:, :, t0:t0 + n])
+            )
+            solo.append(np.asarray(audio))
+            t0 += n
+        np.testing.assert_allclose(
+            np.concatenate(got[name], axis=-1),
+            np.concatenate(solo, axis=-1), rtol=1e-5, atol=1e-5,
+        )
