@@ -468,6 +468,11 @@ def _measure_user_path(args, cfg, vcfg, params, dtype, real_tts=None):
     except Exception as e:  # noqa: BLE001 — serving extras are best-effort
         print(f"# serve bench failed: {type(e).__name__}: {e}",
               file=sys.stderr)
+    try:
+        out.update(_measure_audio_serving(tts, tiny=args.tiny))
+    except Exception as e:  # noqa: BLE001 — serving extras are best-effort
+        print(f"# audio serve bench failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
     if real_tts is not None:
         # fidelity signal on real weights: non-silent, finite audio
         pcm = np.frombuffer(wav[44:], dtype=np.int16).astype(np.float32)
@@ -520,6 +525,46 @@ def _measure_serving(tts, tiny: bool) -> dict:
           f"({n_req} staggered requests x {budget} tok over {slots} slots)",
           file=sys.stderr)
     return {"serve_tok_per_sec": round(agg, 1), "serve_slots": slots}
+
+
+def _measure_audio_serving(tts, tiny: bool) -> dict:
+    """FULL audio serving: the same staggered workload as
+    ``_measure_serving`` but through ``FishTTS.serve`` — LM continuous
+    batching plus the slot-pool batched stateful vocoder, PCM out.  The
+    honest end-to-end serving number (codes AND audio on one chip)."""
+    slots = 4 if tiny else 16
+    n_req = 2 * slots
+    budget = 16 if tiny else 200
+    sess = tts.serve(slots=slots)
+    for _ in range(2):  # compile admission/pool-decode/pool-vocoder shapes
+        sess.submit("warm up the pool", max_new_tokens=4 if tiny else 24)
+    for _ in sess.run():
+        pass
+
+    t0 = time.perf_counter()
+    pending = n_req
+    frames = 0
+    pcm_bytes = 0
+    for _ in range(slots):
+        sess.submit("a serving benchmark request", max_new_tokens=budget)
+        pending -= 1
+    while sess.busy or pending:
+        for ev in sess.step():
+            pcm_bytes += len(ev.pcm)
+            if ev.done:
+                frames += ev.frames_total
+                if pending:
+                    sess.submit("a serving benchmark request",
+                                max_new_tokens=budget)
+                    pending -= 1
+    wall = time.perf_counter() - t0
+    agg = frames / wall
+    x_rt = pcm_bytes / 2 / tts.sample_rate / wall
+    print(f"# audio serving: {agg:.0f} tok/s aggregate, x{x_rt:.1f} realtime "
+          f"({n_req} staggered requests x {budget} tok over {slots} slots, "
+          f"PCM out)", file=sys.stderr)
+    return {"serve_audio_tok_per_sec": round(agg, 1),
+            "serve_audio_x_realtime": round(x_rt, 1)}
 
 
 if __name__ == "__main__":
