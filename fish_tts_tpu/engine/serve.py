@@ -215,12 +215,15 @@ class ContinuousBatcher:
         # but the slot is admit-eligible next round; if admission does not
         # take it, it is force-finished so it stops burning decode work
         self._dirty: set[int] = set()
-        # per-slot sampling params + base keys, mirrored on host
+        # per-slot sampling params + base keys, mirrored on host; the
+        # device copies are cached and rebuilt only on admission (they are
+        # otherwise re-uploaded every ~130 ms decode round for nothing)
         self._t = np.full((slots, 1), 0.7, np.float32)
         self._p = np.full((slots, 1), 0.8, np.float32)
         self._r = np.full((slots, 1), 1.1, np.float32)
         base = jax.random.PRNGKey(0)
         self._keys = [jax.random.fold_in(base, i) for i in range(slots)]
+        self._dev_cache: tuple | None = None
         # one in-flight decode chunk: (frames_dev, emitted_dev, snapshot of
         # slot->request at dispatch time).  Chunk k+1 is dispatched before
         # chunk k's outputs are fetched, so the device never idles on the
@@ -365,6 +368,7 @@ class ContinuousBatcher:
             self._r[slot, 0] = req.repetition_penalty
             self._keys[slot] = req.key
             req.first_dev = (first, g)  # (G, 1+K) row g, fetched at _process
+        self._dev_cache = None  # per-slot params changed
 
     def step(self) -> list[Event]:
         """One scheduler round: admit queued requests into free slots,
@@ -414,11 +418,15 @@ class ContinuousBatcher:
                 for i in live
             ) + self.chunk  # +1 extra chunk: results land one round late
             kv_b = _kv_bucket(need, ecfg.kv_bucket_step, cfg.max_seq_len)
-            keys = jnp.stack(self._keys)
+            if self._dev_cache is None:
+                self._dev_cache = (
+                    jnp.stack(self._keys), jnp.asarray(self._t),
+                    jnp.asarray(self._p), jnp.asarray(self._r),
+                )
+            keys, t_dev, p_dev, r_dev = self._dev_cache
             self._state, frames, emitted = decode_mod.decode_chunk(
                 eng.params, eng.rope, self._state, keys,
-                jnp.asarray(self._t), jnp.asarray(self._p),
-                jnp.asarray(self._r),
+                t_dev, p_dev, r_dev,
                 cfg=cfg, ids=eng.ids, num_frames=self.chunk,
                 top_k=ecfg.sample_top_k, approx=ecfg.approx_top_k,
                 kv_bucket=kv_b, fast_kernel=eng._fast_kernel,
