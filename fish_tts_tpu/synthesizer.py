@@ -687,7 +687,7 @@ class FishTTS:
         if in_flight is not None:
             yield self._force_pcm(*in_flight)
 
-    def serve(self, slots: int = 8) -> "ServeSession":
+    def serve(self, slots: int = 8, vocoder_device=None) -> "ServeSession":
         """Continuous-batching audio serving: a session whose requests JOIN
         the running decode pool (``engine.serve.ContinuousBatcher``) and
         stream raw PCM per request through ONE pool-wide batched stateful
@@ -705,13 +705,18 @@ class FishTTS:
         are session-level: the profile set via :meth:`set_references` when a
         request is *admitted* conditions it (per-request voices would need
         per-slot prefixes — not supported).
+
+        ``vocoder_device``: an optional second ``jax.Device`` for
+        disaggregated serving — the pool vocoder's params and state live
+        there, and its decode rounds run concurrently with the LM device's
+        instead of serializing behind them on one chip.
         """
         if self._vocoder_params is None:
             raise RuntimeError(
                 "Audio serving requires the vocoder; this instance loaded "
                 "without one (LM codes only)."
             )
-        return ServeSession(self, slots=slots)
+        return ServeSession(self, slots=slots, vocoder_device=vocoder_device)
 
     # ------------------------------------------------------------------
     # Vocoder plumbing
@@ -949,15 +954,27 @@ class ServeSession:
     (the reference streaming quirk, inference.py:271-274).
     """
 
-    def __init__(self, tts: FishTTS, slots: int = 8):
+    def __init__(self, tts: FishTTS, slots: int = 8, vocoder_device=None):
+        import jax
+
         from fish_tts_tpu.engine.serve import ContinuousBatcher
 
         self._tts = tts
         self._srv = ContinuousBatcher(tts._engine, slots=slots)
         self._slots = slots
         self._n = self._srv.chunk  # pool flush width == LM chunk frames
+        # Disaggregated serving: with a second device, the pool vocoder's
+        # params/state live there and its programs run concurrently with
+        # the LM chip's decode rounds instead of serializing behind them —
+        # audio serving then runs at the LM-only rate.  Committed inputs
+        # pin the jitted programs to that device.
+        self._vdev = vocoder_device
+        self._vparams = tts._vocoder_params
+        if vocoder_device is not None:
+            self._vparams = jax.device_put(tts._vocoder_params,
+                                           vocoder_device)
         init, self._decode = tts._pool_vocoder_fns(slots)
-        self._state = init(tts._vocoder_params)
+        self._state = init(self._vparams)
         self._streams: dict[int, _SlotAudioStream] = {}
         # per-slot FIFO of audio streams: [0] is flushing, the rest wait
         # (a successor admitted while its predecessor's tail drains)
@@ -1028,8 +1045,15 @@ class ServeSession:
                     del self._streams[st.rid]
         audio = None
         if active.any():
+            if self._vdev is not None:
+                import jax
+
+                codes, active, reset = (
+                    jax.device_put(a, self._vdev)
+                    for a in (codes, active, reset)
+                )
             self._state, audio = self._decode(
-                self._tts._vocoder_params, self._state, jnp.asarray(codes),
+                self._vparams, self._state, jnp.asarray(codes),
                 jnp.asarray(active), jnp.asarray(reset),
             )
         nxt = (audio, emits) if (audio is not None or emits) else None

@@ -567,3 +567,36 @@ def test_serve_requires_vocoder():
                                    None, None))
     with pytest.raises(RuntimeError, match="vocoder"):
         tts.serve()
+
+
+def test_serve_vocoder_device_disaggregation(tts):
+    """Disaggregated serving: the pool vocoder on a SECOND device produces
+    byte-identical audio to the single-device session (placement must not
+    change math), with vocoder state resident off the LM device."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+
+    def drive(vdev):
+        sess = tts.serve(slots=2, vocoder_device=vdev)
+        rids = [sess.submit(f"disagg {i}", max_new_tokens=m, seed=80 + i)
+                for i, m in enumerate((40, 23))]
+        pcm: dict[int, bytearray] = {}
+        done = set()
+        for ev in sess.run():
+            pcm.setdefault(ev.request_id, bytearray()).extend(ev.pcm)
+            if ev.done:
+                done.add(ev.request_id)
+        assert set(rids) == done
+        if vdev is not None:
+            assert all(
+                d == vdev
+                for leaf in jax.tree.leaves(sess._state)
+                for d in leaf.devices()
+            )
+        return {i: bytes(pcm[r]) for i, r in enumerate(rids)}
+
+    base = drive(None)
+    disagg = drive(jax.devices()[1])
+    assert base == disagg
