@@ -110,6 +110,51 @@ class _StreamVocoder:
         return audio, codes.shape[-1]
 
 
+class _PoolStreamBatch:
+    """Lockstep pool vocoder for ``synthesize_batch_stream``'s stateful
+    mode: every flushing stream's chunk decodes in ONE device program per
+    round and the PCM is fetched in one transfer (a per-stream B=1
+    dispatch+fetch costs ~42 ms on tunneled platforms, ~8 ms of it
+    compute).
+
+    Width invariant (holds because the batched LM generator keeps live
+    streams in lockstep — same frames per round, same flush thresholds):
+    all non-final flushes in a round share one width, and any narrower
+    flush is a stream's FINAL flush (it hit EOS mid-chunk or drained at
+    generator end).  Final flushes zero-pad to the round width — the
+    decode path is causal so the emitted prefix is exact, and the padded
+    state advance is past the stream's end, never read again (asserted).
+    """
+
+    def __init__(self, tts: "FishTTS", batch: int):
+        self._tts = tts
+        self._B = batch
+        init, self._dec = tts._pool_vocoder_fns(batch)
+        self._state = init(tts._vocoder_params)
+        self._finished: set[int] = set()
+
+    def decode_round(self, entries: list[tuple[int, np.ndarray]]):
+        """Decode [(stream, (K, m) codes), ...] in one program; returns the
+        device audio (forced by the caller after any further dispatches)."""
+        import jax.numpy as jnp
+
+        W = max(c.shape[1] for _, c in entries)
+        K = entries[0][1].shape[0]
+        codes = np.zeros((self._B, K, W), np.int32)
+        active = np.zeros((self._B,), bool)
+        for b, c in entries:
+            assert b not in self._finished, "flush after final (padded) flush"
+            if c.shape[1] < W:
+                self._finished.add(b)
+            codes[b, :, : c.shape[1]] = c
+            active[b] = True
+        self._state, audio = self._dec(
+            self._tts._vocoder_params, self._state, jnp.asarray(codes),
+            jnp.asarray(active), jnp.zeros((self._B,), bool),
+        )
+        return audio
+
+
 class _ContextBuffer:
     """Rolling code history for context-streamed vocoder decode.
 
@@ -531,14 +576,26 @@ class FishTTS:
         firsts = [True] * B
 
         if vocoder_mode == "stateful":
-            svs = [_StreamVocoder(self) for _ in range(B)]
+            pool = _PoolStreamBatch(self, B)
 
             def flush(b):
                 codes = np.concatenate(bufs[b], axis=1)
                 bufs[b] = []
                 totals[b] = 0
-                audio, n = svs[b].decode_async(codes)
-                return audio, n, 0
+                return b, codes  # deferred into the round's pool program
+
+            def emit(handles):
+                from fish_tts_tpu.utils.audio import to_pcm_bytes
+
+                entries = [h for h in handles if h is not None]
+                audio = pool.decode_round(entries)  # ONE program
+                with self._engine.metrics.span("vocoder"):
+                    arr = np.asarray(audio, dtype=np.float32)  # ONE fetch
+                fl = self._vocoder_cfg.frame_length
+                out: list[bytes | None] = [None] * B
+                for b, c in entries:
+                    out[b] = to_pcm_bytes(arr[b, 0, : c.shape[1] * fl])
+                return out
         else:
             ctxs = [_ContextBuffer(context_frames) for _ in range(B)]
 
@@ -549,12 +606,13 @@ class FishTTS:
                 audio, n = self._decode_codes_async(codes)
                 return audio, n - ctx, ctx
 
-        def emit(handles):
-            # every flushing stream's decode was dispatched before any is
-            # forced, so the device overlaps them
-            return [
-                self._force_pcm(*h) if h is not None else None for h in handles
-            ]
+            def emit(handles):
+                # every flushing stream's decode was dispatched before any
+                # is forced, so the device overlaps them
+                return [
+                    self._force_pcm(*h) if h is not None else None
+                    for h in handles
+                ]
 
         for chunk in self._engine.generate_batch_stream(
             texts,
