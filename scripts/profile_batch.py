@@ -195,6 +195,82 @@ def main() -> None:
     timeit("slow sampling alone (top_p thresh)",
            lambda i: np.asarray(sample_scan(logits, jax.random.PRNGKey(i))[1]))
 
+    # ---- kernel-path components -------------------------------------------
+    # Pallas outputs are post-processed INSIDE each scan body (slice /
+    # scatter) to break the kCustom call+stacking fusion (see the hazard
+    # note at ops/fast_decoder.py).
+    if not args.kernels:
+        return
+
+    from fish_tts_tpu.ops import fast_decoder, sampler_kernel, slow_stack
+
+    if slow_stack.supports(cfg, params, B) and slow_stack.fits(cfg, B, kv_b):
+        @jax.jit
+        def slow_kernel_scan(params, kv, pos0):
+            def body(carry, _):
+                kv, pos = carry
+                x = jnp.zeros((B, cfg.dim), jnp.float32)
+                hidden, new_k, new_v, klogits = slow_stack.slow_stack_step(
+                    params, cfg, rope["slow"], x, kv, pos, read_len=kv_b)
+                cdt = kv["k"].dtype
+                kc, vc = kv["k"], kv["v"]
+                nk, nv = new_k.astype(cdt), new_v.astype(cdt)
+                for b in range(B):
+                    start = (0, b, 0, pos[b], 0)
+                    kc = jax.lax.dynamic_update_slice(kc, nk[:, b:b+1], start)
+                    vc = jax.lax.dynamic_update_slice(vc, nv[:, b:b+1], start)
+                out = (hidden[:, 0, :8], klogits[:, :8])
+                return ({"k": kc, "v": vc}, pos + 1), out
+            (_, _), outs = jax.lax.scan(body, (kv, pos0), None, length=FRAMES)
+            return outs
+
+        def run_slow_kernel(i):
+            kv = dual_ar.init_kv_cache(cfg, B, cfg.max_seq_len,
+                                       params["norm"].dtype)
+            return np.asarray(slow_kernel_scan(params, kv, pos0)[0])
+
+        timeit("slow kernel + head + scatter", run_slow_kernel)
+
+    if fast_decoder.supports(cfg, params, B):
+        W = 16
+
+        @jax.jit
+        def fast_kernel_scan(params, key):
+            def body(c, k):
+                h = jnp.zeros((B, cfg.fast_dim), jnp.float32)
+                a0 = jnp.zeros((B,), jnp.int32)
+                prev_rows = jnp.zeros((B, cfg.num_codebooks - 1, W),
+                                      jnp.int32)
+                gumbel = jax.random.gumbel(
+                    k, (B, cfg.num_codebooks - 1,
+                        cfg.residual_codebook_size), jnp.float32)
+                codes, _ = fast_decoder.fast_decode_frame(
+                    params, cfg, rope["fast"], h, a0, prev_rows, gumbel,
+                    t_, p_, r_, window=W)
+                return c, codes[:, :8]
+            return jax.lax.scan(body, 0,
+                                jax.random.split(key, FRAMES))[1]
+
+        timeit("fast kernel (codebook loop)",
+               lambda i: np.asarray(fast_kernel_scan(
+                   params, jax.random.PRNGKey(i))))
+
+    if sampler_kernel.supports(B, -1):
+        @jax.jit
+        def sampler_kernel_scan(logits, key):
+            pc = jnp.zeros((B, 1 + cfg.num_codebooks), jnp.int32)
+            def body(c, k):
+                tok = sampler_kernel.sample_slow(
+                    jax.random.split(k, B), c, pc, t_, p_, r_,
+                    vocab=cfg.vocab_size)
+                return c + (tok[:, None] * 0).astype(c.dtype), tok
+            return jax.lax.scan(body, logits,
+                                jax.random.split(key, FRAMES))[1]
+
+        timeit("sampler kernel (fused top-p)",
+               lambda i: np.asarray(sampler_kernel_scan(
+                   logits, jax.random.PRNGKey(i))))
+
 
 if __name__ == "__main__":
     main()
