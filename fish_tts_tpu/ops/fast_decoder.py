@@ -18,9 +18,12 @@ core's 128 MiB), so the stack is loaded from HBM once per frame:
 Batched serving: the kernel handles B <= MAX_BATCH independent streams on
 the sublane axis.  The matmuls batch for free ((B, D) rows through the same
 VMEM-resident weights — the whole point: one weight load serves every
-stream); per-stream state is tiny (K=10-row KV tiles, one code per stream)
-and handled with static Python loops over B plus constant selection
-matmuls.  Per-stream sampling parameters ride in as (B, 1) columns.
+stream).  The codebook loop is statically unrolled (K is a config
+constant), so each layer's KV "cache" is a Python list of per-position
+(B, q_size) arrays and every attention op batches all streams — no
+per-stream loops anywhere (an earlier loop-carried variant issued B*L
+tiny-vector chains per step, which dominated the batched kernel's
+latency).  Per-stream sampling parameters ride in as (B, 1) columns.
 
 Mosaic-friendly layout choices (the TPU vector unit hates reshapes that
 split the 128-lane axis):
@@ -146,19 +149,11 @@ def _make_kernel(cfg: DualARConfig, window: int, batch: int):
                           preferred_element_type=jnp.float32)
             return out * ws[layer]
 
-        t_col = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)  # cache rows
-        t_iota = jax.lax.broadcasted_iota(jnp.int32, (K, H), 0)
         C = emb_q.shape[0]
         c_iota = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
         v_iota = jax.lax.broadcasted_iota(jnp.int32, (1, Vr), 1)
         r_col = jax.lax.broadcasted_iota(jnp.int32, (B * R, 1), 0)
         o_col = jax.lax.broadcasted_iota(jnp.int32, (1, R), 1)
-
-        def select_row(table, row_mask):
-            """Dynamic row pick without unaligned ref indexing: zero-mask and
-            sum over the (small) row axis."""
-            return jnp.sum(jnp.where(row_mask, table, 0.0),
-                           axis=0, keepdims=True)
 
         def embed(code):
             # one-hot matmul gather: dynamic int8 row loads are not provably
@@ -172,17 +167,23 @@ def _make_kernel(cfg: DualARConfig, window: int, batch: int):
                         axis=-1, keepdims=True)  # (B, 1)
             return row * s
 
-        def layer_stack(x, pos, kcs, vcs):
-            """One traced pass over all layers at codebook position ``pos``
-            (traced scalar) for all B streams.  Per-stream KV caches are
-            loop-carried (K, q_size) arrays updated with a where-mask — no
-            dynamically-indexed ref writes."""
-            pmask = t_col == pos  # (K, 1)
-            cos_q = select_row(cos_q_ref[...], pmask)
-            sin_q = select_row(sin_q_ref[...], pmask)
-            cos_k = select_row(cos_k_ref[...], pmask)
-            sin_k = select_row(sin_k_ref[...], pmask)
-            new_kcs, new_vcs = [], []
+        # Per-position K/V lists: the codebook loop is STATICALLY UNROLLED
+        # (K is a small config constant), so position ``pos`` is a Python
+        # int — the cache for each layer is just a list of (B, q_size)
+        # arrays, one per position filled so far.  Every attention op is
+        # batched over all B streams ((B, ...) shapes); the earlier
+        # per-(layer, stream) loop issued B*L tiny-vector chains per step
+        # (64 at B=16), which dominated the batched kernel's latency.
+        ks = [[] for _ in range(L)]
+        vs = [[] for _ in range(L)]
+
+        def layer_stack(x, pos):
+            """One pass over all layers at static codebook position
+            ``pos`` for all B streams; appends this position's K/V."""
+            cos_q = cos_q_ref[pos:pos + 1]  # static row: (1, q_size)
+            sin_q = sin_q_ref[pos:pos + 1]
+            cos_k = cos_k_ref[pos:pos + 1]
+            sin_k = sin_k_ref[pos:pos + 1]
             for layer in range(L):
                 h = _rms(x, attn_norm_ref[layer])
                 qkv = qdot(h, wqkv_q, wqkv_s, layer)  # (B, q+2kv)
@@ -195,45 +196,52 @@ def _make_kernel(cfg: DualARConfig, window: int, batch: int):
                                 preferred_element_type=jnp.float32)  # (B, q)
                 v_rep = jnp.dot(v, dup_ref[...],
                                 preferred_element_type=jnp.float32)
-                outs = []
-                for b in range(B):
-                    kc = jnp.where(pmask, k_rep[b:b + 1], kcs[layer][b])
-                    vc = jnp.where(pmask, v_rep[b:b + 1], vcs[layer][b])
-                    new_kcs.append(kc)
-                    new_vcs.append(vc)
-                    s = jnp.dot(kc * q[b:b + 1], seg_ref[...],
-                                preferred_element_type=jnp.float32) * scale
-                    s = jnp.where(t_iota <= pos, s, _NEG)  # (K, H)
-                    p = jax.nn.softmax(s, axis=0)
-                    p_exp = jnp.dot(p, seg_t_ref[...],
-                                    preferred_element_type=jnp.float32)
-                    outs.append(
-                        jnp.sum(p_exp * vc, axis=0, keepdims=True))
-                o = jnp.concatenate(outs, axis=0) if B > 1 else outs[0]
+                ks[layer].append(k_rep)
+                vs[layer].append(v_rep)
+                # attention over the pos+1 cached positions, all streams
+                # at once: per-head scores via the segment-mask matmul
+                s_ts = [
+                    jnp.dot(kt * q, seg_ref[...],
+                            preferred_element_type=jnp.float32) * scale
+                    for kt in ks[layer]
+                ]  # each (B, H)
+                m = s_ts[0]
+                for s_t in s_ts[1:]:
+                    m = jnp.maximum(m, s_t)
+                p_ts = [jnp.exp(s_t - m) for s_t in s_ts]
+                den = p_ts[0]
+                for p_t in p_ts[1:]:
+                    den = den + p_t
+                o = None
+                for p_t, v_t in zip(p_ts, vs[layer]):
+                    pe = jnp.dot(p_t, seg_t_ref[...],
+                                 preferred_element_type=jnp.float32)
+                    o = pe * v_t if o is None else o + pe * v_t
+                den_exp = jnp.dot(den, seg_t_ref[...],
+                                  preferred_element_type=jnp.float32)
+                o = o / den_exp  # (B, q_size)
                 x = x + qdot(o, wo_q, wo_s, layer)
                 f = _rms(x, ffn_norm_ref[layer])
                 gate = qdot(f, w1_q, w1_s, layer)
                 up = qdot(f, w3_q, w3_s, layer)
                 x = x + qdot(gate * jax.lax.logistic(gate) * up,
                              w2_q, w2_s, layer)
-            # regroup flat [layer][stream] lists into per-layer tuples
-            kcs = [new_kcs[l * B:(l + 1) * B] for l in range(L)]
-            vcs = [new_vcs[l * B:(l + 1) * B] for l in range(L)]
-            return x, kcs, vcs
+            return x
 
         h_rows = h_ref[...].astype(jnp.float32)   # (B, D)
         prev_all = prev_ref[...]                  # (B*R, W) int32
         gumbel_all = gumbel_ref[...]              # (B*R, Vr) f32
 
-        def body(cb, carry):
-            code, codes_acc, logits_acc, kv_flat = carry
-            kcs = [list(kv_flat[l * B:(l + 1) * B]) for l in range(L)]
-            vcs = [list(kv_flat[(L + l) * B:(L + l + 1) * B])
-                   for l in range(L)]
+        code = a0_ref[...]                        # (B, 1)
+        codes_acc = jnp.zeros((B, R), jnp.int32)
+        logits_acc = jnp.zeros((B * R, Vr), jnp.float32)
+        for cb in range(K):
             # pos 0 consumes the slow hidden, output discarded
             # (inference.py:121-122); later steps consume the last embedding
-            x_in = jnp.where(cb == 0, h_rows, embed(code))
-            x, kcs, vcs = layer_stack(x_in, cb, kcs, vcs)
+            x_in = h_rows if cb == 0 else embed(code)
+            x = layer_stack(x_in, cb)
+            if cb == 0:
+                continue
 
             hn = _rms(x, fast_norm_ref[...])
             logits = jnp.dot(
@@ -279,10 +287,8 @@ def _make_kernel(cfg: DualARConfig, window: int, batch: int):
             sampled = jnp.argmax(scaled + g, axis=-1)[:, None].astype(
                 jnp.int32)  # (B, 1)
 
-            live = cb >= 1
-            new_code = jnp.where(live, sampled, code)
-            codes_acc = jnp.where((o_col == cb - 1) & live, sampled,
-                                  codes_acc)
+            code = sampled
+            codes_acc = jnp.where(o_col == cb - 1, sampled, codes_acc)
             # scatter each stream's logits row into its group slot via the
             # transpose of the group matrix (exact expansion on the MXU)
             expand = jax.lax.dot_general(
@@ -290,21 +296,8 @@ def _make_kernel(cfg: DualARConfig, window: int, batch: int):
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (B*R, Vr)
-            logits_acc = jnp.where(rmask & live, expand, logits_acc)
-            flat = tuple(kcs[l][b] for l in range(L) for b in range(B)) + \
-                tuple(vcs[l][b] for l in range(L) for b in range(B))
-            return new_code, codes_acc, logits_acc, flat
+            logits_acc = jnp.where(rmask, expand, logits_acc)
 
-        kv0 = tuple(
-            jnp.zeros((K, q_size), jnp.float32) for _ in range(2 * L * B)
-        )
-        init = (
-            a0_ref[...],                          # (B, 1)
-            jnp.zeros((B, R), jnp.int32),
-            jnp.zeros((B * R, Vr), jnp.float32),
-            kv0,
-        )
-        _, codes_acc, logits_acc, _ = jax.lax.fori_loop(0, K, body, init)
         codes_ref[...] = codes_acc
         logits_out_ref[...] = logits_acc
 

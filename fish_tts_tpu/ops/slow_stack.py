@@ -128,8 +128,14 @@ def _make_kernel(cfg: DualARConfig, rb_size: int, n_rb: int,
              x_out_ref, new_k_ref, new_v_ref,
              x_scr, q_scr, k_scr, v_scr, m_scr, den_scr, acc_scr) = refs
 
-        step = pl.program_id(0)
-        rb = pl.program_id(1)
+        # FLAT grid: s < L*n_rb are (layer, cache-block) steps; s >= L*n_rb
+        # are head vocab tiles.  A 2-D (step, rb) grid would run n_rb
+        # iterations per head tile too — each an empty step that still
+        # re-fetches an (B, RB)-row cache block (~336 MB of wasted DMA per
+        # frame at B=16, R=512).
+        s = pl.program_id(0)
+        step = s // n_rb
+        rb = s % n_rb
 
         def qdot(xv, wq, ws):
             w = wq[0].astype(jnp.bfloat16)
@@ -261,10 +267,11 @@ def _make_kernel(cfg: DualARConfig, rb_size: int, n_rb: int,
             logits_ref[...] = lg * head_s[...]
 
         if with_head:
-            pl.when((step < L) & (rb == 0))(attn_begin)
-            pl.when(step < L)(attn_block)
-            pl.when((step < L) & (rb == n_rb - 1))(attn_end_mlp)
-            pl.when((step >= L) & (rb == 0))(head_body)
+            layer_phase = s < L * n_rb
+            pl.when(layer_phase & (rb == 0))(attn_begin)
+            pl.when(layer_phase)(attn_block)
+            pl.when(layer_phase & (rb == n_rb - 1))(attn_end_mlp)
+            pl.when(jnp.logical_not(layer_phase))(head_body)
         else:
             pl.when(rb == 0)(attn_begin)
             attn_block()
@@ -416,21 +423,28 @@ def slow_stack_step(
     smem_spec = pl.BlockSpec((1, B), memory_space=pltpu.SMEM)
     whole = pl.BlockSpec(memory_space=pltpu.VMEM)
 
-    def layer_idx(l):
+    def layer_idx(s):
         # clamp so head-phase steps keep revisiting the last layer's blocks
         # (revisited blocks are not re-copied)
+        l = s // n_rb
         return jnp.minimum(l, L - 1) if with_head else l
 
     def per_layer(shape):
         block = (1,) + tuple(shape[1:])
         nzero = len(shape) - 1
         return pl.BlockSpec(
-            block, lambda l, r: (layer_idx(l),) + (0,) * nzero,
+            block, lambda s: (layer_idx(s),) + (0,) * nzero,
             memory_space=pltpu.VMEM,
         )
 
+    def cache_rb(s):
+        # pin the cache block during head-phase steps so it is never
+        # re-fetched after the last layer
+        rb = s % n_rb
+        return jnp.where(s < L * n_rb, rb, 0) if with_head else rb
+
     cache_spec = pl.BlockSpec(
-        cache_block, lambda l, r: (layer_idx(l), 0, 0, r, 0),
+        cache_block, lambda s: (layer_idx(s), 0, 0, cache_rb(s), 0),
         memory_space=pltpu.VMEM,
     )
 
@@ -455,11 +469,11 @@ def slow_stack_step(
         jax.ShapeDtypeStruct((L, B, Hkv * Dh), jnp.float32),
     ]
     out_specs = [
-        pl.BlockSpec((B, cfg.dim), lambda l, r: (0, 0),
+        pl.BlockSpec((B, cfg.dim), lambda s: (0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, B, Hkv * Dh), lambda l, r: (layer_idx(l), 0, 0),
+        pl.BlockSpec((1, B, Hkv * Dh), lambda s: (layer_idx(s), 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, B, Hkv * Dh), lambda l, r: (layer_idx(l), 0, 0),
+        pl.BlockSpec((1, B, Hkv * Dh), lambda s: (layer_idx(s), 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     inputs = [
@@ -475,17 +489,21 @@ def slow_stack_step(
         lw["w3"]["q"], lw["w3"]["s"].astype(jnp.float32),
         lw["w2"]["q"], lw["w2"]["s"].astype(jnp.float32),
     ]
-    outer = L
+    outer = L * n_rb
     if with_head:
         Vp = head["q"].shape[0]
-        outer = L + n_tiles
+        outer = L * n_rb + n_tiles
+
+        def head_tile(s):
+            return jnp.maximum(s - L * n_rb, 0)
+
         in_specs += [
             whole,  # final norm (1, D)
             pl.BlockSpec((HEAD_TILE, cfg.dim),
-                         lambda l, r: (jnp.maximum(l - L, 0), 0),
+                         lambda s: (head_tile(s), 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, HEAD_TILE),
-                         lambda l, r: (0, jnp.maximum(l - L, 0)),
+                         lambda s: (0, head_tile(s)),
                          memory_space=pltpu.VMEM),
         ]
         inputs += [
@@ -495,7 +513,7 @@ def slow_stack_step(
         out_shape.append(jax.ShapeDtypeStruct((B, Vp), jnp.float32))
         out_specs.append(
             pl.BlockSpec((B, HEAD_TILE),
-                         lambda l, r: (0, jnp.maximum(l - L, 0)),
+                         lambda s: (0, head_tile(s)),
                          memory_space=pltpu.VMEM)
         )
 
@@ -504,7 +522,7 @@ def slow_stack_step(
     kernel = _make_kernel(cfg, RB, n_rb, with_head, B)
     outs = pl.pallas_call(
         kernel,
-        grid=(outer, n_rb),
+        grid=(outer,),
         out_shape=tuple(out_shape),
         in_specs=in_specs,
         out_specs=tuple(out_specs),
@@ -518,7 +536,7 @@ def slow_stack_step(
             pltpu.VMEM((B * G, kv_size), jnp.float32),  # running weighted sum
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
