@@ -218,12 +218,30 @@ def main() -> None:
         jax.random.PRNGKey(1), t, p, r, cfg=cfg, ids=ids, top_k=top_k,
         approx=args.approx, kv_bucket=0,
     )
-    state, frames, _ = decode_mod.decode_chunk(
-        params, rope, state, jax.random.PRNGKey(2), t, p, r,
-        cfg=cfg, ids=ids, num_frames=CHUNK, top_k=top_k, approx=args.approx,
-        kv_bucket=kv_b, fast_kernel=fast_k,
-    )
-    force(frames)
+    kernel_fallback = False
+    try:
+        state, frames, _ = decode_mod.decode_chunk(
+            params, rope, state, jax.random.PRNGKey(2), t, p, r,
+            cfg=cfg, ids=ids, num_frames=CHUNK, top_k=top_k,
+            approx=args.approx, kv_bucket=kv_b, fast_kernel=fast_k,
+        )
+        force(frames)
+    except Exception as e:  # noqa: BLE001 — never lose the JSON line to a
+        # kernel lowering failure; fall back to the XLA decode path so the
+        # bench still reports (flagged via kernel_fallback)
+        if not fast_k:
+            raise
+        print(f"# WARNING: Pallas kernel path failed "
+              f"({type(e).__name__}: {str(e)[:200]}); XLA fallback timed",
+              file=sys.stderr)
+        fast_k = False
+        kernel_fallback = True
+        state, frames, _ = decode_mod.decode_chunk(
+            params, rope, state, jax.random.PRNGKey(2), t, p, r,
+            cfg=cfg, ids=ids, num_frames=CHUNK, top_k=top_k,
+            approx=args.approx, kv_bucket=kv_b, fast_kernel=False,
+        )
+        force(frames)
     compile_s = time.perf_counter() - t0
     print(f"# prefill+chunk compile+run: {compile_s:.1f}s", file=sys.stderr)
 
@@ -290,6 +308,8 @@ def main() -> None:
         "precision": "int8" if args.int8 else ("fp32" if args.tiny else "bf16"),
         "device": str(dev),
     }
+    if kernel_fallback:
+        extras["kernel_fallback"] = True
 
     try:
         stats = dev.memory_stats()
