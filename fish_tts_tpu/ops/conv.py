@@ -82,18 +82,22 @@ def causal_conv1d(
     )
 
 
-def conv_transpose1d(
-    x: jnp.ndarray,  # (B, C_in, T)
-    w: jnp.ndarray,  # (C_in, C_out, K) — torch ConvTranspose1d layout
-    b: jnp.ndarray | None = None,
-    stride: int = 1,
+# When True, stride>1 transposed convs use the phase-decomposed lowering
+# (one dense conv producing stride*C_out channels, then interleave) instead
+# of lhs_dilation.  The dilated form makes the MXU sweep stride-1 zeros
+# between real samples unless XLA rewrites it; the phase form computes only
+# useful FLOPs by construction.  Both are exactly equivalent (test_vocoder).
+PHASE_TRANSPOSE = True
+
+
+def _conv_transpose1d_dilated(
+    x: jnp.ndarray, w: jnp.ndarray, stride: int
 ) -> jnp.ndarray:
-    """Full transposed conv, output length ``(T-1)*stride + K`` (torch
-    semantics).  Implemented as an input-dilated conv with the spatially
-    flipped, IO-swapped kernel — the standard XLA lowering."""
+    """Input-dilated conv with the spatially flipped, IO-swapped kernel —
+    the textbook XLA lowering of a transposed conv."""
     k = w.shape[-1]
     w_flip = jnp.flip(w, axis=-1).swapaxes(0, 1)  # (C_out, C_in, K)
-    out = lax.conv_general_dilated(
+    return lax.conv_general_dilated(
         x.astype(w.dtype),
         w_flip,
         window_strides=(1,),
@@ -101,6 +105,50 @@ def conv_transpose1d(
         lhs_dilation=(stride,),
         dimension_numbers=_DN,
     )
+
+
+def _conv_transpose1d_phase(
+    x: jnp.ndarray, w: jnp.ndarray, stride: int
+) -> jnp.ndarray:
+    """Phase-decomposed transposed conv: output phase p (= n mod stride)
+    depends only on kernel taps k ≡ p (mod stride), so the whole op is ONE
+    dense conv with q = ceil(K/s) taps producing s*C_out channels, followed
+    by a depth-to-space interleave.  Identical result to the dilated form,
+    but the MXU never multiplies the stride-1 inserted zeros."""
+    s = stride
+    ci, co, k = w.shape
+    t = x.shape[-1]
+    q = -(-k // s)
+    w_pad = jnp.pad(w, ((0, 0), (0, 0), (0, q * s - k)))
+    # w̃[p*co + c, ci, j'] = W[ci, c, p + (q-1-j')*s]
+    w_r = w_pad.reshape(ci, co, q, s)
+    w_tilde = jnp.flip(w_r, axis=2).transpose(3, 1, 0, 2).reshape(
+        s * co, ci, q)
+    out2 = lax.conv_general_dilated(
+        x.astype(w.dtype),
+        w_tilde,
+        window_strides=(1,),
+        padding=[(q - 1, q - 1)],
+        dimension_numbers=_DN,
+    )  # (B, s*co, T + q - 1)
+    m = t + q - 1
+    out = out2.reshape(-1, s, co, m).transpose(0, 2, 3, 1).reshape(
+        -1, co, m * s)
+    return out[..., : (t - 1) * s + k]
+
+
+def conv_transpose1d(
+    x: jnp.ndarray,  # (B, C_in, T)
+    w: jnp.ndarray,  # (C_in, C_out, K) — torch ConvTranspose1d layout
+    b: jnp.ndarray | None = None,
+    stride: int = 1,
+) -> jnp.ndarray:
+    """Full transposed conv, output length ``(T-1)*stride + K`` (torch
+    semantics)."""
+    if stride > 1 and PHASE_TRANSPOSE:
+        out = _conv_transpose1d_phase(x, w, stride)
+    else:
+        out = _conv_transpose1d_dilated(x, w, stride)
     if b is not None:
         out = out + b[None, :, None]
     return out

@@ -93,6 +93,24 @@ def test_conv_transpose_matches_torch():
         np.testing.assert_allclose(ours_c, expect, rtol=1e-4, atol=1e-4)
 
 
+def test_phase_transpose_equals_dilated_lowering():
+    """The phase-decomposed (depth-to-space) transposed-conv lowering is
+    bit-equivalent to the textbook lhs_dilation form on every shape class:
+    K multiple of stride (all DAC layers), K not a multiple, and T=1."""
+    from fish_tts_tpu.ops import conv as conv_mod
+
+    rng = np.random.RandomState(7)
+    for cin, cout, k, s, t in [
+        (8, 6, 16, 8, 5), (6, 4, 4, 2, 33), (5, 3, 5, 3, 9), (4, 4, 3, 2, 1),
+    ]:
+        x = jnp.asarray(rng.randn(2, cin, t).astype(np.float32))
+        w = jnp.asarray(rng.randn(cin, cout, k).astype(np.float32))
+        a = np.asarray(conv_mod._conv_transpose1d_dilated(x, w, s))
+        p = np.asarray(conv_mod._conv_transpose1d_phase(x, w, s))
+        assert a.shape == p.shape
+        np.testing.assert_allclose(p, a, rtol=1e-5, atol=1e-5)
+
+
 def test_weight_norm_folding_matches_torch():
     import torch
 
