@@ -205,6 +205,7 @@ class ContinuousBatcher:
         self.chunk = chunk or engine.engine_cfg.decode_chunk
         self._lock = threading.Lock()
         self._queue: deque[_Request] = deque()
+        self._cancelled: set[int] = set()
         self._ids = itertools.count()
         self._slot_req: list[_Request | None] = [None] * slots
         # pool state: free slots are done=True so decode holds them
@@ -284,6 +285,36 @@ class ContinuousBatcher:
         with self._lock:
             self._queue.append(req)
         return req.id
+
+    def cancel(self, request_id: int) -> None:
+        """Abort a request.  Thread-safe; takes effect at the next scheduler
+        round.  A queued request is dropped before admission; a running one
+        stops decoding (its slot frees for the next admission).  No further
+        events are emitted for a cancelled request — frames already
+        delivered remain valid, late in-flight frames are dropped."""
+        with self._lock:
+            self._cancelled.add(request_id)
+
+    def _apply_cancels(self) -> None:
+        with self._lock:
+            if not self._cancelled:
+                return
+            cancelled, self._cancelled = self._cancelled, set()
+            self._queue = deque(
+                r for r in self._queue if r.id not in cancelled
+            )
+        for i, req in enumerate(self._slot_req):
+            if req is not None and req.id in cancelled:
+                req.finished = True  # drop this request's in-flight frames
+                self._slot_req[i] = None
+                self._dirty.add(i)  # force the device done flag unless a
+                # successor claims the slot first
+        if self._pending is not None:
+            # a predictively-retired request's final chunk is only reachable
+            # through the in-flight snapshot (its slot is already free)
+            for req in self._pending[2].values():
+                if req is not None and req.id in cancelled:
+                    req.finished = True
 
     # -- internals ---------------------------------------------------------
 
@@ -385,6 +416,7 @@ class ContinuousBatcher:
         speculative chunk, whose frames are dropped via the snapshot
         mapping exactly like the engine's speculative post-EOS chunk."""
         events: list[Event] = []
+        self._apply_cancels()
         with self._lock:
             queued = len(self._queue)
         if queued:

@@ -1037,6 +1037,9 @@ class ServeSession:
         # per-slot FIFO of audio streams: [0] is flushing, the rest wait
         # (a successor admitted while its predecessor's tail drains)
         self._slot_q: list[list[_SlotAudioStream]] = [[] for _ in range(slots)]
+        self._cancel_lock = threading.Lock()
+        self._cancel_pending: set[int] = set()
+        self._cancel_drop: dict[int, int] = {}  # rid -> rounds left to drop
         # one in-flight pool decode: (device_audio | None, emit list) —
         # forced NEXT round so the PCM fetch overlaps device work
         self._pending = None
@@ -1058,12 +1061,41 @@ class ServeSession:
             top_p=top_p, repetition_penalty=repetition_penalty, seed=seed,
         )
 
+    def cancel(self, request_id: int) -> None:
+        """Abort a request (thread-safe; applied at the next round).  The LM
+        slot stops decoding, buffered codes are dropped, and no further
+        audio events are emitted for the id — audio already delivered (or
+        already dispatched to the vocoder this round) is the only audio the
+        consumer ever sees."""
+        self._srv.cancel(request_id)
+        with self._cancel_lock:
+            self._cancel_pending.add(request_id)
+
     def step(self) -> list[AudioEvent]:
         """One scheduler round; returns the previous round's audio events
         (audio is forced one round late for fetch/compute overlap)."""
         import jax.numpy as jnp
 
+        with self._cancel_lock:
+            cancelled, self._cancel_pending = self._cancel_pending, set()
+        for rid in cancelled:
+            st = self._streams.pop(rid, None)
+            if st is not None:
+                for q in self._slot_q:
+                    if st in q:
+                        q.remove(st)
+                        break
+            # LM events and already-dispatched audio for this id may still
+            # land for a couple of rounds (the pipeline is two rounds
+            # deep); drop them by id instead of re-creating the stream
+            self._cancel_drop[rid] = 4
+        for rid in [r for r, n in self._cancel_drop.items() if n <= 1]:
+            del self._cancel_drop[rid]
+        for rid in self._cancel_drop:
+            self._cancel_drop[rid] -= 1
         for ev in self._srv.step():
+            if ev.request_id in self._cancel_drop:
+                continue
             st = self._streams.get(ev.request_id)
             if st is None:
                 st = _SlotAudioStream(ev.request_id)
@@ -1134,6 +1166,7 @@ class ServeSession:
                 done, st.frames_total,
             )
             for s, st, m, done in emits
+            if st.rid not in self._cancel_drop
         ]
 
     @property

@@ -557,6 +557,44 @@ def test_serve_session_audio(tts):
     assert {r: a for r, a in audio.items()} == audio2
 
 
+def test_serve_session_cancel(tts):
+    """Cancelling an audio-serving request stops its events (no done ever
+    arrives), frees capacity for the queued successor, and co-tenant audio
+    is byte-identical to an undisturbed session's."""
+    def drive(do_cancel):
+        sess = tts.serve(slots=1)
+        r_keep = sess.submit("kept request", max_new_tokens=28, seed=91)
+        events = list(sess.run())
+        # second wave: one to cancel mid-flight, one queued successor
+        r_gone = sess.submit("cancel me", max_new_tokens=40, seed=92)
+        r_next = sess.submit("successor", max_new_tokens=9, seed=93)
+        cancelled = not do_cancel
+        while sess.busy:
+            for ev in sess.step():
+                events.append(ev)
+                if not cancelled and ev.request_id == r_gone and ev.pcm:
+                    sess.cancel(r_gone)
+                    cancelled = True
+        pcm: dict[int, bytearray] = {}
+        done = set()
+        for ev in events:
+            pcm.setdefault(ev.request_id, bytearray()).extend(ev.pcm)
+            if ev.done:
+                done.add(ev.request_id)
+        return (r_keep, r_gone, r_next), pcm, done
+
+    (k1, g1, n1), pcm1, done1 = drive(do_cancel=True)
+    assert g1 not in done1 and {k1, n1} <= done1
+    assert len(pcm1.get(g1, b"")) < 40 * tts._vocoder_cfg.frame_length * 2
+    (k2, g2, n2), pcm2, done2 = drive(do_cancel=False)
+    assert {k2, g2, n2} <= done2
+    # co-tenant + successor audio unaffected by the cancellation
+    assert bytes(pcm1[k1]) == bytes(pcm2[k2])
+    assert bytes(pcm1[n1]) == bytes(pcm2[n2])
+    # what WAS delivered before the cancel is a prefix of the full stream
+    assert bytes(pcm2[g2]).startswith(bytes(pcm1.get(g1, b"")))
+
+
 def test_serve_requires_vocoder():
     from fish_tts_tpu.synthesizer import FishTTS
     from fish_tts_tpu.testing import make_tiny_bundle

@@ -116,6 +116,63 @@ def test_more_requests_than_slots(engine):
         assert codes[rid].shape[1] <= 10
 
 
+def test_cancel_queued_request(engine):
+    """A request cancelled while still queued never decodes; co-tenants are
+    unaffected (bit-identical to their solo runs)."""
+    solo = _solo_codes(engine, "keeps running", seed=31, max_new=16)
+    srv = ContinuousBatcher(engine, slots=1)
+    r_keep = srv.submit("keeps running", max_new_tokens=16, seed=31,
+                        temperature=0.7, top_p=0.8, repetition_penalty=1.1)
+    r_gone = srv.submit("never admitted", max_new_tokens=16, seed=32,
+                        temperature=0.7, top_p=0.8, repetition_penalty=1.1)
+    srv.cancel(r_gone)
+    codes, done = _collect(srv.run())
+    assert r_gone not in codes and r_gone not in done
+    np.testing.assert_array_equal(codes[r_keep], solo)
+
+
+def test_cancel_running_request_frees_slot(engine):
+    """Cancelling mid-decode stops the request's events, frees its slot for
+    the queued successor, and already-emitted frames are a prefix of the
+    solo run.  The co-tenant stream is untouched."""
+    solo_a = _solo_codes(engine, "long co-tenant", seed=41, max_new=32)
+    solo_c = _solo_codes(engine, "successor", seed=43, max_new=8)
+    srv = ContinuousBatcher(engine, slots=2)
+    r_a = srv.submit("long co-tenant", max_new_tokens=32, seed=41,
+                     temperature=0.7, top_p=0.8, repetition_penalty=1.1)
+    r_b = srv.submit("to be cancelled", max_new_tokens=32, seed=42,
+                     temperature=0.7, top_p=0.8, repetition_penalty=1.1)
+    r_c = srv.submit("successor", max_new_tokens=8, seed=43,
+                     temperature=0.7, top_p=0.8, repetition_penalty=1.1)
+    events = []
+    rounds = 0
+    cancelled_at = None
+    while srv.busy:
+        evs = srv.step()
+        events += evs
+        rounds += 1
+        if cancelled_at is None and any(
+            e.request_id == r_b and e.codes.shape[1] for e in events
+        ):
+            srv.cancel(r_b)
+            cancelled_at = rounds
+    assert cancelled_at is not None, "r_b never started emitting"
+    codes, done = _collect(events)
+    # no events for r_b after the cancel round lands (one in-flight round
+    # may still have been snapshot-dropped); its emitted codes are a solo
+    # prefix and it never reached its budget
+    assert r_b not in done
+    assert codes[r_b].shape[1] < 32
+    solo_b = _solo_codes(engine, "to be cancelled", seed=42, max_new=32)
+    np.testing.assert_array_equal(
+        codes[r_b], solo_b[:, : codes[r_b].shape[1]]
+    )
+    # co-tenant and successor (admitted into the freed slot) are exact
+    np.testing.assert_array_equal(codes[r_a], solo_a)
+    np.testing.assert_array_equal(codes[r_c], solo_c)
+    assert {r_a, r_c} <= done
+
+
 def test_per_request_sampling_params(engine):
     """Params are per-slot: two co-tenant requests with different
     temperatures each match their solo runs at those temperatures."""
