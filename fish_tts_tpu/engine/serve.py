@@ -45,6 +45,7 @@ from __future__ import annotations
 import itertools
 import logging
 import threading
+import time
 from collections import deque
 from dataclasses import dataclass
 from functools import partial
@@ -60,6 +61,11 @@ from fish_tts_tpu.engine.generate import (
 )
 
 logger = logging.getLogger(__name__)
+
+
+class QueueFull(RuntimeError):
+    """Raised by ``submit`` when the request queue is at ``max_queue``
+    (backpressure: the caller should retry later or shed load)."""
 
 
 @dataclass
@@ -84,6 +90,10 @@ class _Request:
     key: jax.Array  # slot base key (fold_in(request_key, 0))
     produced: int = 0
     prompt_len: int = 0  # full context length (prefix + prompt)
+    # observability timestamps (time.monotonic)
+    t_submit: float = 0.0
+    t_admit: float = 0.0
+    t_first: float = 0.0  # first frames delivered to the consumer
     # frames that will exist once every in-flight chunk lands (prefill frame
     # counts 1; each dispatched chunk adds ``chunk``): the scheduler's
     # budget lookahead — when it reaches max_new at dispatch, the slot is
@@ -199,13 +209,18 @@ class ContinuousBatcher:
         engine: GenerationEngine,
         slots: int = 8,
         chunk: int | None = None,
+        max_queue: int = 0,
     ):
         self.engine = engine
         self.slots = slots
         self.chunk = chunk or engine.engine_cfg.decode_chunk
+        #: queue backpressure bound; 0 = unbounded.  ``submit`` raises
+        #: :class:`QueueFull` when the bound is hit.
+        self.max_queue = max_queue
         self._lock = threading.Lock()
         self._queue: deque[_Request] = deque()
         self._cancelled: set[int] = set()
+        self._done_stats: deque[dict] = deque(maxlen=1024)
         self._ids = itertools.count()
         self._slot_req: list[_Request | None] = [None] * slots
         # pool state: free slots are done=True so decode holds them
@@ -280,9 +295,13 @@ class ContinuousBatcher:
             id=next(self._ids), values=enc.values, max_new=max_new,
             temperature=temperature, top_p=top_p,
             repetition_penalty=repetition_penalty, key=slot_key,
-            prompt_len=prompt_len,
+            prompt_len=prompt_len, t_submit=time.monotonic(),
         )
         with self._lock:
+            if self.max_queue and len(self._queue) >= self.max_queue:
+                raise QueueFull(
+                    f"serve queue is full ({self.max_queue} requests)"
+                )
             self._queue.append(req)
         return req.id
 
@@ -332,6 +351,9 @@ class ContinuousBatcher:
         (dropped by the install scatter) so the compile set stays one
         program per (prompt bucket, install rows) pair — prefill is
         weight-bound, so the padding rows are nearly free."""
+        now = time.monotonic()
+        for req in reqs:
+            req.t_admit = now
         eng = self.engine
         cfg, ecfg = eng.cfg, eng.engine_cfg
         G = self.slots
@@ -501,6 +523,8 @@ class ContinuousBatcher:
                 req.first_dev = None
                 fs = np.concatenate([first_np, fs], axis=0)
             n_tokens += fs.shape[0]
+            if fs.shape[0] and not req.t_first:
+                req.t_first = time.monotonic()
             room = req.max_new - req.produced
             fs = fs[:room]
             req.produced += fs.shape[0]
@@ -516,6 +540,7 @@ class ContinuousBatcher:
                 )
             if done:
                 req.finished = True
+                self._record_done(req)
                 if self._slot_req[slot] is req:
                     # EOS before the predicted budget: free the slot now
                     # (predictively retired slots are already free, and may
@@ -528,6 +553,44 @@ class ContinuousBatcher:
         if any_budget_done:
             self._state = _mark_done(self._state, budget_done)
         return events
+
+    def _record_done(self, req: _Request) -> None:
+        now = time.monotonic()
+        self._done_stats.append({
+            "request_id": req.id,
+            "frames": req.produced,
+            "queue_wait_s": (req.t_admit or now) - req.t_submit,
+            # consumer-visible time to first frames (includes queue wait)
+            "ttft_s": (req.t_first or now) - req.t_submit,
+            "total_s": now - req.t_submit,
+        })
+
+    def stats(self) -> dict:
+        """Aggregate serving stats over the last completed requests
+        (window of 1024): p50/p95 queue wait and consumer-visible TTFT,
+        mean per-request frame rate, plus instantaneous queue depth and
+        live-slot count.  Cheap — host-side bookkeeping only."""
+        with self._lock:
+            depth = len(self._queue)
+        recs = list(self._done_stats)
+        out = {
+            "completed": len(recs),
+            "queue_depth": depth,
+            "live_slots": sum(r is not None for r in self._slot_req),
+            "slots": self.slots,
+        }
+        if recs:
+            qw = np.sort([r["queue_wait_s"] for r in recs])
+            tf = np.sort([r["ttft_s"] for r in recs])
+            out["queue_wait_p50_s"] = float(np.percentile(qw, 50))
+            out["queue_wait_p95_s"] = float(np.percentile(qw, 95))
+            out["ttft_p50_s"] = float(np.percentile(tf, 50))
+            out["ttft_p95_s"] = float(np.percentile(tf, 95))
+            tot = sum(r["total_s"] for r in recs)
+            out["frames_per_request_s"] = (
+                sum(r["frames"] for r in recs) / tot if tot else 0.0
+            )
+        return out
 
     @property
     def busy(self) -> bool:

@@ -745,7 +745,8 @@ class FishTTS:
         if in_flight is not None:
             yield self._force_pcm(*in_flight)
 
-    def serve(self, slots: int = 8, vocoder_device=None) -> "ServeSession":
+    def serve(self, slots: int = 8, vocoder_device=None,
+              max_queue: int = 0) -> "ServeSession":
         """Continuous-batching audio serving: a session whose requests JOIN
         the running decode pool (``engine.serve.ContinuousBatcher``) and
         stream raw PCM per request through ONE pool-wide batched stateful
@@ -768,13 +769,19 @@ class FishTTS:
         disaggregated serving — the pool vocoder's params and state live
         there, and its decode rounds run concurrently with the LM device's
         instead of serializing behind them on one chip.
+
+        ``max_queue``: backpressure bound on queued (unadmitted) requests;
+        0 = unbounded.  ``submit`` raises ``engine.serve.QueueFull`` at the
+        bound.  ``session.stats()`` reports queue depth, p50/p95 queue wait
+        and TTFT over recent completions.
         """
         if self._vocoder_params is None:
             raise RuntimeError(
                 "Audio serving requires the vocoder; this instance loaded "
                 "without one (LM codes only)."
             )
-        return ServeSession(self, slots=slots, vocoder_device=vocoder_device)
+        return ServeSession(self, slots=slots, vocoder_device=vocoder_device,
+                    max_queue=max_queue)
 
     # ------------------------------------------------------------------
     # Vocoder plumbing
@@ -1012,13 +1019,15 @@ class ServeSession:
     (the reference streaming quirk, inference.py:271-274).
     """
 
-    def __init__(self, tts: FishTTS, slots: int = 8, vocoder_device=None):
+    def __init__(self, tts: FishTTS, slots: int = 8, vocoder_device=None,
+                 max_queue: int = 0):
         import jax
 
         from fish_tts_tpu.engine.serve import ContinuousBatcher
 
         self._tts = tts
-        self._srv = ContinuousBatcher(tts._engine, slots=slots)
+        self._srv = ContinuousBatcher(tts._engine, slots=slots,
+                                      max_queue=max_queue)
         self._slots = slots
         self._n = self._srv.chunk  # pool flush width == LM chunk frames
         # Disaggregated serving: with a second device, the pool vocoder's
@@ -1070,6 +1079,12 @@ class ServeSession:
         self._srv.cancel(request_id)
         with self._cancel_lock:
             self._cancel_pending.add(request_id)
+
+    def stats(self) -> dict:
+        """Serving stats from the LM scheduler: queue depth, live slots,
+        p50/p95 queue wait and consumer-visible TTFT over recent
+        completions (``engine.serve.ContinuousBatcher.stats``)."""
+        return self._srv.stats()
 
     def step(self) -> list[AudioEvent]:
         """One scheduler round; returns the previous round's audio events

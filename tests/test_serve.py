@@ -173,6 +173,29 @@ def test_cancel_running_request_frees_slot(engine):
     assert {r_a, r_c} <= done
 
 
+def test_queue_backpressure_and_stats(engine):
+    """max_queue bounds unadmitted requests (QueueFull raised at the cap);
+    stats() reports completions with sane latency ordering."""
+    from fish_tts_tpu.engine.serve import QueueFull
+
+    srv = ContinuousBatcher(engine, slots=1, max_queue=2)
+    rids = [srv.submit(f"bp {i}", max_new_tokens=6, seed=50 + i,
+                       temperature=0.7, top_p=0.8, repetition_penalty=1.1)
+            for i in range(2)]  # both queued (nothing admits until step)
+    with pytest.raises(QueueFull):
+        srv.submit("over the cap", max_new_tokens=6, seed=59,
+                   temperature=0.7, top_p=0.8, repetition_penalty=1.1)
+    codes, done = _collect(srv.run())
+    assert set(rids) <= done
+    st = srv.stats()
+    assert st["completed"] == 2 and st["queue_depth"] == 0
+    assert st["live_slots"] == 0 and st["slots"] == 1
+    # TTFT includes queue wait; the second request waited for the first
+    assert 0 <= st["queue_wait_p50_s"] <= st["queue_wait_p95_s"]
+    assert st["ttft_p50_s"] >= st["queue_wait_p50_s"]
+    assert st["frames_per_request_s"] > 0
+
+
 def test_per_request_sampling_params(engine):
     """Params are per-slot: two co-tenant requests with different
     temperatures each match their solo runs at those temperatures."""
