@@ -156,6 +156,11 @@ def serve_demo(args, synth, references) -> int:
     print(f"served {len(texts)} staggered requests over {args.slots} slots: "
           f"{total_audio:.1f}s audio in {wall:.2f}s "
           f"(aggregate RTF {wall / max(total_audio, 1e-9):.3f})")
+    st = sess.stats()
+    print(f"scheduler: {st['completed']} completed, "
+          f"queue wait p50 {st.get('queue_wait_p50_s', 0):.3f}s, "
+          f"TTFT p50 {st.get('ttft_p50_s', 0):.3f}s / "
+          f"p95 {st.get('ttft_p95_s', 0):.3f}s")
     return 0
 
 
