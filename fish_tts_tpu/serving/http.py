@@ -1,0 +1,233 @@
+"""HTTP serving front-end over :class:`~fish_tts_tpu.synthesizer.ServeSession`.
+
+A thin, dependency-free (stdlib ``http.server``) streaming TTS server on top
+of the continuous-batching engine — the piece that turns the slot scheduler
+into an actual service.  The reference ships nothing comparable (its public
+surface stops at the Python API, /root/reference/fish_tts/__init__.py:34-37);
+this is green-field serving infrastructure.
+
+Endpoints:
+
+- ``POST /synthesize`` — body: JSON ``{"text": ..., "max_new_tokens": ...,
+  "temperature": ..., "top_p": ..., "repetition_penalty": ..., "seed": ...}``
+  (all but ``text`` optional).  Responds with chunked ``audio/L16`` — raw
+  int16 little-endian PCM streamed as the pool decodes it (headers:
+  ``X-Sample-Rate``, ``X-Request-Id``).  The request joins the running
+  decode pool; concurrent requests share one batched program per round.
+- ``GET /stats`` — scheduler stats JSON (queue depth, live slots, p50/p95
+  queue wait + TTFT over recent completions).
+- ``DELETE /requests/<id>`` — cancel a queued or running request; its
+  in-flight HTTP stream ends at the next chunk boundary.
+- ``GET /healthz`` — liveness.
+
+Threading model: stdlib ``ThreadingHTTPServer`` threads only *submit* and
+*consume* (bounded per-request queues); all device work is dispatched by ONE
+driver thread calling ``session.step()`` — the same single-dispatcher
+discipline the engine uses everywhere (JAX dispatch is not thread-safe per
+program stream, and one thread keeps the device queue ordering
+deterministic).  Backpressure: ``max_queue`` makes ``submit`` raise
+``QueueFull`` -> HTTP 503.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import queue
+import threading
+import time
+from http import HTTPStatus
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from fish_tts_tpu.engine.serve import QueueFull
+
+logger = logging.getLogger(__name__)
+
+_DONE = object()  # end-of-stream sentinel on per-request queues
+
+
+class ServeDriver:
+    """Owns a :class:`ServeSession` and the single device-driving thread;
+    routes per-request PCM to bounded consumer queues."""
+
+    def __init__(self, session, poll_idle_s: float = 0.002,
+                 consumer_queue_chunks: int = 64):
+        self._sess = session
+        self._idle = poll_idle_s
+        self._qsize = consumer_queue_chunks
+        self._lock = threading.Lock()
+        self._consumers: dict[int, queue.Queue] = {}
+        self._stop = threading.Event()
+        self._thread = threading.Thread(
+            target=self._drive, name="fish-tts-serve-driver", daemon=True
+        )
+        self._thread.start()
+
+    # -- public -------------------------------------------------------------
+
+    def submit(self, text: str, **kw) -> tuple[int, queue.Queue]:
+        """Submit a request; returns (request_id, per-request queue yielding
+        PCM ``bytes`` chunks then the done sentinel).  Raises ``QueueFull``
+        under backpressure."""
+        q: queue.Queue = queue.Queue()  # unbounded: the driver never blocks
+        rid = self._sess.submit(text, **kw)  # thread-safe
+        with self._lock:
+            self._consumers[rid] = q
+        return rid, q
+
+    def cancel(self, rid: int) -> None:
+        self._sess.cancel(rid)
+        with self._lock:
+            q = self._consumers.pop(rid, None)
+        if q is not None:
+            q.put(_DONE)
+
+    def stats(self) -> dict:
+        return self._sess.stats()
+
+    def is_done(self, item) -> bool:
+        return item is _DONE
+
+    def close(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=30)
+
+    # -- driver thread -------------------------------------------------------
+
+    def _drive(self) -> None:
+        while not self._stop.is_set():
+            try:
+                if not self._sess.busy:
+                    time.sleep(self._idle)
+                    continue
+                events = self._sess.step()
+            except Exception:
+                logger.exception("serve driver: step failed; "
+                                 "failing all live streams")
+                with self._lock:
+                    consumers, self._consumers = self._consumers, {}
+                for q in consumers.values():
+                    q.put(_DONE)
+                time.sleep(0.5)
+                continue
+            for ev in events:
+                with self._lock:
+                    q = self._consumers.get(ev.request_id)
+                if q is None:
+                    continue  # cancelled (or consumer gone)
+                if ev.pcm:
+                    if q.qsize() >= self._qsize:
+                        # slow-consumer eviction: never block the SHARED
+                        # driver thread on one stalled reader — cancel the
+                        # request instead (queues are unbounded, so the
+                        # sentinel put cannot block either)
+                        logger.warning("request %d: consumer too slow "
+                                       "(%d chunks buffered); cancelling",
+                                       ev.request_id, q.qsize())
+                        self.cancel(ev.request_id)
+                        continue
+                    q.put(ev.pcm)
+                if ev.done:
+                    q.put(_DONE)
+                    with self._lock:
+                        self._consumers.pop(ev.request_id, None)
+
+
+def _make_handler(driver: ServeDriver, sample_rate: int):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        # quiet per-request stderr lines; route through logging instead
+        def log_message(self, fmt, *args):  # noqa: D401
+            logger.debug("%s - %s", self.address_string(), fmt % args)
+
+        def _json(self, code: int, obj: dict) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(HTTPStatus.OK, {"ok": True})
+            elif self.path == "/stats":
+                self._json(HTTPStatus.OK, driver.stats())
+            else:
+                self._json(HTTPStatus.NOT_FOUND, {"error": "not found"})
+
+        def do_DELETE(self):
+            if self.path.startswith("/requests/"):
+                try:
+                    rid = int(self.path.rsplit("/", 1)[1])
+                except ValueError:
+                    self._json(HTTPStatus.BAD_REQUEST,
+                               {"error": "bad request id"})
+                    return
+                driver.cancel(rid)
+                self._json(HTTPStatus.OK, {"cancelled": rid})
+            else:
+                self._json(HTTPStatus.NOT_FOUND, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/synthesize":
+                self._json(HTTPStatus.NOT_FOUND, {"error": "not found"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                text = req["text"]
+            except (ValueError, KeyError) as e:
+                self._json(HTTPStatus.BAD_REQUEST,
+                           {"error": f"bad body: {e!r}"})
+                return
+            kw = {}
+            for k in ("max_new_tokens", "temperature", "top_p",
+                      "repetition_penalty", "seed"):
+                if k in req:
+                    kw[k] = req[k]
+            try:
+                rid, q = driver.submit(text, **kw)
+            except QueueFull as e:
+                self.send_response(HTTPStatus.SERVICE_UNAVAILABLE)
+                self.send_header("Retry-After", "1")
+                body = json.dumps({"error": str(e)}).encode()
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
+            except (AssertionError, ValueError) as e:
+                self._json(HTTPStatus.BAD_REQUEST, {"error": str(e)})
+                return
+            self.send_response(HTTPStatus.OK)
+            self.send_header("Content-Type", "audio/L16")
+            self.send_header("X-Sample-Rate", str(sample_rate))
+            self.send_header("X-Request-Id", str(rid))
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+            try:
+                while True:
+                    item = q.get()
+                    if driver.is_done(item):
+                        break
+                    self.wfile.write(b"%x\r\n%s\r\n" % (len(item), item))
+                self.wfile.write(b"0\r\n\r\n")
+            except (BrokenPipeError, ConnectionResetError):
+                driver.cancel(rid)  # client hung up: stop decoding for it
+
+    return Handler
+
+
+def make_server(tts, host: str = "127.0.0.1", port: int = 8080,
+                slots: int = 8, max_queue: int = 64,
+                vocoder_device=None) -> tuple[ThreadingHTTPServer, ServeDriver]:
+    """Build (server, driver) over ``tts.serve(...)``.  The caller runs
+    ``server.serve_forever()`` (blocking) or in a thread, and should
+    ``driver.close(); server.shutdown()`` to stop."""
+    sess = tts.serve(slots=slots, vocoder_device=vocoder_device,
+                     max_queue=max_queue)
+    driver = ServeDriver(sess)
+    handler = _make_handler(driver, tts._vocoder_cfg.sample_rate)
+    srv = ThreadingHTTPServer((host, port), handler)
+    return srv, driver

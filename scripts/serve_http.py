@@ -1,0 +1,63 @@
+"""Streaming TTS HTTP server over the continuous-batching engine.
+
+    python scripts/serve_http.py --model-dir /path/to/openaudio-s1-mini \
+        --slots 16 --port 8080
+
+    curl -N -X POST localhost:8080/synthesize \
+        -d '{"text": "hello world", "max_new_tokens": 400}' \
+        -o out.pcm          # raw s16le mono; sample rate in X-Sample-Rate
+    curl localhost:8080/stats
+    curl -X DELETE localhost:8080/requests/3
+
+Requests join the running decode pool mid-flight (one batched LM program +
+one pool vocoder program per round, engine/serve.py); PCM streams as it is
+decoded.  The reference has no serving surface at all — its public API stops
+at the Python singleton (reference fish_tts/__init__.py:34-37).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--model-dir", required=True)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--slots", type=int, default=16)
+    ap.add_argument("--max-queue", type=int, default=64)
+    ap.add_argument("--precision", default="int8",
+                    choices=("int8", "bf16", "fp32"))
+    ap.add_argument("--vocoder-device-index", type=int, default=None,
+                    help="second chip for the disaggregated pool vocoder")
+    args = ap.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+
+    import jax
+
+    from fish_tts_tpu import get_instance
+    from fish_tts_tpu.serving.http import make_server
+
+    tts = get_instance(model_dir=args.model_dir, precision=args.precision)
+    vdev = (jax.devices()[args.vocoder_device_index]
+            if args.vocoder_device_index is not None else None)
+    srv, driver = make_server(
+        tts, host=args.host, port=args.port, slots=args.slots,
+        max_queue=args.max_queue, vocoder_device=vdev,
+    )
+    logging.info("serving on http://%s:%d (slots=%d, max_queue=%d)",
+                 args.host, args.port, args.slots, args.max_queue)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        driver.close()
+        srv.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,123 @@
+"""HTTP serving front-end tests (tiny model, CPU, loopback sockets).
+
+Streams are driven through real HTTP: stdlib client against the stdlib
+ThreadingHTTPServer, with the device work on the single driver thread.
+"""
+
+import http.client
+import json
+import threading
+
+import pytest
+
+from fish_tts_tpu.testing import make_tiny_tts
+
+
+@pytest.fixture(scope="module")
+def server():
+    from fish_tts_tpu.serving.http import make_server
+
+    tts = make_tiny_tts()
+    srv, driver = make_server(tts, host="127.0.0.1", port=0, slots=2,
+                              max_queue=8)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv.server_address, tts
+    driver.close()
+    srv.shutdown()
+
+
+def _post(addr, body, timeout=120):
+    conn = http.client.HTTPConnection(*addr, timeout=timeout)
+    conn.request("POST", "/synthesize", json.dumps(body),
+                 {"Content-Type": "application/json"})
+    return conn
+
+
+def test_synthesize_streams_pcm(server):
+    addr, tts = server
+    conn = _post(addr, {"text": "http hello", "max_new_tokens": 24,
+                        "seed": 5})
+    resp = conn.getresponse()
+    assert resp.status == 200
+    assert resp.headers["Content-Type"] == "audio/L16"
+    assert int(resp.headers["X-Sample-Rate"]) == \
+        tts._vocoder_cfg.sample_rate
+    pcm = resp.read()
+    conn.close()
+    fl = tts._vocoder_cfg.frame_length
+    assert len(pcm) > 0 and len(pcm) % (2 * fl) == 0  # whole int16 frames
+
+
+def test_concurrent_requests_share_the_pool(server):
+    """Two HTTP requests in flight at once: both stream to completion and
+    each matches a direct ServeSession run with the same seed."""
+    addr, tts = server
+
+    def direct(text, seed, max_new):
+        sess = tts.serve(slots=2)
+        rid = sess.submit(text, max_new_tokens=max_new, seed=seed)
+        buf = bytearray()
+        for ev in sess.run():
+            if ev.request_id == rid:
+                buf.extend(ev.pcm)
+        return bytes(buf)
+
+    want = {i: direct(f"concurrent {i}", 40 + i, 20 + 4 * i)
+            for i in range(2)}
+    got = {}
+
+    def fetch(i):
+        conn = _post(addr, {"text": f"concurrent {i}", "seed": 40 + i,
+                            "max_new_tokens": 20 + 4 * i})
+        got[i] = conn.getresponse().read()
+        conn.close()
+
+    threads = [threading.Thread(target=fetch, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert got[0] == want[0] and got[1] == want[1]
+
+
+def test_stats_and_health(server):
+    addr, _ = server
+    conn = http.client.HTTPConnection(*addr, timeout=60)
+    conn.request("GET", "/healthz")
+    assert json.loads(conn.getresponse().read())["ok"] is True
+    conn.request("GET", "/stats")
+    st = json.loads(conn.getresponse().read())
+    assert st["slots"] == 2 and "completed" in st
+    conn.close()
+
+
+def test_cancel_endpoint_ends_stream(server):
+    addr, _ = server
+    conn = _post(addr, {"text": "cancel over http", "max_new_tokens": 600,
+                        "seed": 51})
+    resp = conn.getresponse()
+    rid = int(resp.headers["X-Request-Id"])
+    first = resp.read(4)  # wait until the stream is live
+    c2 = http.client.HTTPConnection(*addr, timeout=60)
+    c2.request("DELETE", f"/requests/{rid}")
+    assert json.loads(c2.getresponse().read())["cancelled"] == rid
+    c2.close()
+    rest = resp.read()  # chunked stream must END (not hang) after cancel
+    conn.close()
+    assert len(first) + len(rest) < 600 * 2 * 2048
+
+
+def test_bad_body_and_unknown_path(server):
+    addr, _ = server
+    conn = http.client.HTTPConnection(*addr, timeout=60)
+    conn.request("POST", "/synthesize", "{}",
+                 {"Content-Type": "application/json"})
+    r = conn.getresponse()
+    assert r.status == 400
+    r.read()
+    conn.request("GET", "/nope")
+    r = conn.getresponse()
+    assert r.status == 404
+    r.read()
+    conn.close()
