@@ -259,12 +259,23 @@ class ContinuousBatcher:
         repetition_penalty: float = 1.1,
         seed: int | None = None,
         key: jax.Array | None = None,
+        prompt_text: list[str] | None = None,
+        prompt_tokens: list[np.ndarray] | None = None,
     ) -> int:
         """Queue a request; returns its id.  ``seed``/``key`` pin the
         request's RNG: with ``seed``, the served codes are bit-identical to
         ``engine.reseed(seed)`` followed by a solo ``generate_long`` (the
         seed goes through the same one split the engine's key schedule
-        performs)."""
+        performs).
+
+        ``prompt_text``/``prompt_tokens``: PER-REQUEST voice references
+        (transcripts + ``(K, T)`` code arrays), inlined into the request's
+        prompt exactly like a solo ``generate_long(prompt_text=...,
+        prompt_tokens=...)`` — different requests in the same pool can speak
+        with different voices.  Mutually exclusive with a session-level
+        cached KV prefix (``engine.set_prefix``): the pool's admission
+        program forks ONE shared prefix, so per-request voices require the
+        engine to have no prefix set."""
         assert 0 < top_p <= 1 and 0 < repetition_penalty < 2 \
             and 0 < temperature < 2  # reference ranges, inference.py:763-765
         eng = self.engine
@@ -276,13 +287,24 @@ class ContinuousBatcher:
         # slot base key = fold_in(request_key, 0): exactly what a solo B=1
         # generate_long derives for its one slot (decode.normalize_keys)
         slot_key = jax.random.fold_in(key, 0)
+        has_refs = bool(prompt_text) or bool(prompt_tokens)
+        if has_refs and eng.has_prefix:
+            raise ValueError(
+                "per-request references cannot be combined with a "
+                "session-level cached prefix (engine.set_prefix); clear "
+                "the prefix or drop the per-request references"
+            )
         if eng.has_prefix:
             enc = eng._encode_suffix(text)
             prefix_len = int(eng._prefix_state["pos"][0])
         else:
             from fish_tts_tpu.models.prompt import build_prompt
 
-            enc = build_prompt(eng.tokenizer, text, eng.cfg.num_codebooks)
+            enc = build_prompt(
+                eng.tokenizer, text, eng.cfg.num_codebooks,
+                prompt_texts=prompt_text or [],
+                prompt_codes=prompt_tokens or [],
+            )
             prefix_len = 0
         prompt_len = prefix_len + enc.values.shape[1]
         cfg = eng.cfg

@@ -9,11 +9,15 @@ this is green-field serving infrastructure.
 Endpoints:
 
 - ``POST /synthesize`` — body: JSON ``{"text": ..., "max_new_tokens": ...,
-  "temperature": ..., "top_p": ..., "repetition_penalty": ..., "seed": ...}``
-  (all but ``text`` optional).  Responds with chunked ``audio/L16`` — raw
-  int16 little-endian PCM streamed as the pool decodes it (headers:
-  ``X-Sample-Rate``, ``X-Request-Id``).  The request joins the running
-  decode pool; concurrent requests share one batched program per round.
+  "temperature": ..., "top_p": ..., "repetition_penalty": ..., "seed": ...,
+  "voice": ...}`` (all but ``text`` optional).  Responds with chunked
+  ``audio/L16`` — raw int16 little-endian PCM streamed as the pool decodes
+  it (headers: ``X-Sample-Rate``, ``X-Request-Id``).  The request joins the
+  running decode pool; concurrent requests share one batched program per
+  round.  ``voice`` picks a named :class:`VoiceProfile` from the server's
+  registry (per-request voice cloning — co-tenants can use different
+  voices).
+- ``GET /voices`` — the registry's voice names.
 - ``GET /stats`` — scheduler stats JSON (queue depth, live slots, p50/p95
   queue wait + TTFT over recent completions).
 - ``DELETE /requests/<id>`` — cancel a queued or running request; its
@@ -133,7 +137,10 @@ class ServeDriver:
                         self._consumers.pop(ev.request_id, None)
 
 
-def _make_handler(driver: ServeDriver, sample_rate: int):
+def _make_handler(driver: ServeDriver, sample_rate: int,
+                  voices: dict | None = None):
+    voices = voices or {}
+
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
 
@@ -154,6 +161,8 @@ def _make_handler(driver: ServeDriver, sample_rate: int):
                 self._json(HTTPStatus.OK, {"ok": True})
             elif self.path == "/stats":
                 self._json(HTTPStatus.OK, driver.stats())
+            elif self.path == "/voices":
+                self._json(HTTPStatus.OK, {"voices": sorted(voices)})
             else:
                 self._json(HTTPStatus.NOT_FOUND, {"error": "not found"})
 
@@ -187,6 +196,14 @@ def _make_handler(driver: ServeDriver, sample_rate: int):
                       "repetition_penalty", "seed"):
                 if k in req:
                     kw[k] = req[k]
+            if "voice" in req:
+                profile = voices.get(req["voice"])
+                if profile is None:
+                    self._json(HTTPStatus.BAD_REQUEST,
+                               {"error": f"unknown voice {req['voice']!r}",
+                                "voices": sorted(voices)})
+                    return
+                kw["references"] = [profile]
             try:
                 rid, q = driver.submit(text, **kw)
             except QueueFull as e:
@@ -221,13 +238,17 @@ def _make_handler(driver: ServeDriver, sample_rate: int):
 
 def make_server(tts, host: str = "127.0.0.1", port: int = 8080,
                 slots: int = 8, max_queue: int = 64,
-                vocoder_device=None) -> tuple[ThreadingHTTPServer, ServeDriver]:
+                vocoder_device=None,
+                voices: dict | None = None,
+                ) -> tuple[ThreadingHTTPServer, ServeDriver]:
     """Build (server, driver) over ``tts.serve(...)``.  The caller runs
     ``server.serve_forever()`` (blocking) or in a thread, and should
-    ``driver.close(); server.shutdown()`` to stop."""
+    ``driver.close(); server.shutdown()`` to stop.  ``voices`` maps names to
+    :class:`VoiceProfile` objects for per-request voice cloning."""
     sess = tts.serve(slots=slots, vocoder_device=vocoder_device,
                      max_queue=max_queue)
     driver = ServeDriver(sess)
-    handler = _make_handler(driver, tts._vocoder_cfg.sample_rate)
+    handler = _make_handler(driver, tts._vocoder_cfg.sample_rate,
+                            voices=voices)
     srv = ThreadingHTTPServer((host, port), handler)
     return srv, driver

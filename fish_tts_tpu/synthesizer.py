@@ -1062,12 +1062,23 @@ class ServeSession:
         top_p: float = 0.8,
         repetition_penalty: float = 1.1,
         seed: int | None = None,
+        references: "list[VoiceProfile] | None" = None,
     ) -> int:
         """Queue a request; returns its id.  Thread-safe.  ``seed`` pins the
-        request's sampling to its solo-run stream (engine.serve.submit)."""
+        request's sampling to its solo-run stream (engine.serve.submit).
+
+        ``references``: per-request voice profiles, inlined into this
+        request's prompt — co-tenant requests can each speak with a
+        different voice.  Incompatible with a session-level cached prefix
+        (``set_references``/``add_reference`` on the FishTTS instance)."""
+        kw = {}
+        if references:
+            kw["prompt_text"] = [r.text for r in references]
+            kw["prompt_tokens"] = [r.codes for r in references]
         return self._srv.submit(
             text, max_new_tokens=max_new_tokens, temperature=temperature,
             top_p=top_p, repetition_penalty=repetition_penalty, seed=seed,
+            **kw,
         )
 
     def cancel(self, request_id: int) -> None:

@@ -32,20 +32,34 @@ def main(argv=None) -> int:
                     choices=("int8", "bf16", "fp32"))
     ap.add_argument("--vocoder-device-index", type=int, default=None,
                     help="second chip for the disaggregated pool vocoder")
+    ap.add_argument("--voices", default=None,
+                    help="directory of <name>.npy voice profiles (optional "
+                         "<name>.txt transcripts) served as per-request "
+                         "voices via the JSON 'voice' field")
     args = ap.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
     import jax
 
-    from fish_tts_tpu import get_instance
+    from fish_tts_tpu import VoiceProfile, get_instance
     from fish_tts_tpu.serving.http import make_server
+
+    voices = {}
+    if args.voices:
+        from pathlib import Path
+
+        for npy in sorted(Path(args.voices).glob("*.npy")):
+            txt = npy.with_suffix(".txt")
+            text = txt.read_text().strip() if txt.exists() else ""
+            voices[npy.stem] = VoiceProfile.load(npy, text=text)
+        logging.info("loaded %d voices: %s", len(voices), sorted(voices))
 
     tts = get_instance(model_dir=args.model_dir, precision=args.precision)
     vdev = (jax.devices()[args.vocoder_device_index]
             if args.vocoder_device_index is not None else None)
     srv, driver = make_server(
         tts, host=args.host, port=args.port, slots=args.slots,
-        max_queue=args.max_queue, vocoder_device=vdev,
+        max_queue=args.max_queue, vocoder_device=vdev, voices=voices,
     )
     logging.info("serving on http://%s:%d (slots=%d, max_queue=%d)",
                  args.host, args.port, args.slots, args.max_queue)

@@ -15,11 +15,19 @@ from fish_tts_tpu.testing import make_tiny_tts
 
 @pytest.fixture(scope="module")
 def server():
+    import numpy as np
+
+    from fish_tts_tpu import VoiceProfile
     from fish_tts_tpu.serving.http import make_server
 
     tts = make_tiny_tts()
+    gura = VoiceProfile(
+        codes=np.random.RandomState(0).randint(
+            0, 24, (tts._cfg.num_codebooks, 6)).astype(np.int64),
+        text="tiny reference transcript", name="gura",
+    )
     srv, driver = make_server(tts, host="127.0.0.1", port=0, slots=2,
-                              max_queue=8)
+                              max_queue=8, voices={"gura": gura})
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     yield srv.server_address, tts
@@ -106,6 +114,30 @@ def test_cancel_endpoint_ends_stream(server):
     rest = resp.read()  # chunked stream must END (not hang) after cancel
     conn.close()
     assert len(first) + len(rest) < 600 * 2 * 2048
+
+
+def test_per_request_voice_over_http(server):
+    """The 'voice' field selects a registry profile; audio differs from the
+    voiceless run of the same seed (the references condition the prompt)
+    and unknown voices 400 with the available list."""
+    addr, _ = server
+    body = {"text": "voice pick", "max_new_tokens": 16, "seed": 9}
+    conn = _post(addr, dict(body, voice="gura"))
+    voiced = conn.getresponse().read()
+    conn.close()
+    conn = _post(addr, body)
+    plain = conn.getresponse().read()
+    conn.close()
+    assert len(voiced) > 0 and voiced != plain
+    conn = _post(addr, dict(body, voice="nope"))
+    r = conn.getresponse()
+    assert r.status == 400
+    assert json.loads(r.read())["voices"] == ["gura"]
+    conn.close()
+    conn = http.client.HTTPConnection(*addr, timeout=60)
+    conn.request("GET", "/voices")
+    assert json.loads(conn.getresponse().read())["voices"] == ["gura"]
+    conn.close()
 
 
 def test_bad_body_and_unknown_path(server):

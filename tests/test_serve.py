@@ -173,6 +173,55 @@ def test_cancel_running_request_frees_slot(engine):
     assert {r_a, r_c} <= done
 
 
+def test_per_request_voice_references(engine):
+    """A request carrying its own voice references samples bit-identically
+    to a solo generate_long with the same references + seed, while a
+    no-reference co-tenant is unaffected."""
+    rng = np.random.RandomState(3)
+    ref_codes = rng.randint(0, 24, (TINY_CONFIG.num_codebooks, 7)).astype(
+        np.int64)
+
+    def solo(text, seed, with_refs):
+        engine.reseed(seed)
+        kw = ({"prompt_text": ["ref transcript"],
+               "prompt_tokens": [ref_codes]} if with_refs else {})
+        chunks = [
+            r.codes for r in engine.generate_long(
+                text, max_new_tokens=14, streaming=True,
+                temperature=0.7, top_p=0.8, repetition_penalty=1.1, **kw,
+            ) if r.action == "sample"
+        ]
+        return np.concatenate(chunks, axis=1)
+
+    s_voiced = solo("voiced request", 61, True)
+    s_plain = solo("plain request", 62, False)
+    srv = ContinuousBatcher(engine, slots=2)
+    r_v = srv.submit("voiced request", max_new_tokens=14, seed=61,
+                     temperature=0.7, top_p=0.8, repetition_penalty=1.1,
+                     prompt_text=["ref transcript"],
+                     prompt_tokens=[ref_codes])
+    r_p = srv.submit("plain request", max_new_tokens=14, seed=62,
+                     temperature=0.7, top_p=0.8, repetition_penalty=1.1)
+    codes, done = _collect(srv.run())
+    assert {r_v, r_p} <= done
+    np.testing.assert_array_equal(codes[r_v], s_voiced)
+    np.testing.assert_array_equal(codes[r_p], s_plain)
+
+
+def test_per_request_refs_conflict_with_session_prefix(engine):
+    """Per-request references are rejected while a session prefix is set."""
+    ref_codes = np.zeros((TINY_CONFIG.num_codebooks, 4), np.int64)
+    engine.set_prefix(["session voice"], [ref_codes])
+    try:
+        srv = ContinuousBatcher(engine, slots=1)
+        with pytest.raises(ValueError, match="prefix"):
+            srv.submit("x", max_new_tokens=4, seed=1,
+                       temperature=0.7, top_p=0.8, repetition_penalty=1.1,
+                       prompt_text=["v"], prompt_tokens=[ref_codes])
+    finally:
+        engine.clear_prefix()
+
+
 def test_queue_backpressure_and_stats(engine):
     """max_queue bounds unadmitted requests (QueueFull raised at the cap);
     stats() reports completions with sane latency ordering."""
