@@ -16,7 +16,9 @@ Endpoints:
   running decode pool; concurrent requests share one batched program per
   round.  ``voice`` picks a named :class:`VoiceProfile` from the server's
   registry (per-request voice cloning — co-tenants can use different
-  voices).
+  voices).  ``"format": "wav"`` streams ``audio/wav`` instead (unknown-
+  length RIFF header + the same PCM) — progressively playable in browsers
+  and standard players.
 - ``GET /voices`` — the registry's voice names.
 - ``GET /stats`` — scheduler stats JSON (queue depth, live slots, p50/p95
   queue wait + TTFT over recent completions).
@@ -44,6 +46,7 @@ from http import HTTPStatus
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from fish_tts_tpu.engine.serve import QueueFull
+from fish_tts_tpu.utils.audio import streaming_wav_header
 
 logger = logging.getLogger(__name__)
 
@@ -204,6 +207,11 @@ def _make_handler(driver: ServeDriver, sample_rate: int,
                                 "voices": sorted(voices)})
                     return
                 kw["references"] = [profile]
+            fmt = req.get("format", "pcm")
+            if fmt not in ("pcm", "wav"):
+                self._json(HTTPStatus.BAD_REQUEST,
+                           {"error": f"unknown format {fmt!r}"})
+                return
             try:
                 rid, q = driver.submit(text, **kw)
             except QueueFull as e:
@@ -218,12 +226,16 @@ def _make_handler(driver: ServeDriver, sample_rate: int,
                 self._json(HTTPStatus.BAD_REQUEST, {"error": str(e)})
                 return
             self.send_response(HTTPStatus.OK)
-            self.send_header("Content-Type", "audio/L16")
+            self.send_header(
+                "Content-Type", "audio/wav" if fmt == "wav" else "audio/L16")
             self.send_header("X-Sample-Rate", str(sample_rate))
             self.send_header("X-Request-Id", str(rid))
             self.send_header("Transfer-Encoding", "chunked")
             self.end_headers()
             try:
+                if fmt == "wav":
+                    hdr = streaming_wav_header(sample_rate)
+                    self.wfile.write(b"%x\r\n%s\r\n" % (len(hdr), hdr))
                 while True:
                     item = q.get()
                     if driver.is_done(item):

@@ -81,6 +81,21 @@ def to_wav_bytes(audio: np.ndarray, sample_rate: int = DEFAULT_SAMPLE_RATE) -> b
     return buf.getvalue()
 
 
+def streaming_wav_header(sample_rate: int = DEFAULT_SAMPLE_RATE) -> bytes:
+    """44-byte WAV header for a 16-bit mono stream of UNKNOWN length
+    (RIFF/data sizes 0xFFFFFFFF — the conventional live-stream sentinel;
+    players read to EOF).  Prepend to raw int16 PCM chunks to make a
+    progressively-playable stream."""
+    import struct
+
+    return (
+        b"RIFF" + struct.pack("<I", 0xFFFFFFFF) + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
+                      sample_rate * 2, 2, 16)
+        + b"data" + struct.pack("<I", 0xFFFFFFFF)
+    )
+
+
 def to_pcm_bytes(audio: np.ndarray) -> bytes:
     """float audio -> raw int16 PCM bytes (reference _decode_to_pcm,
     synthesizer.py:591-595 — note: no clipping there; we replicate)."""

@@ -116,6 +116,26 @@ def test_cancel_endpoint_ends_stream(server):
     assert len(first) + len(rest) < 600 * 2 * 2048
 
 
+def test_wav_format_streams_playable_riff(server):
+    """format=wav prepends the unknown-length RIFF header; the payload
+    after the 44-byte header equals the pcm run of the same seed."""
+    addr, _ = server
+    body = {"text": "wav please", "max_new_tokens": 12, "seed": 13}
+    conn = _post(addr, dict(body, format="wav"))
+    r = conn.getresponse()
+    assert r.headers["Content-Type"] == "audio/wav"
+    wav = r.read()
+    conn.close()
+    assert wav[:4] == b"RIFF" and wav[8:12] == b"WAVE" and len(wav) > 44
+    conn = _post(addr, body)
+    pcm = conn.getresponse().read()
+    conn.close()
+    assert wav[44:] == pcm
+    conn = _post(addr, dict(body, format="mp3"))
+    assert conn.getresponse().status == 400
+    conn.close()
+
+
 def test_per_request_voice_over_http(server):
     """The 'voice' field selects a registry profile; audio differs from the
     voiceless run of the same seed (the references condition the prompt)
