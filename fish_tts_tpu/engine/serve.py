@@ -90,6 +90,8 @@ class _Request:
     key: jax.Array  # slot base key (fold_in(request_key, 0))
     produced: int = 0
     prompt_len: int = 0  # full context length (prefix + prompt)
+    priority: int = 0  # higher admits first (FIFO within a priority)
+    deadline: float = 0.0  # time.monotonic() deadline; 0 = none
     # observability timestamps (time.monotonic)
     t_submit: float = 0.0
     t_admit: float = 0.0
@@ -261,6 +263,8 @@ class ContinuousBatcher:
         key: jax.Array | None = None,
         prompt_text: list[str] | None = None,
         prompt_tokens: list[np.ndarray] | None = None,
+        priority: int = 0,
+        timeout_s: float = 0.0,
     ) -> int:
         """Queue a request; returns its id.  ``seed``/``key`` pin the
         request's RNG: with ``seed``, the served codes are bit-identical to
@@ -275,7 +279,13 @@ class ContinuousBatcher:
         with different voices.  Mutually exclusive with a session-level
         cached KV prefix (``engine.set_prefix``): the pool's admission
         program forks ONE shared prefix, so per-request voices require the
-        engine to have no prefix set."""
+        engine to have no prefix set.
+
+        ``priority``: higher-priority requests admit first (FIFO within a
+        priority level; running requests are never preempted).
+        ``timeout_s``: wall-clock deadline from submission — a request
+        still queued or decoding past it is auto-cancelled (no further
+        events, like an explicit ``cancel``)."""
         assert 0 < top_p <= 1 and 0 < repetition_penalty < 2 \
             and 0 < temperature < 2  # reference ranges, inference.py:763-765
         eng = self.engine
@@ -318,6 +328,8 @@ class ContinuousBatcher:
             temperature=temperature, top_p=top_p,
             repetition_penalty=repetition_penalty, key=slot_key,
             prompt_len=prompt_len, t_submit=time.monotonic(),
+            priority=priority,
+            deadline=(time.monotonic() + timeout_s) if timeout_s else 0.0,
         )
         with self._lock:
             if self.max_queue and len(self._queue) >= self.max_queue:
@@ -460,6 +472,19 @@ class ContinuousBatcher:
         speculative chunk, whose frames are dropped via the snapshot
         mapping exactly like the engine's speculative post-EOS chunk."""
         events: list[Event] = []
+        now = time.monotonic()
+        with self._lock:
+            pending = list(self._queue)
+        expired = [
+            req.id
+            for req in list(self._slot_req) + pending
+            if req is not None and req.deadline and now > req.deadline
+        ]
+        if expired:
+            with self._lock:
+                self._cancelled.update(expired)
+            logger.info("serve: %d request(s) past deadline, cancelling: %s",
+                        len(expired), expired)
         self._apply_cancels()
         with self._lock:
             queued = len(self._queue)
@@ -467,8 +492,21 @@ class ContinuousBatcher:
             free = self._free_slots()
             take: list[_Request] = []
             with self._lock:
-                while self._queue and len(take) < len(free):
-                    take.append(self._queue.popleft())
+                if len(self._queue) > len(free) and any(
+                    r.priority for r in self._queue
+                ):
+                    # stable sort: highest priority first, FIFO within level
+                    ordered = sorted(
+                        self._queue, key=lambda r: -r.priority
+                    )
+                    take = ordered[: len(free)]
+                    taken_ids = {r.id for r in take}
+                    self._queue = deque(
+                        r for r in self._queue if r.id not in taken_ids
+                    )
+                else:
+                    while self._queue and len(take) < len(free):
+                        take.append(self._queue.popleft())
             if take:
                 taken = free[: len(take)]
                 self._admit_many(taken, take)

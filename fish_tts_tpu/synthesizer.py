@@ -1063,6 +1063,8 @@ class ServeSession:
         repetition_penalty: float = 1.1,
         seed: int | None = None,
         references: "list[VoiceProfile] | None" = None,
+        priority: int = 0,
+        timeout_s: float = 0.0,
     ) -> int:
         """Queue a request; returns its id.  Thread-safe.  ``seed`` pins the
         request's sampling to its solo-run stream (engine.serve.submit).
@@ -1078,7 +1080,7 @@ class ServeSession:
         return self._srv.submit(
             text, max_new_tokens=max_new_tokens, temperature=temperature,
             top_p=top_p, repetition_penalty=repetition_penalty, seed=seed,
-            **kw,
+            priority=priority, timeout_s=timeout_s, **kw,
         )
 
     def cancel(self, request_id: int) -> None:

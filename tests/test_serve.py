@@ -222,6 +222,53 @@ def test_per_request_refs_conflict_with_session_prefix(engine):
         engine.clear_prefix()
 
 
+def test_priority_admission_order(engine):
+    """With one slot, a high-priority late submission admits before earlier
+    normal ones (FIFO within a level); every request still matches its solo
+    run (scheduling never changes sampling)."""
+    solos = {i: _solo_codes(engine, f"prio {i}", seed=70 + i, max_new=6)
+             for i in range(3)}
+    srv = ContinuousBatcher(engine, slots=1)
+    rids = {}
+    # occupy the slot so the next three all queue
+    r0 = srv.submit("occupier", max_new_tokens=6, seed=69,
+                    temperature=0.7, top_p=0.8, repetition_penalty=1.1)
+    for i in range(3):
+        rids[i] = srv.submit(
+            f"prio {i}", max_new_tokens=6, seed=70 + i,
+            temperature=0.7, top_p=0.8, repetition_penalty=1.1,
+            priority=10 if i == 2 else 0,
+        )
+    order = []
+    events = []
+    for ev in srv.run():
+        events.append(ev)
+        if ev.request_id not in order and ev.request_id != r0:
+            order.append(ev.request_id)
+    assert order[0] == rids[2], "high-priority request did not admit first"
+    assert order[1:] == [rids[0], rids[1]]  # FIFO within the normal level
+    codes, done = _collect(events)
+    for i in range(3):
+        np.testing.assert_array_equal(codes[rids[i]], solos[i])
+
+
+def test_deadline_auto_cancels(engine):
+    """A request whose timeout_s expires while queued is auto-cancelled (no
+    events); one with a generous deadline completes."""
+    srv = ContinuousBatcher(engine, slots=1)
+    r_slow = srv.submit("long occupier", max_new_tokens=24, seed=81,
+                        temperature=0.7, top_p=0.8, repetition_penalty=1.1)
+    r_dead = srv.submit("will expire", max_new_tokens=8, seed=82,
+                        temperature=0.7, top_p=0.8, repetition_penalty=1.1,
+                        timeout_s=1e-6)
+    r_ok = srv.submit("will finish", max_new_tokens=8, seed=83,
+                      temperature=0.7, top_p=0.8, repetition_penalty=1.1,
+                      timeout_s=600.0)
+    codes, done = _collect(srv.run())
+    assert r_dead not in codes and r_dead not in done
+    assert {r_slow, r_ok} <= done
+
+
 def test_queue_backpressure_and_stats(engine):
     """max_queue bounds unadmitted requests (QueueFull raised at the cap);
     stats() reports completions with sane latency ordering."""
