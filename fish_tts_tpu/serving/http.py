@@ -10,7 +10,8 @@ Endpoints:
 
 - ``POST /synthesize`` — body: JSON ``{"text": ..., "max_new_tokens": ...,
   "temperature": ..., "top_p": ..., "repetition_penalty": ..., "seed": ...,
-  "voice": ...}`` (all but ``text`` optional).  Responds with chunked
+  "voice": ..., "priority": ..., "timeout_s": ..., "format": ...}`` (all
+  but ``text`` optional).  Responds with chunked
   ``audio/L16`` — raw int16 little-endian PCM streamed as the pool decodes
   it (headers: ``X-Sample-Rate``, ``X-Request-Id``).  The request joins the
   running decode pool; concurrent requests share one batched program per
@@ -196,7 +197,8 @@ def _make_handler(driver: ServeDriver, sample_rate: int,
                 return
             kw = {}
             for k in ("max_new_tokens", "temperature", "top_p",
-                      "repetition_penalty", "seed"):
+                      "repetition_penalty", "seed", "priority",
+                      "timeout_s"):
                 if k in req:
                     kw[k] = req[k]
             if "voice" in req:
