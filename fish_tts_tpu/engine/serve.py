@@ -507,6 +507,13 @@ class ContinuousBatcher:
                 else:
                     while self._queue and len(take) < len(free):
                         take.append(self._queue.popleft())
+                # claim the slots ATOMICALLY with the pop (same lock):
+                # otherwise a popped request is in neither the queue nor a
+                # slot for the whole multi-second admission program, and a
+                # concurrent ``busy`` reader sees an idle scheduler with
+                # work in flight (a drain loop would stop mid-admission)
+                for slot, req in zip(free, take):
+                    self._slot_req[slot] = req
             if take:
                 taken = free[: len(take)]
                 self._admit_many(taken, take)

@@ -66,6 +66,7 @@ class ServeDriver:
         self._lock = threading.Lock()
         self._consumers: dict[int, queue.Queue] = {}
         self._stop = threading.Event()
+        self._drain = threading.Event()
         self._thread = threading.Thread(
             target=self._drive, name="fish-tts-serve-driver", daemon=True
         )
@@ -78,8 +79,12 @@ class ServeDriver:
         PCM ``bytes`` chunks then the done sentinel).  Raises ``QueueFull``
         under backpressure."""
         q: queue.Queue = queue.Queue()  # unbounded: the driver never blocks
-        rid = self._sess.submit(text, **kw)  # thread-safe
+        # register under the ROUTING lock, atomically with the submit: the
+        # driver thread routes events under the same lock, so a fast request
+        # (warm caches) cannot complete and drop its events in the gap
+        # between sess.submit returning and the consumer appearing
         with self._lock:
+            rid = self._sess.submit(text, **kw)  # thread-safe
             self._consumers[rid] = q
         return rid, q
 
@@ -96,16 +101,36 @@ class ServeDriver:
     def is_done(self, item) -> bool:
         return item is _DONE
 
-    def close(self) -> None:
+    def close(self, drain: bool = False, timeout: float = 30.0) -> None:
+        """Stop the driver.  ``drain=True`` keeps stepping until live
+        requests finish (bounded by ``timeout``); either way every
+        still-attached consumer gets the done sentinel so no HTTP handler
+        is left blocking on a queue that will never fill.  The drain
+        decision is made by the DRIVER thread between steps — an outside
+        ``busy`` poll can catch the session mid-step, when finished streams
+        are already popped but their final audio is not yet pending, and
+        stop with a round still in flight."""
+        if drain:
+            self._drain.set()
         self._stop.set()
-        self._thread.join(timeout=30)
+        self._thread.join(timeout=timeout)
+        with self._lock:
+            consumers, self._consumers = self._consumers, {}
+        for q in consumers.values():
+            q.put(_DONE)
 
     # -- driver thread -------------------------------------------------------
 
     def _drive(self) -> None:
-        while not self._stop.is_set():
+        while True:
+            if self._stop.is_set() and not (
+                self._drain.is_set() and self._sess.busy
+            ):
+                break
             try:
                 if not self._sess.busy:
+                    if self._stop.is_set():
+                        break  # drained
                     time.sleep(self._idle)
                     continue
                 events = self._sess.step()

@@ -160,6 +160,32 @@ def test_per_request_voice_over_http(server):
     conn.close()
 
 
+def test_driver_close_releases_inflight_consumers():
+    """close() must end every in-flight stream (sentinel pushed) so no HTTP
+    handler blocks forever; drain=True lets live requests finish first."""
+    from fish_tts_tpu.serving.http import ServeDriver
+
+    tts = make_tiny_tts()
+    driver = ServeDriver(tts.serve(slots=1))
+    rid, q = driver.submit("drain me", max_new_tokens=8, seed=21)
+    driver.close(drain=True, timeout=300)
+    chunks = []
+    while True:
+        item = q.get(timeout=10)  # must never hang
+        if driver.is_done(item):
+            break
+        chunks.append(item)
+    assert sum(len(c) for c in chunks) > 0  # drained to completion
+
+    driver2 = ServeDriver(tts.serve(slots=1))
+    rid2, q2 = driver2.submit("cut short", max_new_tokens=4000, seed=22)
+    driver2.close(drain=False)  # fail fast: sentinel still delivered
+    while True:
+        item = q2.get(timeout=10)
+        if driver2.is_done(item):
+            break
+
+
 def test_bad_body_and_unknown_path(server):
     addr, _ = server
     conn = http.client.HTTPConnection(*addr, timeout=60)
