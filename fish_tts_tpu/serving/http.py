@@ -252,6 +252,35 @@ def _make_handler(driver: ServeDriver, sample_rate: int,
             except (AssertionError, ValueError) as e:
                 self._json(HTTPStatus.BAD_REQUEST, {"error": str(e)})
                 return
+            if not req.get("stream", True):
+                # buffered mode: one complete response with a known length
+                # (a finished WAV with real RIFF sizes when format=wav)
+                chunks = []
+                while True:
+                    item = q.get()
+                    if driver.is_done(item):
+                        break
+                    chunks.append(item)
+                pcm = b"".join(chunks)
+                if fmt == "wav":
+                    import struct
+
+                    # the streaming header with the real sizes patched in —
+                    # the PCM bytes themselves are passed through untouched
+                    hdr = bytearray(streaming_wav_header(sample_rate))
+                    hdr[4:8] = struct.pack("<I", 36 + len(pcm))
+                    hdr[40:44] = struct.pack("<I", len(pcm))
+                    body, ctype = bytes(hdr) + pcm, "audio/wav"
+                else:
+                    body, ctype = pcm, "audio/L16"
+                self.send_response(HTTPStatus.OK)
+                self.send_header("Content-Type", ctype)
+                self.send_header("X-Sample-Rate", str(sample_rate))
+                self.send_header("X-Request-Id", str(rid))
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
             self.send_response(HTTPStatus.OK)
             self.send_header(
                 "Content-Type", "audio/wav" if fmt == "wav" else "audio/L16")

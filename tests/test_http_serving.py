@@ -160,6 +160,26 @@ def test_per_request_voice_over_http(server):
     conn.close()
 
 
+def test_buffered_mode_returns_complete_wav(server):
+    """stream=false buffers the request and returns one sized response; the
+    WAV variant carries real RIFF sizes and its payload equals the
+    streamed pcm run of the same seed."""
+    addr, _ = server
+    body = {"text": "buffered", "max_new_tokens": 10, "seed": 17}
+    conn = _post(addr, dict(body, stream=False, format="wav"))
+    r = conn.getresponse()
+    wav = r.read()
+    conn.close()
+    assert r.headers.get("Content-Length") == str(len(wav))
+    assert wav[:4] == b"RIFF"
+    import struct
+    assert struct.unpack("<I", wav[4:8])[0] == len(wav) - 8  # real size
+    conn = _post(addr, body)
+    pcm = conn.getresponse().read()
+    conn.close()
+    assert wav[-len(pcm):] == pcm
+
+
 def test_driver_close_releases_inflight_consumers():
     """close() must end every in-flight stream (sentinel pushed) so no HTTP
     handler blocks forever; drain=True lets live requests finish first."""
