@@ -21,6 +21,10 @@ Endpoints:
   length RIFF header + the same PCM) — progressively playable in browsers
   and standard players.
 - ``GET /voices`` — the registry's voice names.
+- ``PUT /voices/<name>`` — register a voice dynamically: body JSON
+  ``{"wav_b64": <base64 WAV>, "text": <transcript>}``; the reference audio
+  is encoded through the codec encoder (``FishTTS.encode_reference``) and
+  the profile becomes usable as ``"voice": "<name>"`` immediately.
 - ``GET /stats`` — scheduler stats JSON (queue depth, live slots, p50/p95
   queue wait + TTFT over recent completions).
 - ``DELETE /requests/<id>`` — cancel a queued or running request; its
@@ -167,7 +171,7 @@ class ServeDriver:
 
 
 def _make_handler(driver: ServeDriver, sample_rate: int,
-                  voices: dict | None = None):
+                  voices: dict | None = None, encode_reference=None):
     voices = voices or {}
 
     class Handler(BaseHTTPRequestHandler):
@@ -194,6 +198,42 @@ def _make_handler(driver: ServeDriver, sample_rate: int,
                 self._json(HTTPStatus.OK, {"voices": sorted(voices)})
             else:
                 self._json(HTTPStatus.NOT_FOUND, {"error": "not found"})
+
+        def do_PUT(self):
+            if not self.path.startswith("/voices/"):
+                self._json(HTTPStatus.NOT_FOUND, {"error": "not found"})
+                return
+            if encode_reference is None:
+                self._json(HTTPStatus.NOT_IMPLEMENTED,
+                           {"error": "no reference encoder available"})
+                return
+            name = self.path.rsplit("/", 1)[1]
+            if not name:
+                self._json(HTTPStatus.BAD_REQUEST, {"error": "empty name"})
+                return
+            try:
+                import base64
+
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                wav = base64.b64decode(req["wav_b64"])
+                text = req.get("text", "")
+            except (ValueError, KeyError) as e:
+                self._json(HTTPStatus.BAD_REQUEST,
+                           {"error": f"bad body: {e!r}"})
+                return
+            try:
+                # encoder programs dispatch from this handler thread; JAX
+                # dispatch is thread-safe and the pool's determinism does
+                # not depend on program interleaving (per-slot keys)
+                profile = encode_reference(wav, text)
+            except Exception as e:  # noqa: BLE001 — surface as a 400
+                self._json(HTTPStatus.BAD_REQUEST,
+                           {"error": f"encode failed: {e}"})
+                return
+            voices[name] = profile
+            self._json(HTTPStatus.OK,
+                       {"voice": name, "frames": int(profile.codes.shape[1])})
 
         def do_DELETE(self):
             if self.path.startswith("/requests/"):
@@ -317,6 +357,7 @@ def make_server(tts, host: str = "127.0.0.1", port: int = 8080,
                      max_queue=max_queue)
     driver = ServeDriver(sess)
     handler = _make_handler(driver, tts._vocoder_cfg.sample_rate,
-                            voices=voices)
+                            voices=voices,
+                            encode_reference=tts.encode_reference)
     srv = ThreadingHTTPServer((host, port), handler)
     return srv, driver

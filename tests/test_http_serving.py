@@ -160,6 +160,36 @@ def test_per_request_voice_over_http(server):
     conn.close()
 
 
+def test_put_voice_registers_and_conditions(server):
+    """PUT /voices/<name> encodes reference audio through the codec encoder
+    and the new voice is immediately usable on /synthesize."""
+    import base64
+
+    import numpy as np
+
+    from fish_tts_tpu.utils.audio import to_wav_bytes
+
+    addr, tts = server
+    sr = tts._vocoder_cfg.sample_rate
+    wav = to_wav_bytes(
+        np.sin(np.linspace(0, 880 * np.pi, sr)).astype(np.float32) * 0.3, sr)
+    conn = http.client.HTTPConnection(*addr, timeout=300)
+    conn.request("PUT", "/voices/newvoice", json.dumps(
+        {"wav_b64": base64.b64encode(wav).decode(), "text": "a ref"}))
+    r = conn.getresponse()
+    out = json.loads(r.read())
+    assert r.status == 200 and out["voice"] == "newvoice"
+    assert out["frames"] > 0
+    conn.request("GET", "/voices")
+    assert "newvoice" in json.loads(conn.getresponse().read())["voices"]
+    conn.close()
+    body = {"text": "with new voice", "max_new_tokens": 10, "seed": 23}
+    conn = _post(addr, dict(body, voice="newvoice"))
+    voiced = conn.getresponse().read()
+    conn.close()
+    assert len(voiced) > 0
+
+
 def test_buffered_mode_returns_complete_wav(server):
     """stream=false buffers the request and returns one sized response; the
     WAV variant carries real RIFF sizes and its payload equals the
