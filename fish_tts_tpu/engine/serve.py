@@ -251,7 +251,12 @@ class ContinuousBatcher:
 
     # -- submission --------------------------------------------------------
 
-    def submit(
+    def submit(self, text: str, **kw) -> int:
+        """``prepare`` + ``enqueue`` in one call; see :meth:`prepare` for
+        the parameters.  Thread-safe."""
+        return self.enqueue(self.prepare(text, **kw))
+
+    def prepare(
         self,
         text: str,
         *,
@@ -265,7 +270,7 @@ class ContinuousBatcher:
         prompt_tokens: list[np.ndarray] | None = None,
         priority: int = 0,
         timeout_s: float = 0.0,
-    ) -> int:
+    ) -> _Request:
         """Queue a request; returns its id.  ``seed``/``key`` pin the
         request's RNG: with ``seed``, the served codes are bit-identical to
         ``engine.reseed(seed)`` followed by a solo ``generate_long`` (the
@@ -284,10 +289,28 @@ class ContinuousBatcher:
         ``priority``: higher-priority requests admit first (FIFO within a
         priority level; running requests are never preempted).
         ``timeout_s``: wall-clock deadline from submission — a request
-        still queued or decoding past it is auto-cancelled (no further
-        events, like an explicit ``cancel``)."""
+        still queued or decoding past it is auto-cancelled with one final
+        ``done`` event (empty codes), unlike an explicit ``cancel`` which
+        is silent (the caller initiated it).
+
+        ``prepare`` does the expensive host-side work (tokenize, prompt
+        assembly, key derivation) WITHOUT touching scheduler state, so
+        callers can keep their own locks narrow; :meth:`enqueue` is the
+        cheap thread-safe hand-off.  Raises ``QueueFull`` eagerly when the
+        queue is already at ``max_queue`` so shed load costs no encode."""
+        temperature = float(temperature)
+        top_p = float(top_p)
+        repetition_penalty = float(repetition_penalty)
+        priority = int(priority)
+        timeout_s = float(timeout_s)
+        max_new_tokens = int(max_new_tokens)
         assert 0 < top_p <= 1 and 0 < repetition_penalty < 2 \
             and 0 < temperature < 2  # reference ranges, inference.py:763-765
+        with self._lock:
+            if self.max_queue and len(self._queue) >= self.max_queue:
+                raise QueueFull(
+                    f"serve queue is full ({self.max_queue} requests)"
+                )
         eng = self.engine
         if key is None:
             key = (
@@ -323,7 +346,7 @@ class ContinuousBatcher:
             raise ValueError(f"Prompt is too long: {prompt_len}")
         max_new = min(max_new_tokens, cfg.max_seq_len - prompt_len) \
             if max_new_tokens else cfg.max_seq_len - prompt_len
-        req = _Request(
+        return _Request(
             id=next(self._ids), values=enc.values, max_new=max_new,
             temperature=temperature, top_p=top_p,
             repetition_penalty=repetition_penalty, key=slot_key,
@@ -331,6 +354,9 @@ class ContinuousBatcher:
             priority=priority,
             deadline=(time.monotonic() + timeout_s) if timeout_s else 0.0,
         )
+
+    def enqueue(self, req: _Request) -> int:
+        """Queue a prepared request (cheap, thread-safe); returns its id."""
         with self._lock:
             if self.max_queue and len(self._queue) >= self.max_queue:
                 raise QueueFull(
@@ -476,15 +502,24 @@ class ContinuousBatcher:
         with self._lock:
             pending = list(self._queue)
         expired = [
-            req.id
+            req
             for req in list(self._slot_req) + pending
             if req is not None and req.deadline and now > req.deadline
+            and not req.finished
         ]
         if expired:
-            with self._lock:
-                self._cancelled.update(expired)
+            ids = [r.id for r in expired]
             logger.info("serve: %d request(s) past deadline, cancelling: %s",
-                        len(expired), expired)
+                        len(ids), ids)
+            with self._lock:
+                self._cancelled.update(ids)
+            # unlike an explicit cancel (silent — the caller initiated it),
+            # expiry emits one final done event so consumers see the stream
+            # END instead of hanging on a request that silently vanished
+            K = self.engine.cfg.num_codebooks
+            for req in expired:
+                events.append(Event(req.id, np.zeros((K, 0), np.int64),
+                                    True, req.produced, -1))
         self._apply_cancels()
         with self._lock:
             queued = len(self._queue)

@@ -32,7 +32,8 @@ Endpoints:
 - ``GET /healthz`` — liveness.
 
 Threading model: stdlib ``ThreadingHTTPServer`` threads only *submit* and
-*consume* (bounded per-request queues); all device work is dispatched by ONE
+*consume* (unbounded per-request queues with slow-consumer eviction); all
+device work is dispatched by ONE
 driver thread calling ``session.step()`` — the same single-dispatcher
 discipline the engine uses everywhere (JAX dispatch is not thread-safe per
 program stream, and one thread keeps the device queue ordering
@@ -51,7 +52,9 @@ from http import HTTPStatus
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from fish_tts_tpu.engine.serve import QueueFull
-from fish_tts_tpu.utils.audio import streaming_wav_header
+from fish_tts_tpu.utils.audio import (
+    streaming_wav_header, wav_header,
+)
 
 logger = logging.getLogger(__name__)
 
@@ -83,12 +86,14 @@ class ServeDriver:
         PCM ``bytes`` chunks then the done sentinel).  Raises ``QueueFull``
         under backpressure."""
         q: queue.Queue = queue.Queue()  # unbounded: the driver never blocks
-        # register under the ROUTING lock, atomically with the submit: the
-        # driver thread routes events under the same lock, so a fast request
-        # (warm caches) cannot complete and drop its events in the gap
-        # between sess.submit returning and the consumer appearing
+        # expensive prep (tokenize/prompt/keys) OUTSIDE the routing lock —
+        # holding it would stall PCM delivery for every live stream during
+        # a submit burst.  Registration is atomic with the cheap enqueue
+        # under the routing lock, so a fast request (warm caches) cannot
+        # complete and drop its events before its consumer exists.
+        req = self._sess.prepare(text, **kw)
         with self._lock:
-            rid = self._sess.submit(text, **kw)  # thread-safe
+            rid = self._sess.enqueue(req)
             self._consumers[rid] = q
         return rid, q
 
@@ -216,9 +221,11 @@ def _make_handler(driver: ServeDriver, sample_rate: int,
 
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n) or b"{}")
+                if not isinstance(req, dict):
+                    raise ValueError("body must be a JSON object")
                 wav = base64.b64decode(req["wav_b64"])
-                text = req.get("text", "")
-            except (ValueError, KeyError) as e:
+                text = str(req.get("text", ""))
+            except (ValueError, KeyError, TypeError) as e:
                 self._json(HTTPStatus.BAD_REQUEST,
                            {"error": f"bad body: {e!r}"})
                 return
@@ -255,8 +262,10 @@ def _make_handler(driver: ServeDriver, sample_rate: int,
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n) or b"{}")
+                if not isinstance(req, dict):
+                    raise ValueError("body must be a JSON object")
                 text = req["text"]
-            except (ValueError, KeyError) as e:
+            except (ValueError, KeyError, TypeError) as e:
                 self._json(HTTPStatus.BAD_REQUEST,
                            {"error": f"bad body: {e!r}"})
                 return
@@ -289,7 +298,7 @@ def _make_handler(driver: ServeDriver, sample_rate: int,
                 self.end_headers()
                 self.wfile.write(body)
                 return
-            except (AssertionError, ValueError) as e:
+            except (AssertionError, ValueError, TypeError) as e:
                 self._json(HTTPStatus.BAD_REQUEST, {"error": str(e)})
                 return
             if not req.get("stream", True):
@@ -303,14 +312,8 @@ def _make_handler(driver: ServeDriver, sample_rate: int,
                     chunks.append(item)
                 pcm = b"".join(chunks)
                 if fmt == "wav":
-                    import struct
-
-                    # the streaming header with the real sizes patched in —
-                    # the PCM bytes themselves are passed through untouched
-                    hdr = bytearray(streaming_wav_header(sample_rate))
-                    hdr[4:8] = struct.pack("<I", 36 + len(pcm))
-                    hdr[40:44] = struct.pack("<I", len(pcm))
-                    body, ctype = bytes(hdr) + pcm, "audio/wav"
+                    body = wav_header(sample_rate, len(pcm)) + pcm
+                    ctype = "audio/wav"
                 else:
                     body, ctype = pcm, "audio/L16"
                 self.send_response(HTTPStatus.OK)

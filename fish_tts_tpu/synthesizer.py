@@ -1073,15 +1073,24 @@ class ServeSession:
         request's prompt — co-tenant requests can each speak with a
         different voice.  Incompatible with a session-level cached prefix
         (``set_references``/``add_reference`` on the FishTTS instance)."""
-        kw = {}
+        return self._srv.enqueue(self.prepare(
+            text, max_new_tokens=max_new_tokens, temperature=temperature,
+            top_p=top_p, repetition_penalty=repetition_penalty, seed=seed,
+            references=references, priority=priority, timeout_s=timeout_s,
+        ))
+
+    def prepare(self, text: str, *, references=None, **kw):
+        """Expensive host-side request preparation (tokenize/prompt/keys)
+        without touching scheduler state; pair with :meth:`enqueue`.  Lets
+        callers (e.g. the HTTP driver) keep their own locks narrow."""
         if references:
             kw["prompt_text"] = [r.text for r in references]
             kw["prompt_tokens"] = [r.codes for r in references]
-        return self._srv.submit(
-            text, max_new_tokens=max_new_tokens, temperature=temperature,
-            top_p=top_p, repetition_penalty=repetition_penalty, seed=seed,
-            priority=priority, timeout_s=timeout_s, **kw,
-        )
+        return self._srv.prepare(text, **kw)
+
+    def enqueue(self, req) -> int:
+        """Queue a prepared request (cheap, thread-safe); returns its id."""
+        return self._srv.enqueue(req)
 
     def cancel(self, request_id: int) -> None:
         """Abort a request (thread-safe; applied at the next round).  The LM
@@ -1121,11 +1130,21 @@ class ServeSession:
             del self._cancel_drop[rid]
         for rid in self._cancel_drop:
             self._cancel_drop[rid] -= 1
+        instant_done: list[AudioEvent] = []
         for ev in self._srv.step():
             if ev.request_id in self._cancel_drop:
                 continue
             st = self._streams.get(ev.request_id)
             if st is None:
+                if ev.done and not ev.codes.shape[1]:
+                    # frame-less finish for a stream we never saw (e.g. a
+                    # deadline expiry while still queued, slot=-1): emit
+                    # the end-of-stream directly, never touch the slot
+                    # queues
+                    instant_done.append(
+                        AudioEvent(ev.request_id, b"", True,
+                                   ev.frames_total))
+                    continue
                 st = _SlotAudioStream(ev.request_id)
                 self._streams[ev.request_id] = st
                 self._slot_q[ev.slot].append(st)
@@ -1177,7 +1196,7 @@ class ServeSession:
         nxt = (audio, emits) if (audio is not None or emits) else None
         out = self._emit(*self._pending) if self._pending is not None else []
         self._pending = nxt
-        return out
+        return instant_done + out
 
     def _emit(self, audio, emits) -> list[AudioEvent]:
         from fish_tts_tpu.utils.audio import to_pcm_bytes

@@ -81,19 +81,27 @@ def to_wav_bytes(audio: np.ndarray, sample_rate: int = DEFAULT_SAMPLE_RATE) -> b
     return buf.getvalue()
 
 
-def streaming_wav_header(sample_rate: int = DEFAULT_SAMPLE_RATE) -> bytes:
-    """44-byte WAV header for a 16-bit mono stream of UNKNOWN length
-    (RIFF/data sizes 0xFFFFFFFF — the conventional live-stream sentinel;
-    players read to EOF).  Prepend to raw int16 PCM chunks to make a
-    progressively-playable stream."""
+def wav_header(sample_rate: int = DEFAULT_SAMPLE_RATE,
+               data_size: int | None = None) -> bytes:
+    """44-byte 16-bit mono WAV header.  ``data_size=None`` writes the
+    0xFFFFFFFF live-stream sentinel sizes (players read to EOF) — prepend
+    to raw int16 PCM chunks for a progressively-playable stream; a concrete
+    ``data_size`` writes real RIFF sizes for a finished file."""
     import struct
 
+    riff = 0xFFFFFFFF if data_size is None else 36 + data_size
+    data = 0xFFFFFFFF if data_size is None else data_size
     return (
-        b"RIFF" + struct.pack("<I", 0xFFFFFFFF) + b"WAVEfmt "
+        b"RIFF" + struct.pack("<I", riff) + b"WAVEfmt "
         + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
                       sample_rate * 2, 2, 16)
-        + b"data" + struct.pack("<I", 0xFFFFFFFF)
+        + b"data" + struct.pack("<I", data)
     )
+
+
+def streaming_wav_header(sample_rate: int = DEFAULT_SAMPLE_RATE) -> bytes:
+    """Unknown-length (live-stream) WAV header; see :func:`wav_header`."""
+    return wav_header(sample_rate, None)
 
 
 def to_pcm_bytes(audio: np.ndarray) -> bytes:

@@ -239,8 +239,17 @@ def test_driver_close_releases_inflight_consumers():
 def test_bad_body_and_unknown_path(server):
     addr, _ = server
     conn = http.client.HTTPConnection(*addr, timeout=60)
-    conn.request("POST", "/synthesize", "{}",
-                 {"Content-Type": "application/json"})
+    # every malformed body must get a 400 RESPONSE, never a dead socket:
+    for body in ("{}", "[1,2]", '"str"',
+                 '{"text": "x", "temperature": "hot"}',
+                 '{"text": "x", "priority": "high"}',
+                 '{"text": "x", "seed": "abc"}'):
+        conn.request("POST", "/synthesize", body,
+                     {"Content-Type": "application/json"})
+        r = conn.getresponse()
+        assert r.status == 400, body
+        r.read()
+    conn.request("PUT", "/voices/x", "[1]")
     r = conn.getresponse()
     assert r.status == 400
     r.read()
@@ -249,3 +258,23 @@ def test_bad_body_and_unknown_path(server):
     assert r.status == 404
     r.read()
     conn.close()
+
+
+def test_deadline_expiry_ends_http_stream(server):
+    """A running request whose timeout_s expires must END its HTTP stream
+    (final done event through the session) — not wedge the slot queue or
+    hang the consumer — and the slot must be reusable afterward."""
+    addr, _ = server
+    conn = _post(addr, {"text": "expires mid-decode", "max_new_tokens": 4000,
+                        "seed": 33, "timeout_s": 2.0}, timeout=120)
+    resp = conn.getresponse()
+    pcm = resp.read()  # must terminate (not hang) once the deadline passes
+    conn.close()
+    assert len(pcm) < 4000 * 2 * 2048
+    # slot is healthy: a normal request completes afterwards
+    conn = _post(addr, {"text": "after expiry", "max_new_tokens": 8,
+                        "seed": 34})
+    r = conn.getresponse()
+    out = r.read()
+    conn.close()
+    assert r.status == 200 and len(out) > 0

@@ -253,8 +253,10 @@ def test_priority_admission_order(engine):
 
 
 def test_deadline_auto_cancels(engine):
-    """A request whose timeout_s expires while queued is auto-cancelled (no
-    events); one with a generous deadline completes."""
+    """A request whose timeout_s expires while queued is auto-cancelled with
+    ONE final empty done event (consumers see the stream end — unlike an
+    explicit cancel, which is silent); one with a generous deadline
+    completes."""
     srv = ContinuousBatcher(engine, slots=1)
     r_slow = srv.submit("long occupier", max_new_tokens=24, seed=81,
                         temperature=0.7, top_p=0.8, repetition_penalty=1.1)
@@ -264,9 +266,12 @@ def test_deadline_auto_cancels(engine):
     r_ok = srv.submit("will finish", max_new_tokens=8, seed=83,
                       temperature=0.7, top_p=0.8, repetition_penalty=1.1,
                       timeout_s=600.0)
-    codes, done = _collect(srv.run())
-    assert r_dead not in codes and r_dead not in done
-    assert {r_slow, r_ok} <= done
+    events = list(srv.run())
+    dead_evs = [e for e in events if e.request_id == r_dead]
+    assert len(dead_evs) == 1 and dead_evs[0].done
+    assert dead_evs[0].codes.shape[1] == 0
+    codes, done = _collect(events)
+    assert {r_slow, r_ok, r_dead} <= done
 
 
 def test_queue_backpressure_and_stats(engine):
