@@ -25,6 +25,20 @@ Endpoints:
   ``{"wav_b64": <base64 WAV>, "text": <transcript>}``; the reference audio
   is encoded through the codec encoder (``FishTTS.encode_reference``) and
   the profile becomes usable as ``"voice": "<name>"`` immediately.
+- ``POST /v1/audio/speech`` — OpenAI-compatible speech endpoint (drop-in
+  for clients built against the OpenAI audio API): body JSON
+  ``{"model": ..., "input": <text>, "voice": <name>, "response_format":
+  "wav"|"pcm", "speed": 1.0}``.  ``model`` is accepted and ignored;
+  ``voice`` names not in the server registry (e.g. OpenAI's stock
+  "alloy") fall back to the default voice rather than erroring, so stock
+  clients work unmodified; compressed formats (mp3/opus/aac/flac) are
+  rejected with 400 (no codec dependency — use wav), and the default
+  ``response_format`` is ``wav`` (not OpenAI's mp3) for the same reason.
+  ``wav`` responds buffered with a complete RIFF file (OpenAI file
+  semantics); ``pcm`` streams chunked raw int16 as the pool decodes —
+  note the sample rate is the model's native 44.1 kHz (OpenAI's pcm is
+  24 kHz), advertised in ``X-Sample-Rate``.  Native extras
+  (``temperature``, ``seed``, ``max_new_tokens``, ...) pass through.
 - ``GET /stats`` — scheduler stats JSON (queue depth, live slots, p50/p95
   queue wait + TTFT over recent completions).
 - ``DELETE /requests/<id>`` — cancel a queued or running request; its
@@ -255,8 +269,37 @@ def _make_handler(driver: ServeDriver, sample_rate: int,
             else:
                 self._json(HTTPStatus.NOT_FOUND, {"error": "not found"})
 
+        def _openai_to_native(self, req: dict) -> dict:
+            """Translate an OpenAI ``/v1/audio/speech`` body to the native
+            ``/synthesize`` shape.  Raises ``ValueError`` on bodies we can
+            honor only by changing semantics (compressed formats, speed)."""
+            if "input" not in req:
+                raise ValueError("missing required field 'input'")
+            fmt = req.get("response_format", "wav")
+            if fmt not in ("wav", "pcm"):
+                raise ValueError(
+                    f"response_format {fmt!r} not supported (no audio "
+                    "codec dependency); use 'wav' or 'pcm'")
+            if float(req.get("speed", 1.0)) != 1.0:
+                raise ValueError("speed != 1.0 is not supported")
+            if req.get("stream_format", "audio") != "audio":
+                raise ValueError("only stream_format 'audio' is supported")
+            native = {"text": str(req["input"]), "format": fmt,
+                      # wav -> buffered complete file (OpenAI semantics);
+                      # pcm -> chunked stream as the pool decodes
+                      "stream": fmt == "pcm"}
+            # stock OpenAI voice names fall back to the default voice
+            if req.get("voice") in voices:
+                native["voice"] = req["voice"]
+            for k in ("max_new_tokens", "temperature", "top_p",
+                      "repetition_penalty", "seed", "priority",
+                      "timeout_s"):
+                if k in req:
+                    native[k] = req[k]
+            return native
+
         def do_POST(self):
-            if self.path != "/synthesize":
+            if self.path not in ("/synthesize", "/v1/audio/speech"):
                 self._json(HTTPStatus.NOT_FOUND, {"error": "not found"})
                 return
             try:
@@ -264,6 +307,8 @@ def _make_handler(driver: ServeDriver, sample_rate: int,
                 req = json.loads(self.rfile.read(n) or b"{}")
                 if not isinstance(req, dict):
                     raise ValueError("body must be a JSON object")
+                if self.path == "/v1/audio/speech":
+                    req = self._openai_to_native(req)
                 text = req["text"]
             except (ValueError, KeyError, TypeError) as e:
                 self._json(HTTPStatus.BAD_REQUEST,

@@ -278,3 +278,57 @@ def test_deadline_expiry_ends_http_stream(server):
     out = r.read()
     conn.close()
     assert r.status == 200 and len(out) > 0
+
+
+def test_openai_speech_endpoint_wav(server):
+    """/v1/audio/speech with OpenAI field names returns one complete WAV
+    (real RIFF sizes), with unknown stock voices falling back silently."""
+    addr, tts = server
+    conn = http.client.HTTPConnection(*addr, timeout=120)
+    conn.request("POST", "/v1/audio/speech",
+                 json.dumps({"model": "tts-1", "input": "openai hello",
+                             "voice": "alloy", "seed": 7,
+                             "max_new_tokens": 16}),
+                 {"Content-Type": "application/json"})
+    r = conn.getresponse()
+    assert r.status == 200
+    assert r.headers["Content-Type"] == "audio/wav"
+    body = r.read()
+    conn.close()
+    assert body[:4] == b"RIFF" and body[8:12] == b"WAVE"
+    # buffered mode: RIFF size fields are real, not the streaming sentinel
+    import struct
+    assert struct.unpack("<I", body[4:8])[0] == len(body) - 8
+
+
+def test_openai_speech_endpoint_pcm_stream_and_registry_voice(server):
+    addr, tts = server
+    conn = http.client.HTTPConnection(*addr, timeout=120)
+    conn.request("POST", "/v1/audio/speech",
+                 json.dumps({"input": "pcm", "voice": "gura",
+                             "response_format": "pcm", "seed": 8,
+                             "max_new_tokens": 12}),
+                 {"Content-Type": "application/json"})
+    r = conn.getresponse()
+    assert r.status == 200, r.read()
+    assert r.headers["Content-Type"] == "audio/L16"
+    assert int(r.headers["X-Sample-Rate"]) == tts._vocoder_cfg.sample_rate
+    pcm = r.read()
+    conn.close()
+    fl = tts._vocoder_cfg.frame_length
+    assert len(pcm) > 0 and len(pcm) % (2 * fl) == 0
+
+
+def test_openai_speech_endpoint_rejections(server):
+    addr, _ = server
+    conn = http.client.HTTPConnection(*addr, timeout=60)
+    for body in ('{"voice": "alloy"}',                      # no input
+                 '{"input": "x", "response_format": "mp3"}',
+                 '{"input": "x", "speed": 1.5}',
+                 '{"input": "x", "stream_format": "sse"}'):
+        conn.request("POST", "/v1/audio/speech", body,
+                     {"Content-Type": "application/json"})
+        r = conn.getresponse()
+        assert r.status == 400, body
+        r.read()
+    conn.close()
