@@ -368,3 +368,89 @@ def test_serve_with_voice_prefix(engine):
         np.testing.assert_array_equal(codes[rid], solo)
     finally:
         engine.clear_prefix()
+
+
+def test_scheduler_soak_random_interleaving(engine):
+    """Randomized soak over a 3-slot pool: staggered submits with mixed
+    priorities and budgets, random mid-flight cancels.  Invariants held
+    throughout: the pool fully drains; every un-cancelled request emits
+    exactly one done event and codes bit-identical to its solo run; a
+    cancelled id emits nothing after the cancel lands (+1 pipelined round)
+    and what it did emit is a prefix of its solo run; per-event
+    ``frames_total`` matches the cumulative column count."""
+    rng = np.random.RandomState(1234)
+    plans = [
+        {"text": f"soak request {i}", "seed": 500 + i,
+         "max_new": int(rng.randint(4, 20)),
+         "priority": int(rng.randint(0, 3))}
+        for i in range(12)
+    ]
+    solos = {
+        p["seed"]: _solo_codes(engine, p["text"], p["seed"], p["max_new"])
+        for p in plans
+    }
+
+    srv = ContinuousBatcher(engine, slots=3, max_queue=64)
+    pending = list(plans)
+    submitted: dict[int, dict] = {}
+    cancelled_at: dict[int, int] = {}
+    frames_seen: dict[int, int] = {}
+    codes_parts: dict[int, list] = {}
+    done_ids: set[int] = set()
+    round_i = 0
+    while pending or srv.busy:
+        for _ in range(int(rng.randint(0, 3))):
+            if not pending:
+                break
+            p = pending.pop()
+            rid = srv.submit(
+                p["text"], max_new_tokens=p["max_new"], seed=p["seed"],
+                temperature=0.7, top_p=0.8, repetition_penalty=1.1,
+                priority=p["priority"],
+            )
+            submitted[rid] = p
+        live = [r for r in submitted
+                if r not in done_ids and r not in cancelled_at]
+        if live and (rng.rand() < 0.2 or (round_i == 4 and not cancelled_at)):
+            victim = live[int(rng.randint(len(live)))]
+            srv.cancel(victim)
+            cancelled_at[victim] = round_i
+        if srv.busy:
+            for ev in srv.step():
+                rid = ev.request_id
+                assert rid in submitted
+                assert rid not in done_ids, "event after done"
+                if rid in cancelled_at:
+                    assert round_i <= cancelled_at[rid] + 1, \
+                        f"event {round_i} rounds after cancel " \
+                        f"at {cancelled_at[rid]}"
+                if ev.codes.shape[1]:
+                    codes_parts.setdefault(rid, []).append(ev.codes)
+                    frames_seen[rid] = (
+                        frames_seen.get(rid, 0) + ev.codes.shape[1])
+                    assert ev.frames_total == frames_seen[rid]
+                if ev.done:
+                    done_ids.add(rid)
+        round_i += 1
+        assert round_i < 2000, "soak did not converge"
+
+    # drained: no live slots, nothing queued
+    st = srv.stats()
+    assert not srv.busy and st["live_slots"] == 0 and st["queue_depth"] == 0
+    # every un-cancelled request finished, bit-identical to its solo run;
+    # cancelled ones never finished and emitted a solo prefix
+    for rid, p in submitted.items():
+        solo = solos[p["seed"]]
+        if rid in done_ids:
+            # completed (a same-round cancel may have raced completion —
+            # then the done event simply won)
+            got = np.concatenate(codes_parts[rid], axis=1)
+            np.testing.assert_array_equal(got, solo)
+        elif rid in cancelled_at:
+            if rid in codes_parts:
+                got = np.concatenate(codes_parts[rid], axis=1)
+                np.testing.assert_array_equal(
+                    got, solo[:, : got.shape[1]])
+        else:
+            raise AssertionError(f"request {rid} never finished")
+    assert len(done_ids) >= 1 and len(cancelled_at) >= 1  # soak exercised both
