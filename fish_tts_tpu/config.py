@@ -221,6 +221,36 @@ class VocoderConfig:
         """Total code rows the vocoder consumes (1 semantic + residual)."""
         return 1 + self.n_residual_codebooks
 
+    def to_json(self, path: str | Path) -> None:
+        """Persist alongside ``vocoder.safetensors`` so non-default codec
+        wiring round-trips through the native checkpoint format (the
+        reference hard-codes its wiring in code, synthesizer.py:199-269)."""
+        with open(path, "w", encoding="utf-8") as f:
+            json.dump(dataclasses.asdict(self), f, indent=2)
+
+    @staticmethod
+    def from_json(path: str | Path) -> "VocoderConfig":
+        """Load from a checkpoint directory or ``vocoder_config.json``."""
+        path = Path(path)
+        if path.is_dir():
+            path = path / "vocoder_config.json"
+        with open(path, "r", encoding="utf-8") as f:
+            data = json.load(f)
+        t = data.pop("quantizer_transformer", None)
+        known = {f.name for f in dataclasses.fields(VocoderConfig)}
+        kw = {
+            k: tuple(v) if isinstance(v, list) else v
+            for k, v in data.items() if k in known
+        }
+        if t is not None:
+            known_t = {
+                f.name for f in dataclasses.fields(VocoderTransformerConfig)
+            }
+            kw["quantizer_transformer"] = VocoderTransformerConfig(
+                **{k: v for k, v in t.items() if k in known_t}
+            )
+        return VocoderConfig(**kw)
+
 
 @dataclass(frozen=True)
 class EngineConfig:

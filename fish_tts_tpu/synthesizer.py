@@ -335,7 +335,12 @@ class FishTTS:
             raise FileNotFoundError(f"No LM weights in {d}")
         logger.info("Transformer loaded in %.1fs", time.perf_counter() - t0)
 
-        vocoder_cfg = VocoderConfig()
+        # native format may carry the codec wiring; default otherwise (the
+        # reference hard-codes it, synthesizer.py:199-269)
+        if (d / "vocoder_config.json").exists():
+            vocoder_cfg = VocoderConfig.from_json(d)
+        else:
+            vocoder_cfg = VocoderConfig()
         vocoder_params = None
         if (d / "vocoder.safetensors").exists():
             vocoder_params = ckpt.load_params(d / "vocoder.safetensors")

@@ -37,6 +37,43 @@ def make_tiny_bundle(seed: int = 0, dtype=jnp.float32):
     return cfg, params, tokenizer, vcfg, vparams
 
 
+def write_tiny_model_dir(out_dir: str | Path, seed: int = 0) -> Path:
+    """Write a complete tiny NATIVE-format checkpoint directory: the same
+    on-disk contract ``FishTTS(model_dir=...)`` loads for real models
+    (config.json + tokenizer.tiktoken + special_tokens.json +
+    lm.safetensors + vocoder.safetensors + vocoder_config.json), at test
+    size.  Exercises the full disk-load path hermetically — including in a
+    subprocess (e.g. driving ``scripts/serve_http.py``)."""
+    import dataclasses
+    import json
+
+    from fish_tts_tpu.config import TINY_CONFIG, TINY_VOCODER_CONFIG
+    from fish_tts_tpu.models import dual_ar, vocoder
+    from fish_tts_tpu.models.tokenizer import (
+        tiny_special_tokens,
+        write_tiny_vocab,
+    )
+    from fish_tts_tpu.utils import checkpoint as ckpt
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    cfg = TINY_CONFIG
+    with open(out / "config.json", "w", encoding="utf-8") as f:
+        json.dump(dataclasses.asdict(cfg), f, indent=2)
+    write_tiny_vocab(out / "tokenizer.tiktoken")
+    with open(out / "special_tokens.json", "w", encoding="utf-8") as f:
+        json.dump(tiny_special_tokens(cfg.codebook_size), f)
+    params = dual_ar.init_params(jax.random.PRNGKey(seed), cfg,
+                                 dtype=jnp.float32)
+    ckpt.save_params(out / "lm.safetensors", params, dtype="fp32")
+    vcfg = TINY_VOCODER_CONFIG
+    vparams = vocoder.init_vocoder_params(jax.random.PRNGKey(seed + 1), vcfg,
+                                          dtype=jnp.float32)
+    ckpt.save_params(out / "vocoder.safetensors", vparams, dtype="fp32")
+    vcfg.to_json(out / "vocoder_config.json")
+    return out
+
+
 def make_tiny_tts(seed: int = 0, warmup: bool = False):
     """A ready FishTTS running the tiny config on the current platform."""
     from fish_tts_tpu.synthesizer import FishTTS

@@ -604,6 +604,8 @@ def convert_checkpoint_dir(
         reports["vocoder"] = out[0]
         # codec.pth weights are fp32 — keep them lossless by default
         save_params(out_dir / "vocoder.safetensors", voc, dtype=vocoder_dtype)
+        # persist the codec wiring so non-default configs round-trip
+        vocoder_cfg.to_json(out_dir / "vocoder_config.json")
 
     for name in ("config.json", "tokenizer.tiktoken", "special_tokens.json"):
         src = model_dir / name

@@ -17,6 +17,14 @@ at the Python singleton (reference fish_tts/__init__.py:34-37).
 
 from __future__ import annotations
 
+import sys as _sys
+from pathlib import Path as _Path
+
+try:
+    import fish_tts_tpu  # noqa: F401
+except ModuleNotFoundError:
+    _sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))
+
 import argparse
 import logging
 
@@ -30,6 +38,15 @@ def main(argv=None) -> int:
     ap.add_argument("--max-queue", type=int, default=64)
     ap.add_argument("--precision", default="int8",
                     choices=("int8", "bf16", "fp32"))
+    ap.add_argument("--platform", default=None,
+                    help="force a JAX platform (e.g. 'cpu'); needed because "
+                         "JAX_PLATFORMS alone is not honored once a TPU "
+                         "plugin is installed")
+    ap.add_argument("--no-warmup", action="store_true",
+                    help="skip bucket-precompile warmup (first requests "
+                         "compile instead)")
+    ap.add_argument("--drain-timeout", type=float, default=30.0,
+                    help="seconds to finish in-flight requests on shutdown")
     ap.add_argument("--vocoder-device-index", type=int, default=None,
                     help="second chip for the disaggregated pool vocoder")
     ap.add_argument("--voices", default=None,
@@ -40,6 +57,9 @@ def main(argv=None) -> int:
     logging.basicConfig(level=logging.INFO)
 
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     from fish_tts_tpu import VoiceProfile, get_instance
     from fish_tts_tpu.serving.http import make_server
@@ -54,7 +74,9 @@ def main(argv=None) -> int:
             voices[npy.stem] = VoiceProfile.load(npy, text=text)
         logging.info("loaded %d voices: %s", len(voices), sorted(voices))
 
-    tts = get_instance(model_dir=args.model_dir, precision=args.precision)
+    tts = get_instance(model_dir=args.model_dir, precision=args.precision,
+                       device=args.platform or "tpu",
+                       warmup=not args.no_warmup)
     vdev = (jax.devices()[args.vocoder_device_index]
             if args.vocoder_device_index is not None else None)
     srv, driver = make_server(
@@ -63,12 +85,24 @@ def main(argv=None) -> int:
     )
     logging.info("serving on http://%s:%d (slots=%d, max_queue=%d)",
                  args.host, args.port, args.slots, args.max_queue)
+
+    # SIGTERM (the orchestrator's stop signal) drains gracefully: stop
+    # accepting, finish in-flight requests (bounded), then exit.  Without
+    # this a TERM kills the process mid-stream with no cleanup at all.
+    import signal
+    import threading
+
+    def _term(_sig, _frm):
+        logging.info("SIGTERM: draining and shutting down")
+        threading.Thread(target=srv.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _term)
     try:
         srv.serve_forever()
     except KeyboardInterrupt:
         pass
     finally:
-        driver.close()
+        driver.close(drain=True, timeout=args.drain_timeout)
         srv.shutdown()
     return 0
 
