@@ -41,6 +41,8 @@ Endpoints:
   (``temperature``, ``seed``, ``max_new_tokens``, ...) pass through.
 - ``GET /stats`` — scheduler stats JSON (queue depth, live slots, p50/p95
   queue wait + TTFT over recent completions).
+- ``GET /metrics`` — the same stats in Prometheus text exposition format
+  (``fish_tts_*`` gauges) for standard scrape-based monitoring.
 - ``DELETE /requests/<id>`` — cancel a queued or running request; its
   in-flight HTTP stream ends at the next chunk boundary.
 - ``GET /healthz`` — liveness.
@@ -213,6 +215,22 @@ def _make_handler(driver: ServeDriver, sample_rate: int,
                 self._json(HTTPStatus.OK, {"ok": True})
             elif self.path == "/stats":
                 self._json(HTTPStatus.OK, driver.stats())
+            elif self.path == "/metrics":
+                # Prometheus text exposition of the scheduler stats
+                lines = []
+                for k, v in sorted(driver.stats().items()):
+                    if isinstance(v, bool) or not isinstance(v, (int, float)):
+                        continue
+                    name = f"fish_tts_{k}"
+                    lines.append(f"# TYPE {name} gauge")
+                    lines.append(f"{name} {v}")
+                body = ("\n".join(lines) + "\n").encode()
+                self.send_response(HTTPStatus.OK)
+                self.send_header("Content-Type",
+                                 "text/plain; version=0.0.4; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             elif self.path == "/voices":
                 self._json(HTTPStatus.OK, {"voices": sorted(voices)})
             else:

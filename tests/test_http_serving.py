@@ -332,3 +332,23 @@ def test_openai_speech_endpoint_rejections(server):
         assert r.status == 400, body
         r.read()
     conn.close()
+
+
+def test_prometheus_metrics_endpoint(server):
+    addr, _ = server
+    conn = http.client.HTTPConnection(*addr, timeout=60)
+    conn.request("GET", "/metrics")
+    r = conn.getresponse()
+    assert r.status == 200
+    assert r.headers["Content-Type"].startswith("text/plain")
+    body = r.read().decode()
+    conn.close()
+    assert "fish_tts_queue_depth " in body
+    assert "fish_tts_live_slots " in body
+    # every sample line parses as "<name> <number>"
+    for line in body.strip().splitlines():
+        if line.startswith("#"):
+            continue
+        name, val = line.split(" ")
+        assert name.startswith("fish_tts_")
+        float(val)
