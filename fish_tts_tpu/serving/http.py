@@ -126,7 +126,7 @@ class ServeDriver:
     def is_done(self, item) -> bool:
         return item is _DONE
 
-    def close(self, drain: bool = False, timeout: float = 30.0) -> None:
+    def close(self, drain: bool = False, timeout: float = 30.0) -> bool:
         """Stop the driver.  ``drain=True`` keeps stepping until live
         requests finish (bounded by ``timeout``); either way every
         still-attached consumer gets the done sentinel so no HTTP handler
@@ -134,15 +134,38 @@ class ServeDriver:
         decision is made by the DRIVER thread between steps — an outside
         ``busy`` poll can catch the session mid-step, when finished streams
         are already popped but their final audio is not yet pending, and
-        stop with a round still in flight."""
+        stop with a round still in flight.
+
+        Returns True when the shutdown was clean: the driver thread exited
+        AND every consumer queue was emptied by its handler (so in-flight
+        HTTP streams were fully flushed before the caller exits the
+        process).  False means streams were truncated — logged, since
+        handler threads are daemons and die with the process."""
         if drain:
             self._drain.set()
         self._stop.set()
         self._thread.join(timeout=timeout)
+        clean = not self._thread.is_alive()
+        if not clean:
+            logger.warning(
+                "serve driver did not drain within %.0fs; "
+                "truncating live streams", timeout)
         with self._lock:
             consumers, self._consumers = self._consumers, {}
         for q in consumers.values():
             q.put(_DONE)
+        # handler threads (daemons) still hold queued PCM: give them a
+        # bounded window to flush to their sockets so a process exit right
+        # after close() does not truncate responses mid-stream.
+        deadline = time.monotonic() + min(10.0, timeout)
+        while time.monotonic() < deadline:
+            if all(q.empty() for q in consumers.values()):
+                time.sleep(0.05)  # tail write (chunk terminator) grace
+                return clean
+            time.sleep(0.02)
+        logger.warning("consumer queues still non-empty at close timeout; "
+                       "some HTTP streams may be truncated")
+        return False
 
     # -- driver thread -------------------------------------------------------
 
@@ -202,13 +225,32 @@ def _make_handler(driver: ServeDriver, sample_rate: int,
         def log_message(self, fmt, *args):  # noqa: D401
             logger.debug("%s - %s", self.address_string(), fmt % args)
 
-        def _json(self, code: int, obj: dict) -> None:
+        def _json(self, code: int, obj: dict,
+                  headers: dict | None = None) -> None:
             body = json.dumps(obj).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            for k, v in (headers or {}).items():
+                self.send_header(k, v)
             self.end_headers()
             self.wfile.write(body)
+
+        def _error(self, code: int, msg: str,
+                   headers: dict | None = None, **extra) -> None:
+            """Error response in the endpoint's native shape: OpenAI
+            clients expect the ``{"error": {"message", "type"}}`` envelope
+            on ``/v1/`` paths; the native endpoints use a flat string."""
+            if self.path.startswith("/v1/"):
+                obj = {"error": {
+                    "message": msg,
+                    "type": ("invalid_request_error" if code < 500
+                             else "server_error"),
+                    **extra,
+                }}
+            else:
+                obj = {"error": msg, **extra}
+            self._json(code, obj, headers=headers)
 
         def do_GET(self):
             if self.path == "/healthz":
@@ -329,8 +371,7 @@ def _make_handler(driver: ServeDriver, sample_rate: int,
                     req = self._openai_to_native(req)
                 text = req["text"]
             except (ValueError, KeyError, TypeError) as e:
-                self._json(HTTPStatus.BAD_REQUEST,
-                           {"error": f"bad body: {e!r}"})
+                self._error(HTTPStatus.BAD_REQUEST, f"bad body: {e!r}")
                 return
             kw = {}
             for k in ("max_new_tokens", "temperature", "top_p",
@@ -341,28 +382,24 @@ def _make_handler(driver: ServeDriver, sample_rate: int,
             if "voice" in req:
                 profile = voices.get(req["voice"])
                 if profile is None:
-                    self._json(HTTPStatus.BAD_REQUEST,
-                               {"error": f"unknown voice {req['voice']!r}",
-                                "voices": sorted(voices)})
+                    self._error(HTTPStatus.BAD_REQUEST,
+                                f"unknown voice {req['voice']!r}",
+                                voices=sorted(voices))
                     return
                 kw["references"] = [profile]
             fmt = req.get("format", "pcm")
             if fmt not in ("pcm", "wav"):
-                self._json(HTTPStatus.BAD_REQUEST,
-                           {"error": f"unknown format {fmt!r}"})
+                self._error(HTTPStatus.BAD_REQUEST,
+                            f"unknown format {fmt!r}")
                 return
             try:
                 rid, q = driver.submit(text, **kw)
             except QueueFull as e:
-                self.send_response(HTTPStatus.SERVICE_UNAVAILABLE)
-                self.send_header("Retry-After", "1")
-                body = json.dumps({"error": str(e)}).encode()
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
+                self._error(HTTPStatus.SERVICE_UNAVAILABLE, str(e),
+                            headers={"Retry-After": "1"})
                 return
             except (AssertionError, ValueError, TypeError) as e:
-                self._json(HTTPStatus.BAD_REQUEST, {"error": str(e)})
+                self._error(HTTPStatus.BAD_REQUEST, str(e))
                 return
             if not req.get("stream", True):
                 # buffered mode: one complete response with a known length
@@ -374,6 +411,15 @@ def _make_handler(driver: ServeDriver, sample_rate: int,
                         break
                     chunks.append(item)
                 pcm = b"".join(chunks)
+                if not pcm:
+                    # the request ended without producing audio (deadline
+                    # expiry, cancellation, or a driver failure).  Headers
+                    # have not been sent yet in buffered mode, so surface a
+                    # real error instead of a 200 with an empty file.
+                    self._error(HTTPStatus.GATEWAY_TIMEOUT,
+                                "request ended before producing audio "
+                                "(expired, cancelled, or failed)")
+                    return
                 if fmt == "wav":
                     body = wav_header(sample_rate, len(pcm)) + pcm
                     ctype = "audio/wav"

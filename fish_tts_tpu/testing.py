@@ -47,28 +47,23 @@ def write_tiny_model_dir(out_dir: str | Path, seed: int = 0) -> Path:
     import dataclasses
     import json
 
-    from fish_tts_tpu.config import TINY_CONFIG, TINY_VOCODER_CONFIG
-    from fish_tts_tpu.models import dual_ar, vocoder
     from fish_tts_tpu.models.tokenizer import (
         tiny_special_tokens,
         write_tiny_vocab,
     )
     from fish_tts_tpu.utils import checkpoint as ckpt
 
+    # persist make_tiny_bundle's outputs so the on-disk fixture can never
+    # diverge from the in-memory one
+    cfg, params, _tokenizer, vcfg, vparams = make_tiny_bundle(seed)
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
-    cfg = TINY_CONFIG
     with open(out / "config.json", "w", encoding="utf-8") as f:
         json.dump(dataclasses.asdict(cfg), f, indent=2)
     write_tiny_vocab(out / "tokenizer.tiktoken")
     with open(out / "special_tokens.json", "w", encoding="utf-8") as f:
         json.dump(tiny_special_tokens(cfg.codebook_size), f)
-    params = dual_ar.init_params(jax.random.PRNGKey(seed), cfg,
-                                 dtype=jnp.float32)
     ckpt.save_params(out / "lm.safetensors", params, dtype="fp32")
-    vcfg = TINY_VOCODER_CONFIG
-    vparams = vocoder.init_vocoder_params(jax.random.PRNGKey(seed + 1), vcfg,
-                                          dtype=jnp.float32)
     ckpt.save_params(out / "vocoder.safetensors", vparams, dtype="fp32")
     vcfg.to_json(out / "vocoder_config.json")
     return out

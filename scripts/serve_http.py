@@ -102,7 +102,13 @@ def main(argv=None) -> int:
     except KeyboardInterrupt:
         pass
     finally:
-        driver.close(drain=True, timeout=args.drain_timeout)
+        clean = driver.close(drain=True, timeout=args.drain_timeout)
+        if clean:
+            logging.info("drained cleanly")
+        else:
+            logging.warning("exited with truncated in-flight streams "
+                            "(drain exceeded --drain-timeout %.0fs)",
+                            args.drain_timeout)
         srv.shutdown()
     return 0
 

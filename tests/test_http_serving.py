@@ -352,3 +352,45 @@ def test_prometheus_metrics_endpoint(server):
         name, val = line.split(" ")
         assert name.startswith("fish_tts_")
         float(val)
+
+
+def test_openai_error_envelope(server):
+    """/v1/ error responses use OpenAI's {"error": {"message","type"}}
+    envelope (stock SDKs read error.message/error.type)."""
+    addr, _ = server
+    conn = http.client.HTTPConnection(*addr, timeout=60)
+    conn.request("POST", "/v1/audio/speech",
+                 '{"input": "x", "response_format": "mp3"}',
+                 {"Content-Type": "application/json"})
+    r = conn.getresponse()
+    assert r.status == 400
+    err = json.loads(r.read())["error"]
+    assert err["type"] == "invalid_request_error"
+    assert "mp3" in err["message"]
+    conn.close()
+
+
+def test_buffered_mode_errors_on_no_audio(server):
+    """A buffered request that ends without producing audio (deadline
+    expired while queued) gets a 504 error, not a 200 with an empty
+    file."""
+    addr, _ = server
+    # keep both slots AND the queue ahead of the buffered request occupied
+    # long past its deadline (tiny config caps each generation at ~100
+    # frames, so a single wave of blockers frees slots within ~100 ms)
+    blockers = [_post(addr, {"text": f"blocker {i}", "max_new_tokens": 600,
+                             "seed": 60 + i}) for i in range(4)]
+    resps = [c.getresponse() for c in blockers[:2]]
+    for r in resps:
+        assert len(r.read(2)) == 2  # first two streams live -> slots taken
+    conn = _post(addr, {"text": "expires queued", "max_new_tokens": 10,
+                        "timeout_s": 0.02, "stream": False, "format": "wav"})
+    r = conn.getresponse()
+    assert r.status == 504
+    assert "error" in json.loads(r.read())
+    conn.close()
+    # drain the blockers (tiny budgets: they all complete quickly)
+    resps += [c.getresponse() for c in blockers[2:]]
+    for c, r in zip(blockers, resps):
+        r.read()
+        c.close()
