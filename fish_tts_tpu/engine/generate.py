@@ -26,6 +26,7 @@ and the prompt-length guard matches inference.py:794-795.
 from __future__ import annotations
 
 import logging
+import threading
 from dataclasses import dataclass
 from typing import Iterator
 
@@ -147,6 +148,10 @@ class GenerationEngine:
                     "kernel still runs)", self.engine_cfg.sample_top_k,
                 )
         self._key = jax.random.PRNGKey(seed)
+        # serving entry points derive request keys from handler threads;
+        # an unlocked read-split-write would let two concurrent requests
+        # draw the SAME key (identical "random" audio for identical text)
+        self._key_lock = threading.Lock()
         self.metrics = Metrics()
         # Prefix (voice-profile) cache: state snapshot after prefilling the
         # reference blocks, shared across synthesize calls.
@@ -155,7 +160,8 @@ class GenerationEngine:
     # -- rng ---------------------------------------------------------------
 
     def _next_key(self) -> jax.Array:
-        self._key, sub = jax.random.split(self._key)
+        with self._key_lock:
+            self._key, sub = jax.random.split(self._key)
         return sub
 
     @property

@@ -90,6 +90,7 @@ class _Request:
     key: jax.Array  # slot base key (fold_in(request_key, 0))
     produced: int = 0
     prompt_len: int = 0  # full context length (prefix + prompt)
+    prefix_len: int = 0  # engine prefix length at prepare() time (0 = none)
     priority: int = 0  # higher admits first (FIFO within a priority)
     deadline: float = 0.0  # time.monotonic() deadline; 0 = none
     # observability timestamps (time.monotonic)
@@ -271,8 +272,10 @@ class ContinuousBatcher:
         priority: int = 0,
         timeout_s: float = 0.0,
     ) -> _Request:
-        """Queue a request; returns its id.  ``seed``/``key`` pin the
-        request's RNG: with ``seed``, the served codes are bit-identical to
+        """Build a request (host-side tokenize/prompt/key work, no
+        scheduler state touched); returns a ``_Request`` to hand to
+        :meth:`enqueue`.  ``seed``/``key`` pin the request's RNG: with
+        ``seed``, the served codes are bit-identical to
         ``engine.reseed(seed)`` followed by a solo ``generate_long`` (the
         seed goes through the same one split the engine's key schedule
         performs).
@@ -304,13 +307,18 @@ class ContinuousBatcher:
         priority = int(priority)
         timeout_s = float(timeout_s)
         max_new_tokens = int(max_new_tokens)
-        assert 0 < top_p <= 1 and 0 < repetition_penalty < 2 \
-            and 0 < temperature < 2  # reference ranges, inference.py:763-765
+        # reference ranges, inference.py:763-765.  Real raises (not assert:
+        # python -O would silently drop the server's 400 rejections)
+        if not (0 < top_p <= 1 and 0 < repetition_penalty < 2
+                and 0 < temperature < 2):
+            raise ValueError(
+                "sampling params out of range: need 0 < top_p <= 1, "
+                "0 < repetition_penalty < 2, 0 < temperature < 2"
+            )
+        if max_new_tokens < 0:
+            raise ValueError("max_new_tokens must be >= 0 (0 = unlimited)")
         with self._lock:
-            if self.max_queue and len(self._queue) >= self.max_queue:
-                raise QueueFull(
-                    f"serve queue is full ({self.max_queue} requests)"
-                )
+            self._check_queue_bound()
         eng = self.engine
         if key is None:
             key = (
@@ -350,18 +358,24 @@ class ContinuousBatcher:
             id=next(self._ids), values=enc.values, max_new=max_new,
             temperature=temperature, top_p=top_p,
             repetition_penalty=repetition_penalty, key=slot_key,
-            prompt_len=prompt_len, t_submit=time.monotonic(),
+            prompt_len=prompt_len, prefix_len=prefix_len,
+            t_submit=time.monotonic(),
             priority=priority,
             deadline=(time.monotonic() + timeout_s) if timeout_s else 0.0,
         )
 
+    def _check_queue_bound(self) -> None:
+        """Raise ``QueueFull`` at the ``max_queue`` bound.  Caller must
+        hold ``self._lock``."""
+        if self.max_queue and len(self._queue) >= self.max_queue:
+            raise QueueFull(
+                f"serve queue is full ({self.max_queue} requests)"
+            )
+
     def enqueue(self, req: _Request) -> int:
         """Queue a prepared request (cheap, thread-safe); returns its id."""
         with self._lock:
-            if self.max_queue and len(self._queue) >= self.max_queue:
-                raise QueueFull(
-                    f"serve queue is full ({self.max_queue} requests)"
-                )
+            self._check_queue_bound()
             self._queue.append(req)
         return req.id
 
@@ -400,7 +414,8 @@ class ContinuousBatcher:
     def _free_slots(self) -> list[int]:
         return [i for i, r in enumerate(self._slot_req) if r is None]
 
-    def _admit_many(self, slot_ids: list[int], reqs: list[_Request]) -> None:
+    def _admit_many(self, slot_ids: list[int],
+                    reqs: list[_Request]) -> list[_Request]:
         """Prefill a group of requests into their slots in ONE device
         program (:func:`_admit_group`).  Each prefill-sampled first frame
         stays on device (``req.first_dev``) and is emitted with the
@@ -410,7 +425,11 @@ class ContinuousBatcher:
         The group is always padded to G = pool size with sentinel rows
         (dropped by the install scatter) so the compile set stays one
         program per (prompt bucket, install rows) pair — prefill is
-        weight-bound, so the padding rows are nearly free."""
+        weight-bound, so the padding rows are nearly free.
+
+        Returns requests REJECTED at admission (the engine prefix changed
+        between ``prepare`` and now, so their prompt encoding is stale);
+        their slots are freed and the caller fails them."""
         now = time.monotonic()
         for req in reqs:
             req.t_admit = now
@@ -427,6 +446,27 @@ class ContinuousBatcher:
         else:
             prefix_len, kv_pre = 0, 0
             prefix_kv, prefix_pos = None, jnp.int32(0)
+
+        # a request encoded against a DIFFERENT prefix state than the one
+        # being forked now would decode against a wrong/truncated context
+        # (set_prefix/clear_prefix raced prepare->admission): fail it loudly
+        # instead of producing silently garbled audio
+        rejected = [r for r in reqs if r.prefix_len != prefix_len]
+        if rejected:
+            logger.error(
+                "serve: engine prefix changed between prepare and "
+                "admission (now %d) for request(s) %s; failing them",
+                prefix_len, [r.id for r in rejected],
+            )
+            keep = [(s, r) for s, r in zip(slot_ids, reqs)
+                    if r.prefix_len == prefix_len]
+            for s, r in zip(slot_ids, reqs):
+                if r.prefix_len != prefix_len:
+                    self._slot_req[s] = None
+            slot_ids = [s for s, _ in keep]
+            reqs = [r for _, r in keep]
+            if not reqs:
+                return rejected
 
         cap = cfg.max_seq_len - 1
         # shared prompt bucket: max member bucket (padding invariance is
@@ -482,6 +522,7 @@ class ContinuousBatcher:
             self._keys[slot] = req.key
             req.first_dev = (first, g)  # (G, 1+K) row g, fetched at _process
         self._dev_cache = None  # per-slot params changed
+        return rejected
 
     def step(self) -> list[Event]:
         """One scheduler round: admit queued requests into free slots,
@@ -501,11 +542,15 @@ class ContinuousBatcher:
         now = time.monotonic()
         with self._lock:
             pending = list(self._queue)
+            already_cancelled = set(self._cancelled)
         expired = [
             req
             for req in list(self._slot_req) + pending
             if req is not None and req.deadline and now > req.deadline
             and not req.finished
+            # an explicit cancel is SILENT by contract — expiry must not
+            # resurrect an event for an id the caller already cancelled
+            and req.id not in already_cancelled
         ]
         if expired:
             ids = [r.id for r in expired]
@@ -551,8 +596,16 @@ class ContinuousBatcher:
                     self._slot_req[slot] = req
             if take:
                 taken = free[: len(take)]
-                self._admit_many(taken, take)
+                rejected = self._admit_many(taken, take)
                 self._dirty -= set(taken)
+                K = self.engine.cfg.num_codebooks
+                for req in rejected:  # stale-prefix encodes: fail loudly
+                    req.finished = True
+                    self._record_done(req)
+                    events.append(Event(
+                        req.id, np.zeros((K, 0), np.int64), True,
+                        req.produced, -1,
+                    ))
         if self._dirty:
             # retired slots no successor claimed: force-finish so they stop
             # decoding past their request's budget (ordered after the
@@ -608,7 +661,9 @@ class ContinuousBatcher:
         frames_np = np.asarray(frames)
         emitted_np = np.asarray(emitted)
         events: list[Event] = []
-        budget_done = jnp.zeros((self.slots,), bool)
+        # host-side mask, one device transfer at the end (per-slot
+        # .at[].set dispatches would pay a tunnel round trip each)
+        budget_done = np.zeros((self.slots,), bool)
         any_budget_done = False
         n_tokens = 0
         for slot, req in snapshot.items():
@@ -624,11 +679,11 @@ class ContinuousBatcher:
                 first_np = np.asarray(arr)[g:g + 1]
                 req.first_dev = None
                 fs = np.concatenate([first_np, fs], axis=0)
-            n_tokens += fs.shape[0]
             if fs.shape[0] and not req.t_first:
                 req.t_first = time.monotonic()
             room = req.max_new - req.produced
             fs = fs[:room]
+            n_tokens += fs.shape[0]  # after truncation: only delivered frames
             req.produced += fs.shape[0]
             eos = fs.shape[0] > 0 and bool(fs[-1, 0] == eng.ids.im_end)
             done = (not bool(em[-1])) or eos or req.produced >= req.max_new
@@ -649,11 +704,11 @@ class ContinuousBatcher:
                     # even host a successor by the time this chunk lands)
                     self._slot_req[slot] = None
                     if not eos:  # device flag not set — force it
-                        budget_done = budget_done.at[slot].set(True)
+                        budget_done[slot] = True
                         any_budget_done = True
         eng.metrics.record_tokens(n_tokens)
         if any_budget_done:
-            self._state = _mark_done(self._state, budget_done)
+            self._state = _mark_done(self._state, jnp.asarray(budget_done))
         return events
 
     def _record_done(self, req: _Request) -> None:

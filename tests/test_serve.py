@@ -454,3 +454,85 @@ def test_scheduler_soak_random_interleaving(engine):
         else:
             raise AssertionError(f"request {rid} never finished")
     assert len(done_ids) >= 1 and len(cancelled_at) >= 1  # soak exercised both
+
+
+def test_prepare_input_validation(engine):
+    """Out-of-range sampling params and negative budgets raise real
+    ValueErrors (not asserts, which python -O would drop)."""
+    srv = ContinuousBatcher(engine, slots=1)
+    for kw in ({"temperature": 0.0}, {"top_p": 5.0},
+               {"repetition_penalty": 2.5}, {"max_new_tokens": -3}):
+        with pytest.raises(ValueError):
+            srv.prepare("x", **kw)
+
+
+def test_concurrent_prepares_get_distinct_keys(engine):
+    """Unseeded prepares from many threads must draw DISTINCT request keys
+    (the engine key split is locked; a race would hand two requests the
+    same RNG stream -> identical 'random' audio)."""
+    import threading as th
+
+    srv = ContinuousBatcher(engine, slots=1)
+    keys, errs = [], []
+    lock = th.Lock()
+
+    def worker():
+        try:
+            req = srv.prepare("key race probe")
+            with lock:
+                keys.append(tuple(np.asarray(req.key).tolist()))
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [th.Thread(target=worker) for _ in range(32)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert not errs
+    assert len(set(keys)) == 32
+
+
+def test_cancel_then_expiry_stays_silent(engine):
+    """An explicitly cancelled request whose deadline later passes emits
+    NO event (cancel is silent by contract; expiry must not resurrect
+    one)."""
+    srv = ContinuousBatcher(engine, slots=1)
+    r_live = srv.submit("keeps the pool busy", max_new_tokens=30, seed=70,
+                        temperature=0.7, top_p=0.8, repetition_penalty=1.1)
+    r_gone = srv.submit("cancelled then expires", max_new_tokens=30, seed=71,
+                        temperature=0.7, top_p=0.8, repetition_penalty=1.1,
+                        timeout_s=0.15)
+    srv.cancel(r_gone)
+    import time as _t
+    _t.sleep(0.2)  # deadline passes before the next step
+    events = list(srv.run())
+    assert all(ev.request_id != r_gone for ev in events)
+    assert any(ev.request_id == r_live and ev.done for ev in events)
+
+
+def test_prefix_change_between_prepare_and_admission_fails_request(engine):
+    """set_prefix between prepare() and admission makes the prepared
+    encoding stale: the request must FAIL (final done event, slot freed)
+    instead of decoding a corrupted context; co-tenants are unaffected."""
+    import numpy as _np
+
+    solo = _solo_codes(engine, "healthy co-tenant", seed=81, max_new=12)
+    srv = ContinuousBatcher(engine, slots=2)
+    stale = srv.prepare("prepared before prefix", max_new_tokens=12, seed=80)
+    # engine gains a prefix AFTER the prepare
+    codes = _np.random.RandomState(0).randint(
+        0, engine.cfg.codebook_size // 2,
+        (engine.cfg.num_codebooks, 4)).astype(_np.int64)
+    engine.set_prefix(["ref transcript"], [codes])
+    try:
+        srv.enqueue(stale)
+        ok = srv.submit("healthy co-tenant", max_new_tokens=12, seed=81,
+                        temperature=0.7, top_p=0.8, repetition_penalty=1.1)
+        codes_by_id, done = _collect(srv.run())
+        assert stale.id in done  # failed with a final done event...
+        assert stale.id not in codes_by_id or \
+            codes_by_id[stale.id].shape[1] == 0  # ...and no audio
+        assert ok in done
+    finally:
+        engine.clear_prefix()
