@@ -414,8 +414,9 @@ class ContinuousBatcher:
     def _free_slots(self) -> list[int]:
         return [i for i, r in enumerate(self._slot_req) if r is None]
 
-    def _admit_many(self, slot_ids: list[int],
-                    reqs: list[_Request]) -> list[_Request]:
+    def _admit_many(
+        self, slot_ids: list[int], reqs: list[_Request],
+    ) -> tuple[list[_Request], list[int]]:
         """Prefill a group of requests into their slots in ONE device
         program (:func:`_admit_group`).  Each prefill-sampled first frame
         stays on device (``req.first_dev``) and is emitted with the
@@ -427,9 +428,13 @@ class ContinuousBatcher:
         program per (prompt bucket, install rows) pair — prefill is
         weight-bound, so the padding rows are nearly free.
 
-        Returns requests REJECTED at admission (the engine prefix changed
-        between ``prepare`` and now, so their prompt encoding is stale);
-        their slots are freed and the caller fails them."""
+        Returns ``(rejected, rejected_slots)``: requests REJECTED at
+        admission (the engine prefix changed between ``prepare`` and now,
+        so their prompt encoding is stale) and the slots they briefly held.
+        Those slots are freed WITHOUT reinstalling device state, so the
+        caller must re-mark them dirty (a predictively-retired or cancelled
+        previous occupant still needs its force-finish) and fail the
+        requests."""
         now = time.monotonic()
         for req in reqs:
             req.t_admit = now
@@ -452,6 +457,7 @@ class ContinuousBatcher:
         # (set_prefix/clear_prefix raced prepare->admission): fail it loudly
         # instead of producing silently garbled audio
         rejected = [r for r in reqs if r.prefix_len != prefix_len]
+        rejected_slots: list[int] = []
         if rejected:
             logger.error(
                 "serve: engine prefix changed between prepare and "
@@ -463,10 +469,11 @@ class ContinuousBatcher:
             for s, r in zip(slot_ids, reqs):
                 if r.prefix_len != prefix_len:
                     self._slot_req[s] = None
+                    rejected_slots.append(s)
             slot_ids = [s for s, _ in keep]
             reqs = [r for _, r in keep]
             if not reqs:
-                return rejected
+                return rejected, rejected_slots
 
         cap = cfg.max_seq_len - 1
         # shared prompt bucket: max member bucket (padding invariance is
@@ -522,7 +529,7 @@ class ContinuousBatcher:
             self._keys[slot] = req.key
             req.first_dev = (first, g)  # (G, 1+K) row g, fetched at _process
         self._dev_cache = None  # per-slot params changed
-        return rejected
+        return rejected, rejected_slots
 
     def step(self) -> list[Event]:
         """One scheduler round: admit queued requests into free slots,
@@ -596,8 +603,13 @@ class ContinuousBatcher:
                     self._slot_req[slot] = req
             if take:
                 taken = free[: len(take)]
-                rejected = self._admit_many(taken, take)
+                rejected, rejected_slots = self._admit_many(taken, take)
                 self._dirty -= set(taken)
+                # a rejected request's slot got NO state reinstall — its
+                # previous occupant (predictively retired or cancelled)
+                # still needs the force-finish, else the slot decodes
+                # garbage alongside live slots until some later admission
+                self._dirty |= set(rejected_slots)
                 K = self.engine.cfg.num_codebooks
                 for req in rejected:  # stale-prefix encodes: fail loudly
                     req.finished = True

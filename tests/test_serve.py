@@ -534,5 +534,45 @@ def test_prefix_change_between_prepare_and_admission_fails_request(engine):
         assert stale.id not in codes_by_id or \
             codes_by_id[stale.id].shape[1] == 0  # ...and no audio
         assert ok in done
+        # the co-tenant decodes against the NEW prefix — identical to a
+        # solo run with the same seed under that prefix
+        solo_pfx = _solo_codes(engine, "healthy co-tenant", seed=81,
+                               max_new=12)
+        np.testing.assert_array_equal(codes_by_id[ok], solo_pfx)
     finally:
         engine.clear_prefix()
+    # without the prefix, the same seed gives different codes (sanity that
+    # the prefix actually changed the decode context above)
+    assert solo.shape != solo_pfx.shape or not np.array_equal(solo, solo_pfx)
+
+
+def test_rejected_admission_onto_dirty_slot_forces_finish(engine):
+    """A stale-prefix rejection landing on a predictively-retired slot must
+    NOT clear that slot's pending force-finish: the device done flag is
+    still set and the pool drains (no zombie slot decoding forever)."""
+    import numpy as _np
+
+    srv = ContinuousBatcher(engine, slots=1)
+    # occupy the single slot with a budget-bound request; once its final
+    # chunk dispatches, the slot is predictively retired (marked dirty)
+    first = srv.submit("budget bound occupant", max_new_tokens=6, seed=90,
+                       temperature=0.7, top_p=0.8, repetition_penalty=1.1)
+    ev1 = srv.step()  # admit + dispatch chunk 1 (dispatched 1+8 >= 6: dirty)
+    assert srv._dirty == {0}
+    # the slot is now free; a stale request (prepared pre-prefix) gets it
+    stale = srv.prepare("stale against new prefix", max_new_tokens=6,
+                        seed=91)
+    codes = _np.random.RandomState(1).randint(
+        0, engine.cfg.codebook_size // 2,
+        (engine.cfg.num_codebooks, 4)).astype(_np.int64)
+    engine.set_prefix(["ref transcript"], [codes])
+    try:
+        srv.enqueue(stale)
+        events = ev1 + list(srv.run())
+    finally:
+        engine.clear_prefix()
+    by_id, done = _collect(events)
+    assert first in done and stale.id in done
+    # the force-finish survived the rejection: nothing left running
+    assert not srv.busy and srv._dirty == set()
+    assert bool(np.asarray(srv._state["done"]).all())
