@@ -750,6 +750,145 @@ class FishTTS:
         if in_flight is not None:
             yield self._force_pcm(*in_flight)
 
+    def synthesize_long(
+        self,
+        text: str,
+        references: list[VoiceProfile] | None = None,
+        temperature: float = 0.7,
+        top_p: float = 0.8,
+        repetition_penalty: float = 1.1,
+        max_chars: int = 200,
+        carry_frames: int = 64,
+        max_tokens_per_chunk: int = 2048,
+    ) -> bytes:
+        """Long-form synthesis past one context window.  Returns WAV bytes.
+
+        The reference (and :meth:`synthesize`) is bounded by the model
+        context: prompts beyond ``max_seq_len - 2048`` raise
+        (inference.py:794-795) and one call cannot produce more than 2048
+        frames (~95 s).  This green-field entry point splits ``text`` into
+        sentence-aware chunks (:func:`fish_tts_tpu.utils.text.split_text`)
+        and synthesizes them sequentially, inlining the previous chunk's
+        text + trailing ``carry_frames`` generated codes as an extra
+        reference pair so voice and prosody carry across chunk boundaries
+        (the upstream Fish-Speech "iterative prompt" pattern).
+
+        ``max_chars`` bounds each chunk's text; ``carry_frames`` bounds the
+        rolling audio context (~3 s at 64 frames).  Both must leave the
+        combined prompt (references + carry + chunk text) inside
+        ``max_seq_len - reserve`` or the engine raises ``ValueError``.
+        """
+        pcm = bytearray()
+        for chunk in self.synthesize_long_stream(
+            text, references=references, temperature=temperature,
+            top_p=top_p, repetition_penalty=repetition_penalty,
+            max_chars=max_chars, carry_frames=carry_frames,
+            max_tokens_per_chunk=max_tokens_per_chunk,
+        ):
+            pcm.extend(chunk)
+        if not pcm:
+            raise RuntimeError("No audio generated")
+        from fish_tts_tpu.utils.audio import to_wav_bytes
+
+        samples = np.frombuffer(bytes(pcm), np.int16).astype(np.float32)
+        return to_wav_bytes(samples / 32767.0)
+
+    def synthesize_long_stream(
+        self,
+        text: str,
+        references: list[VoiceProfile] | None = None,
+        chunk_tokens: int = 20,
+        min_first_chunk: int = 10,
+        temperature: float = 0.7,
+        top_p: float = 0.8,
+        repetition_penalty: float = 1.1,
+        max_chars: int = 200,
+        carry_frames: int = 64,
+        max_tokens_per_chunk: int = 2048,
+    ) -> Iterator[bytes]:
+        """Streaming :meth:`synthesize_long`: yields raw int16 PCM chunks
+        (44.1 kHz mono) continuously across ALL text chunks — first audio
+        after ``min_first_chunk`` frames of the first chunk, exactly like
+        :meth:`synthesize_stream`, however long the input text.
+
+        Voice continuity: chunk ``i > 0`` synthesizes with the base
+        references plus ``(chunk[i-1] text, its trailing carry_frames
+        codes)`` as one extra reference pair.  The first chunk uses the
+        session prefix cache when no explicit references are passed; later
+        chunks re-prefill explicitly (the carry pair changes every chunk).
+        Each text chunk restarts the stateful vocoder — chunk boundaries
+        are sentence boundaries, so the joins land in natural pauses.
+        """
+        from fish_tts_tpu.utils.text import split_text
+
+        chunks = split_text(text, max_chars)
+        if references is not None:
+            base = list(references)
+        else:
+            base = self.get_references()
+        prev: VoiceProfile | None = None
+        for i, chunk_text in enumerate(chunks):
+            if prev is None:
+                # None -> _get_prompt_data may use the cached device prefix
+                refs = references
+            else:
+                refs = base + [prev]
+            prompt_text, prompt_tokens, use_prefix = \
+                self._get_prompt_data(refs)
+            sv = _StreamVocoder(self)
+            buffer: list[np.ndarray] = []
+            collected: list[np.ndarray] = []
+            total = 0
+            is_first = i == 0
+            in_flight = None
+            for response in self._engine.generate_long(
+                chunk_text,
+                max_new_tokens=max_tokens_per_chunk,
+                temperature=temperature,
+                top_p=top_p,
+                repetition_penalty=repetition_penalty,
+                prompt_text=prompt_text,
+                prompt_tokens=prompt_tokens,
+                streaming=True,
+                use_prefix_cache=use_prefix,
+            ):
+                if response.action == "sample":
+                    buffer.append(response.codes)
+                    collected.append(response.codes)
+                    total += response.codes.shape[1]
+                    if total >= (min_first_chunk if is_first
+                                 else chunk_tokens):
+                        audio, n = sv.decode_async(
+                            np.concatenate(buffer, axis=1))
+                        buffer, total = [], 0
+                        if is_first:  # latency-critical: force it now
+                            yield self._force_pcm(audio, n, 0)
+                        else:
+                            if in_flight is not None:
+                                yield self._force_pcm(*in_flight)
+                            in_flight = (audio, n, 0)
+                        is_first = False
+                elif response.action == "next":
+                    break
+            if buffer:
+                if in_flight is not None:
+                    yield self._force_pcm(*in_flight)
+                in_flight = (*sv.decode_async(
+                    np.concatenate(buffer, axis=1)), 0)
+            if in_flight is not None:
+                yield self._force_pcm(*in_flight)
+            if collected:
+                codes = np.concatenate(collected, axis=1)
+                # streaming yields the EOS frame too (inference.py:271-274);
+                # drop it from the carry like the reference's batch path
+                # strips it from returned codes (inference.py:839)
+                if codes.shape[1] > 1:
+                    codes = codes[:, :-1]
+                prev = VoiceProfile(
+                    codes=codes[:, -carry_frames:].astype(np.int64),
+                    text=chunk_text, name="_carry",
+                )
+
     def serve(self, slots: int = 8, vocoder_device=None,
               max_queue: int = 0) -> "ServeSession":
         """Continuous-batching audio serving: a session whose requests JOIN

@@ -1,0 +1,158 @@
+"""Long-form synthesis: sentence-aware chunking + rolling carry context.
+
+Green-field surface (the reference rejects prompts beyond
+``max_seq_len - 2048``, inference.py:794-795, and one call cannot exceed one
+context of audio): ``utils/text.split_text`` and
+``FishTTS.synthesize_long(_stream)``.
+"""
+
+import re
+
+import numpy as np
+import pytest
+
+from fish_tts_tpu.utils.text import split_text
+
+
+# ---------------------------------------------------------------------------
+# split_text
+# ---------------------------------------------------------------------------
+
+
+def _squash(s: str) -> str:
+    return re.sub(r"\s+", "", s)
+
+
+@pytest.mark.parametrize("max_chars", [12, 40, 200])
+def test_split_preserves_content_and_bound(max_chars):
+    text = ("First sentence here. Second one follows!  A third, with a "
+            "clause; and more?  Final bit without terminal punctuation")
+    chunks = split_text(text, max_chars)
+    assert all(len(c) <= max_chars for c in chunks)
+    assert _squash("".join(chunks)) == _squash(text)
+    assert all(c == c.strip() and c for c in chunks)
+
+
+def test_split_prefers_sentence_boundaries():
+    chunks = split_text("One. Two. Three.", 8)
+    assert chunks == ["One.", "Two.", "Three."]
+    # sentences pack together when they fit
+    assert split_text("One. Two. Three.", 80) == ["One. Two. Three."]
+
+
+def test_split_cjk_enders_and_newlines():
+    chunks = split_text("你好世界。第二句！\n\n第三句？", 6)
+    assert chunks == ["你好世界。", "第二句！", "第三句？"]
+
+
+def test_split_oversize_sentence_degrades():
+    # one long sentence: clause split, then whitespace, then hard cut
+    text = "alpha beta gamma, delta epsilon zeta; eta theta iota"
+    chunks = split_text(text, 20)
+    assert all(len(c) <= 20 for c in chunks)
+    assert _squash("".join(chunks)) == _squash(text)
+    # a single unbroken token still gets hard-cut
+    chunks = split_text("x" * 50, 16)
+    assert all(len(c) <= 16 for c in chunks)
+    assert "".join(chunks) == "x" * 50
+
+
+def test_split_empty_and_validation():
+    assert split_text("", 100) == []
+    assert split_text("   \n  ", 100) == []
+    with pytest.raises(ValueError):
+        split_text("hi", 0)
+
+
+# ---------------------------------------------------------------------------
+# FishTTS.synthesize_long(_stream)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tts():
+    from fish_tts_tpu.testing import make_tiny_tts
+
+    return make_tiny_tts()
+
+
+LONG_TEXT = "One two. Three four! Five six? Seven."
+
+
+def test_synthesize_long_multi_chunk_wav(tts):
+    """The text splits into several chunks; one valid WAV comes back whose
+    sample count is a whole number of vocoder frames."""
+    wav = tts.synthesize_long(
+        LONG_TEXT, max_chars=12, carry_frames=4, max_tokens_per_chunk=8,
+    )
+    assert wav[:4] == b"RIFF"
+    n_samples = (len(wav) - 44) // 2
+    assert n_samples > 0
+    assert n_samples % tts._vocoder_cfg.frame_length == 0
+
+
+def test_synthesize_long_stream_yields_across_chunks(tts):
+    pcm_chunks = list(tts.synthesize_long_stream(
+        LONG_TEXT, max_chars=12, carry_frames=4, max_tokens_per_chunk=8,
+        min_first_chunk=2, chunk_tokens=4,
+    ))
+    assert len(pcm_chunks) >= 2
+    assert all(isinstance(c, bytes) and c for c in pcm_chunks)
+
+
+def test_carry_context_threads_between_chunks(tts, monkeypatch):
+    """Chunk i>0 must be prompted with (chunk[i-1] text, its trailing
+    generated codes) as an extra reference pair — the voice-continuity
+    contract."""
+    calls = []
+    real = tts._engine.generate_long
+
+    def spy(text, **kw):
+        calls.append((text, [np.asarray(c) for c in kw["prompt_tokens"]],
+                      list(kw["prompt_text"])))
+        return real(text, **kw)
+
+    monkeypatch.setattr(tts._engine, "generate_long", spy)
+    tts.synthesize_long(
+        LONG_TEXT, max_chars=12, carry_frames=4, max_tokens_per_chunk=8,
+    )
+    assert len(calls) >= 2
+    first_text = calls[0][0]
+    assert calls[0][1] == []  # no carry on the first chunk
+    _, tokens, texts = calls[1]
+    assert texts[-1] == first_text  # previous chunk's text rides along
+    carry = tokens[-1]
+    assert carry.shape[0] == tts._cfg.num_codebooks
+    assert 1 <= carry.shape[1] <= 4  # bounded by carry_frames
+    assert carry.dtype == np.int64
+
+
+def test_long_respects_explicit_references(tts, monkeypatch):
+    """Explicit references are the base of every chunk's prompt; the carry
+    pair is appended after them."""
+    from fish_tts_tpu.synthesizer import VoiceProfile
+
+    ref = VoiceProfile(
+        codes=np.random.RandomState(3).randint(
+            0, tts._cfg.codebook_size // 2,
+            (tts._cfg.num_codebooks, 2)).astype(np.int64),
+        text="r",
+    )
+    calls = []
+    real = tts._engine.generate_long
+
+    def spy(text, **kw):
+        calls.append((list(kw["prompt_text"]), kw["use_prefix_cache"]))
+        return real(text, **kw)
+
+    monkeypatch.setattr(tts._engine, "generate_long", spy)
+    # short text/carry: base ref + carry pair + chunk must fit the tiny
+    # config's 64-token prompt cap
+    wav = tts.synthesize_long(
+        "Aa bb. Cc dd.", references=[ref], max_chars=8, carry_frames=2,
+        max_tokens_per_chunk=6,
+    )
+    assert wav[:4] == b"RIFF"
+    assert len(calls) >= 2
+    assert calls[0][0] == ["r"] and not calls[0][1]
+    assert calls[1][0][0] == "r" and len(calls[1][0]) == 2
