@@ -41,6 +41,14 @@ def parse_args(argv=None) -> argparse.Namespace:
     ap.add_argument("--top-p", type=float, default=0.8)
     ap.add_argument("--stream", action="store_true",
                     help="stream PCM chunks and report first-chunk latency")
+    ap.add_argument("--long", action="store_true",
+                    help="long-form mode: sentence-aware chunking with "
+                         "rolling voice-continuity context (for texts past "
+                         "one model context window)")
+    ap.add_argument("--max-chars", type=int, default=200,
+                    help="per-chunk text budget for --long")
+    ap.add_argument("--carry-frames", type=int, default=64,
+                    help="rolling audio-context frames for --long")
     ap.add_argument("--batch", nargs="+", metavar="TEXT",
                     help="synthesize several texts concurrently in one "
                          "batched device program; writes OUTPUT-0.wav, "
@@ -193,7 +201,13 @@ def main(argv=None) -> int:
         print(f"batched: {total_audio:.1f}s total audio in {wall:.2f}s "
               f"(aggregate RTF {wall / total_audio:.3f})")
         return 0
-    if args.stream:
+    if args.long:
+        wav = synth.synthesize_long(
+            args.text, references=references,
+            temperature=args.temperature, top_p=args.top_p,
+            max_chars=args.max_chars, carry_frames=args.carry_frames,
+        )
+    elif args.stream:
         wav = synthesize_streaming(args, synth, references)
     else:
         wav = synth.synthesize(

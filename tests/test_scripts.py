@@ -84,6 +84,17 @@ def test_example_synthesis_basic_cli(tiny_model_dir, tmp_path):
     assert wav[:4] == b"RIFF" and len(wav) > 44
 
 
+def test_example_synthesis_long_cli(tiny_model_dir, tmp_path):
+    mod = _load_script("example_synthesis")
+    out = tmp_path / "l.wav"
+    rc = mod.main(_common(tiny_model_dir) + [
+        "--long", "--max-chars", "12", "--carry-frames", "4",
+        "--text", "One two. Three four! Five six.", "-o", str(out),
+    ])
+    assert rc == 0
+    assert out.read_bytes()[:4] == b"RIFF"
+
+
 def test_example_synthesis_stream_cli(tiny_model_dir, tmp_path, capsys):
     mod = _load_script("example_synthesis")
     out = tmp_path / "s.wav"
