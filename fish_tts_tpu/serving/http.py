@@ -10,8 +10,12 @@ Endpoints:
 
 - ``POST /synthesize`` — body: JSON ``{"text": ..., "max_new_tokens": ...,
   "temperature": ..., "top_p": ..., "repetition_penalty": ..., "seed": ...,
-  "voice": ..., "priority": ..., "timeout_s": ..., "format": ...}`` (all
-  but ``text`` optional).  Responds with chunked
+  "voice": ..., "priority": ..., "timeout_s": ..., "format": ...,
+  "long": ..., "max_chars": ..., "carry_frames": ...}`` (all
+  but ``text`` optional).  ``"long": true`` serves texts past one model
+  context window: the pool decodes the request as a chain of sentence-aware
+  chunks with rolling voice-continuity context, streamed as ONE continuous
+  response (see ``ServeSession.submit``).  Responds with chunked
   ``audio/L16`` — raw int16 little-endian PCM streamed as the pool decodes
   it (headers: ``X-Sample-Rate``, ``X-Request-Id``).  The request joins the
   running decode pool; concurrent requests share one batched program per
@@ -376,7 +380,7 @@ def _make_handler(driver: ServeDriver, sample_rate: int,
             kw = {}
             for k in ("max_new_tokens", "temperature", "top_p",
                       "repetition_penalty", "seed", "priority",
-                      "timeout_s"):
+                      "timeout_s", "long", "max_chars", "carry_frames"):
                 if k in req:
                     kw[k] = req[k]
             if "voice" in req:

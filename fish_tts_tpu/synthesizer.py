@@ -1109,6 +1109,57 @@ class AudioEvent:
     frames_total: int  # cumulative LM frames emitted for this request
 
 
+class _LongChain:
+    """Serving-side long-form request: one external id, a chain of LM
+    requests (one per text chunk), one continuous audio stream.
+
+    Segment ``i > 0`` is prompted with the base references plus
+    ``(chunk[i-1], its trailing carry_frames codes)`` — the same rolling
+    continuity context as :meth:`FishTTS.synthesize_long` — unless the
+    engine holds a session-level prefix (then the prefix IS the voice and
+    successors submit plain text).  The pool vocoder state is carried
+    across segments (same audio stream, no reset), so the joins are
+    click-free."""
+
+    __slots__ = ("chunks", "idx", "cur", "base_texts", "base_codes",
+                 "carry_frames", "kw", "seed", "deadline", "tail",
+                 "frames_offset", "aliases")
+
+    def __init__(self, chunks, base_texts, base_codes, carry_frames,
+                 kw, seed, deadline):
+        self.chunks = chunks
+        self.idx = 1  # next chunk to submit
+        self.cur = -1  # current internal request id
+        self.base_texts = base_texts
+        self.base_codes = base_codes
+        self.carry_frames = carry_frames
+        self.kw = kw  # sampling/priority kwargs for successor prepares
+        self.seed = seed
+        self.deadline = deadline  # absolute time.monotonic(); 0 = none
+        self.tail: np.ndarray | None = None  # current segment's code tail
+        self.frames_offset = 0  # frames finished in previous segments
+        self.aliases: list[int] = []  # successor internal ids
+
+    def feed(self, codes: np.ndarray) -> None:
+        """Accumulate the current segment's trailing codes (one spare frame
+        so the EOS frame can be dropped at segment end)."""
+        keep = self.carry_frames + 1
+        tail = codes if self.tail is None \
+            else np.concatenate([self.tail, codes], axis=1)
+        self.tail = tail[:, -keep:]
+
+    def take_carry(self) -> np.ndarray | None:
+        """Finished segment's carry codes (EOS frame dropped, like the
+        reference's batch path strips it — inference.py:839)."""
+        tail = self.tail
+        self.tail = None
+        if tail is None or tail.shape[1] == 0:
+            return None
+        if tail.shape[1] > 1:
+            tail = tail[:, :-1]
+        return tail[:, -self.carry_frames:].astype(np.int64)
+
+
 class _SlotAudioStream:
     """One request's audio stream within the pool vocoder."""
 
@@ -1193,6 +1244,11 @@ class ServeSession:
         self._cancel_lock = threading.Lock()
         self._cancel_pending: set[int] = set()
         self._cancel_drop: dict[int, int] = {}  # rid -> rounds left to drop
+        # long-form chains: external id -> _LongChain; internal successor
+        # request id -> external id (both under _cancel_lock: submit/cancel
+        # run on handler threads, step on the driver thread)
+        self._chains: dict[int, _LongChain] = {}
+        self._alias: dict[int, int] = {}
         # one in-flight pool decode: (device_audio | None, emit list) —
         # forced NEXT round so the PCM fetch overlaps device work
         self._pending = None
@@ -1209,6 +1265,9 @@ class ServeSession:
         references: "list[VoiceProfile] | None" = None,
         priority: int = 0,
         timeout_s: float = 0.0,
+        long: bool = False,
+        max_chars: int = 200,
+        carry_frames: int = 64,
     ) -> int:
         """Queue a request; returns its id.  Thread-safe.  ``seed`` pins the
         request's sampling to its solo-run stream (engine.serve.submit).
@@ -1216,35 +1275,136 @@ class ServeSession:
         ``references``: per-request voice profiles, inlined into this
         request's prompt — co-tenant requests can each speak with a
         different voice.  Incompatible with a session-level cached prefix
-        (``set_references``/``add_reference`` on the FishTTS instance)."""
-        return self._srv.enqueue(self.prepare(
+        (``set_references``/``add_reference`` on the FishTTS instance).
+
+        ``long``: long-form mode for texts past one context window — the
+        text splits into sentence-aware chunks (``max_chars`` each) and the
+        chunks decode as a CHAIN of pool requests under this one id, each
+        prompted with its predecessor's text + trailing ``carry_frames``
+        codes for voice continuity (see :meth:`FishTTS.synthesize_long`).
+        The consumer sees one continuous PCM stream with one final done
+        event; ``timeout_s`` bounds the whole chain; ``seed`` derives one
+        sub-seed per chunk.  Co-tenant requests interleave with every
+        segment like with any other request."""
+        return self.enqueue(self.prepare(
             text, max_new_tokens=max_new_tokens, temperature=temperature,
             top_p=top_p, repetition_penalty=repetition_penalty, seed=seed,
             references=references, priority=priority, timeout_s=timeout_s,
+            long=long, max_chars=max_chars, carry_frames=carry_frames,
         ))
 
-    def prepare(self, text: str, *, references=None, **kw):
+    def prepare(self, text: str, *, references=None, long=False,
+                max_chars=200, carry_frames=64, **kw):
         """Expensive host-side request preparation (tokenize/prompt/keys)
         without touching scheduler state; pair with :meth:`enqueue`.  Lets
         callers (e.g. the HTTP driver) keep their own locks narrow."""
+        base_texts = [r.text for r in references] if references else []
+        base_codes = [np.asarray(r.codes) for r in references] \
+            if references else []
+        if not long:
+            if references:
+                kw["prompt_text"] = base_texts
+                kw["prompt_tokens"] = base_codes
+            return self._srv.prepare(text, **kw)
+        from fish_tts_tpu.utils.text import split_text
+
+        chunks = split_text(text, int(max_chars))
+        if not chunks:
+            raise ValueError("long request has no synthesizable text")
+        kw0 = dict(kw)
         if references:
-            kw["prompt_text"] = [r.text for r in references]
-            kw["prompt_tokens"] = [r.codes for r in references]
-        return self._srv.prepare(text, **kw)
+            kw0["prompt_text"] = base_texts
+            kw0["prompt_tokens"] = base_codes
+        req = self._srv.prepare(chunks[0], **kw0)
+        if len(chunks) > 1:
+            timeout_s = float(kw.get("timeout_s", 0.0))
+            # successor prepares rebuild prompts from these (timeout_s is
+            # recomputed per segment from the absolute deadline)
+            chain_kw = {k: v for k, v in kw.items()
+                        if k not in ("seed", "timeout_s")}
+            req._long_chain = _LongChain(
+                chunks, base_texts, base_codes, int(carry_frames),
+                chain_kw, kw.get("seed"),
+                (time.monotonic() + timeout_s) if timeout_s else 0.0,
+            )
+        return req
 
     def enqueue(self, req) -> int:
         """Queue a prepared request (cheap, thread-safe); returns its id."""
-        return self._srv.enqueue(req)
+        chain = getattr(req, "_long_chain", None)
+        rid = self._srv.enqueue(req)
+        if chain is not None:
+            chain.cur = rid
+            with self._cancel_lock:
+                self._chains[rid] = chain
+        return rid
 
     def cancel(self, request_id: int) -> None:
         """Abort a request (thread-safe; applied at the next round).  The LM
         slot stops decoding, buffered codes are dropped, and no further
         audio events are emitted for the id — audio already delivered (or
         already dispatched to the vocoder this round) is the only audio the
-        consumer ever sees."""
-        self._srv.cancel(request_id)
+        consumer ever sees.  Cancelling a long request's external id aborts
+        its whole chain."""
         with self._cancel_lock:
+            chain = self._chains.pop(request_id, None)
+            if chain is not None:
+                for a in chain.aliases:
+                    self._alias.pop(a, None)
+                # a racing in-flight event for a successor would resolve to
+                # its raw internal id once the alias is gone — mark those
+                # ids cancelled too so it cannot seed a zombie stream
+                self._cancel_pending.update(chain.aliases)
             self._cancel_pending.add(request_id)
+        self._srv.cancel(
+            chain.cur if chain is not None and chain.cur >= 0
+            else request_id
+        )
+
+    def _chain_next(self, eid: int, chain: _LongChain) -> bool:
+        """Submit a long request's next segment (driver thread, called when
+        the current segment's final LM event lands).  Returns False when the
+        chain must end instead (deadline passed, prompt no longer fits, or
+        queue backpressure) — the stream then finishes with the audio
+        produced so far and a warning."""
+        from fish_tts_tpu.engine.serve import QueueFull
+
+        now = time.monotonic()
+        if chain.deadline and now >= chain.deadline:
+            return False
+        idx = chain.idx
+        kw = dict(chain.kw)
+        if chain.seed is not None:
+            kw["seed"] = chain.seed + idx
+        if chain.deadline:
+            kw["timeout_s"] = chain.deadline - now
+        carry = chain.take_carry()
+        if not self._tts._engine.has_prefix and carry is not None:
+            # rolling continuity context; with a session prefix the prefix
+            # itself is the voice and successors submit plain text
+            kw["prompt_text"] = chain.base_texts + [chain.chunks[idx - 1]]
+            kw["prompt_tokens"] = chain.base_codes + [carry]
+        try:
+            req = self._srv.prepare(chain.chunks[idx], **kw)
+            # enqueue + registration atomically vs cancel(): a cancel that
+            # lands after this block pops the chain and cancels ``cur`` =
+            # the successor; one that landed before is seen here and the
+            # chain ends instead of spawning an orphan segment
+            with self._cancel_lock:
+                if self._chains.get(eid) is not chain:
+                    return False  # cancelled at the segment boundary
+                nid = self._srv.enqueue(req)
+                chain.idx += 1
+                chain.cur = nid
+                chain.aliases.append(nid)
+                self._alias[nid] = eid
+        except (ValueError, QueueFull) as e:
+            logger.warning(
+                "long request %d: chain ended early at chunk %d/%d: %s",
+                eid, idx, len(chain.chunks), e,
+            )
+            return False
+        return True
 
     def stats(self) -> dict:
         """Serving stats from the LM scheduler: queue depth, live slots,
@@ -1276,27 +1436,47 @@ class ServeSession:
             self._cancel_drop[rid] -= 1
         instant_done: list[AudioEvent] = []
         for ev in self._srv.step():
-            if ev.request_id in self._cancel_drop:
+            with self._cancel_lock:
+                eid = self._alias.get(ev.request_id, ev.request_id)
+                chain = self._chains.get(eid)
+            if eid in self._cancel_drop:
                 continue
-            st = self._streams.get(ev.request_id)
+            done = ev.done
+            frames_total = ev.frames_total
+            if chain is not None:
+                frames_total += chain.frames_offset
+                if ev.codes.shape[1]:
+                    chain.feed(ev.codes)
+                if done:
+                    # chain onward unless this segment FAILED (expiry /
+                    # rejection events carry slot=-1) or was the last
+                    if (ev.slot != -1 and chain.idx < len(chain.chunks)
+                            and self._chain_next(eid, chain)):
+                        done = False
+                        chain.frames_offset = frames_total
+                    else:
+                        with self._cancel_lock:
+                            self._chains.pop(eid, None)
+                            for a in chain.aliases:
+                                self._alias.pop(a, None)
+            st = self._streams.get(eid)
             if st is None:
-                if ev.done and not ev.codes.shape[1]:
+                if done and not ev.codes.shape[1]:
                     # frame-less finish for a stream we never saw (e.g. a
                     # deadline expiry while still queued, slot=-1): emit
                     # the end-of-stream directly, never touch the slot
                     # queues
                     instant_done.append(
-                        AudioEvent(ev.request_id, b"", True,
-                                   ev.frames_total))
+                        AudioEvent(eid, b"", True, frames_total))
                     continue
-                st = _SlotAudioStream(ev.request_id)
-                self._streams[ev.request_id] = st
+                st = _SlotAudioStream(eid)
+                self._streams[eid] = st
                 self._slot_q[ev.slot].append(st)
             if ev.codes.shape[1]:
                 st.bufs.append(ev.codes)
                 st.buffered += ev.codes.shape[1]
-            st.lm_done |= ev.done
-            st.frames_total = ev.frames_total
+            st.lm_done |= done
+            st.frames_total = frames_total
 
         n = self._n
         codes = np.zeros((self._slots, self._tts._cfg.num_codebooks, n),

@@ -127,6 +127,72 @@ def test_carry_context_threads_between_chunks(tts, monkeypatch):
     assert carry.dtype == np.int64
 
 
+def test_serve_long_request_chains(tts):
+    """A long=True serving request decodes as a chain of pool segments but
+    the consumer sees ONE stream: every event carries the external id, PCM
+    arrives across segments, and exactly one final done event lands."""
+    sess = tts.serve(slots=2)
+    n_prepares = [0]
+    real_prepare = sess._srv.prepare
+
+    def spy(text, **kw):
+        n_prepares[0] += 1
+        return real_prepare(text, **kw)
+
+    sess._srv.prepare = spy
+    try:
+        rid = sess.submit(LONG_TEXT, long=True, max_chars=12,
+                          carry_frames=4, max_new_tokens=6, seed=9)
+        # a co-tenant rides the same pool while the chain progresses
+        other = sess.submit("co tenant", max_new_tokens=6, seed=10)
+        events = list(sess.run())
+    finally:
+        sess._srv.prepare = real_prepare
+    assert {ev.request_id for ev in events} == {rid, other}
+    mine = [ev for ev in events if ev.request_id == rid]
+    assert sum(ev.done for ev in mine) == 1 and mine[-1].done
+    assert sum(len(ev.pcm) for ev in mine) > 0
+    assert n_prepares[0] >= 3  # >= 2 chain segments + the co-tenant
+    assert not sess.busy and not sess._chains and not sess._alias
+    # frames_total accumulates across segments
+    assert mine[-1].frames_total >= 2
+
+
+def test_serve_long_cancel_mid_chain(tts):
+    """Cancelling the external id aborts the WHOLE chain: no further
+    events, no orphan segments left running, bookkeeping drained."""
+    sess = tts.serve(slots=1)
+    rid = sess.submit(LONG_TEXT, long=True, max_chars=12, carry_frames=4,
+                      max_new_tokens=6, seed=11)
+    got_pcm = False
+    for ev in sess.run():
+        if ev.request_id == rid and ev.pcm:
+            got_pcm = True
+            sess.cancel(rid)
+            break
+    tail = list(sess.run())  # drain whatever was in flight
+    assert got_pcm
+    assert all(ev.request_id != rid for ev in tail)  # cancel is silent
+    assert not sess.busy and not sess._chains and not sess._alias
+
+
+def test_serve_long_expiry_while_queued(tts):
+    """A long request whose deadline passes before admission ends with one
+    frame-less done event (the chain never starts)."""
+    import time as _t
+
+    sess = tts.serve(slots=1)
+    blocker = sess.submit("holds the only slot", max_new_tokens=20, seed=12)
+    rid = sess.submit(LONG_TEXT, long=True, max_chars=12, carry_frames=4,
+                      max_new_tokens=6, timeout_s=0.05, priority=-1)
+    _t.sleep(0.1)
+    events = list(sess.run())
+    mine = [ev for ev in events if ev.request_id == rid]
+    assert mine and mine[-1].done and all(not ev.pcm for ev in mine)
+    assert any(ev.request_id == blocker and ev.done for ev in events)
+    assert not sess._chains and not sess._alias
+
+
 def test_long_respects_explicit_references(tts, monkeypatch):
     """Explicit references are the base of every chunk's prompt; the carry
     pair is appended after them."""
