@@ -12,15 +12,20 @@ Host-side tiktoken BPE wrapper, behavior-compatible with the reference
 - same ``semantic_begin_id``/``semantic_end_id`` and semantic-id <-> token-id
   mapping consumed by the LM embedding mask (reference llama.py:418-423).
 
-Tokenization is not on the TPU hot path (it runs once per synthesize call on
-the host), so tiktoken's native BPE is the right tool; everything downstream of
-token ids is JAX.
+Tokenization runs on the host once per request.  The default encode path is
+this repo's own native C++ BPE (fish_tts_tpu/native/bpe.cc — the TPU-native
+replacement for the Rust tiktoken core the reference leans on), verified
+token-for-token against tiktoken by tests/test_native_bpe.py; tiktoken remains
+the always-available fallback and the decode path.  Select with
+``FISH_TTS_TPU_BPE=auto|native|tiktoken`` (default ``auto``).  Everything
+downstream of token ids is JAX.
 """
 
 from __future__ import annotations
 
 import base64
 import json
+import os
 import re
 from pathlib import Path
 
@@ -147,6 +152,19 @@ class FishTokenizer:
             special_tokens=self.all_special_tokens_with_ids,
         )
 
+        mode = os.environ.get("FISH_TTS_TPU_BPE", "auto")
+        self._native = None
+        if mode in ("auto", "native"):
+            from fish_tts_tpu.native.bpe import load_native_bpe
+
+            self._native = load_native_bpe(ranks)
+            if self._native is None and mode == "native":
+                raise RuntimeError(
+                    "FISH_TTS_TPU_BPE=native but the native BPE library is "
+                    "unavailable (no g++ toolchain or build failure)"
+                )
+        self._special_split_res: dict[frozenset, re.Pattern] = {}
+
     @property
     def vocab_size(self) -> int:
         return len(self.tkt_model._mergeable_ranks)
@@ -166,6 +184,34 @@ class FishTokenizer:
     def im_end_id(self) -> int:
         return self.get_token_id(IM_END_TOKEN)
 
+    def _special_split_re(self, allowed: frozenset) -> re.Pattern:
+        """Regex matching any allowed special token literally.  No special is
+        a prefix-at-same-position of another (they all close with ``|>``), so
+        alternation order cannot change matches; sorted for determinism."""
+        pat = self._special_split_res.get(allowed)
+        if pat is None:
+            pat = re.compile("|".join(re.escape(t) for t in sorted(allowed)))
+            self._special_split_res[allowed] = pat
+        return pat
+
+    def _encode_span_native(self, span: str, allowed: set[str]) -> list[int]:
+        """Mirror tiktoken's encode: split on *allowed* specials, BPE-encode
+        the ordinary text between them (non-allowed specials flow into
+        ordinary text, as with tiktoken's ``disallowed_special=set()``)."""
+        native = self._native
+        if not allowed:
+            return native.encode_ordinary(span)
+        out: list[int] = []
+        pos = 0
+        for m in self._special_split_re(frozenset(allowed)).finditer(span):
+            if m.start() > pos:
+                out.extend(native.encode_ordinary(span[pos:m.start()]))
+            out.append(self.all_special_tokens_with_ids[m.group()])
+            pos = m.end()
+        if pos < len(span):
+            out.extend(native.encode_ordinary(span[pos:]))
+        return out
+
     def encode(self, s: str, allowed_special: bool | set[str] = True) -> list[int]:
         """Encode text, splitting very long inputs into fixed-size spans
         (tiktoken's regex engine degrades on multi-hundred-kB strings).  The
@@ -180,11 +226,14 @@ class FishTokenizer:
         out: list[int] = []
         for start in range(0, len(s), TIKTOKEN_MAX_ENCODE_CHARS):
             span = s[start:start + TIKTOKEN_MAX_ENCODE_CHARS]
-            out.extend(
-                self.tkt_model.encode(
-                    span, allowed_special=allowed, disallowed_special=set()
+            if self._native is not None:
+                out.extend(self._encode_span_native(span, allowed))
+            else:
+                out.extend(
+                    self.tkt_model.encode(
+                        span, allowed_special=allowed, disallowed_special=set()
+                    )
                 )
-            )
         return out
 
     def decode(self, tokens: list[int]) -> str:
