@@ -224,6 +224,7 @@ class ContinuousBatcher:
         self._queue: deque[_Request] = deque()
         self._cancelled: set[int] = set()
         self._done_stats: deque[dict] = deque(maxlen=1024)
+        self._n_expired = 0  # lifetime deadline expiries (driver thread only)
         self._ids = itertools.count()
         self._slot_req: list[_Request | None] = [None] * slots
         # pool state: free slots are done=True so decode holds them
@@ -570,6 +571,13 @@ class ContinuousBatcher:
             # END instead of hanging on a request that silently vanished
             K = self.engine.cfg.num_codebooks
             for req in expired:
+                # expired requests count toward stats like any other
+                # completion — they are exactly the worst-latency tail, and
+                # omitting them would make p95 queue_wait/TTFT look healthy
+                # precisely when the scheduler is overloaded
+                req.finished = True
+                self._record_done(req)
+                self._n_expired += 1
                 events.append(Event(req.id, np.zeros((K, 0), np.int64),
                                     True, req.produced, -1))
         self._apply_cancels()
@@ -744,6 +752,7 @@ class ContinuousBatcher:
         recs = list(self._done_stats)
         out = {
             "completed": len(recs),
+            "expired": self._n_expired,
             "queue_depth": depth,
             "live_slots": sum(r is not None for r in self._slot_req),
             "slots": self.slots,

@@ -32,6 +32,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from fish_tts_tpu.config import VocoderConfig, VocoderTransformerConfig
 from fish_tts_tpu.ops.attention import attention
@@ -137,8 +138,24 @@ def stream_wlt(
     W = st["pos"].shape[-1]
     # per-stream absolute positions: (B, T) queries over (B, W+T) keys
     qpos = st["off"][:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+    # Rotary angles: table rows for positions inside the precomputed range
+    # (bit-identical to the buffered _wlt_forward path), computed on the fly
+    # beyond it — a continuous serving stream (long-form chains carry ONE
+    # vocoder stream across segments) outgrows block_size (4096 frames
+    # ~ 190 s) and a clamped gather would silently freeze the rotation at
+    # the last row, corrupting attention for the rest of the stream.  The
+    # window mask only ever compares positions <=`window` apart, so fp32
+    # angle rounding at large absolute positions stays negligible.
     table = precompute_freqs_cis(tcfg.block_size, tcfg.head_dim, tcfg.rope_base)
-    freqs = table[qpos]  # (B, T, Dh/2, 2)
+    in_range = qpos < tcfg.block_size
+    freqs = table[jnp.minimum(qpos, tcfg.block_size - 1)]  # (B, T, Dh/2, 2)
+    dh = tcfg.head_dim
+    inv = 1.0 / (tcfg.rope_base ** (
+        np.arange(0, dh, 2)[: dh // 2].astype(np.float32) / dh))
+    ang = qpos.astype(jnp.float32)[..., None] * inv  # (B, T, Dh/2)
+    computed = jnp.stack(
+        [jnp.cos(ang), jnp.sin(ang)], axis=-1).astype(table.dtype)
+    freqs = jnp.where(in_range[..., None, None], freqs, computed)
     kpos = jnp.concatenate([st["pos"], qpos], axis=1)  # (B, W + T)
     diff = qpos[:, :, None] - kpos[:, None, :]
     allowed = (diff >= 0) & (diff < window) & (kpos[:, None, :] >= 0)

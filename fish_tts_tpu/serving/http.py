@@ -221,6 +221,18 @@ class ServeDriver:
 def _make_handler(driver: ServeDriver, sample_rate: int,
                   voices: dict | None = None, encode_reference=None):
     voices = voices or {}
+    # PUT /voices mutates the dict from one handler thread while GET /voices
+    # (or an unknown-voice error) iterates it from another — snapshot under a
+    # lock rather than lean on CPython iteration atomicity
+    voices_lock = threading.Lock()
+
+    def voice_names() -> list:
+        with voices_lock:
+            return sorted(voices)
+
+    def voice_get(name):
+        with voices_lock:
+            return voices.get(name)
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
@@ -278,7 +290,7 @@ def _make_handler(driver: ServeDriver, sample_rate: int,
                 self.end_headers()
                 self.wfile.write(body)
             elif self.path == "/voices":
-                self._json(HTTPStatus.OK, {"voices": sorted(voices)})
+                self._json(HTTPStatus.OK, {"voices": voice_names()})
             else:
                 self._json(HTTPStatus.NOT_FOUND, {"error": "not found"})
 
@@ -316,7 +328,8 @@ def _make_handler(driver: ServeDriver, sample_rate: int,
                 self._json(HTTPStatus.BAD_REQUEST,
                            {"error": f"encode failed: {e}"})
                 return
-            voices[name] = profile
+            with voices_lock:
+                voices[name] = profile
             self._json(HTTPStatus.OK,
                        {"voice": name, "frames": int(profile.codes.shape[1])})
 
@@ -353,7 +366,7 @@ def _make_handler(driver: ServeDriver, sample_rate: int,
                       # pcm -> chunked stream as the pool decodes
                       "stream": fmt == "pcm"}
             # stock OpenAI voice names fall back to the default voice
-            if req.get("voice") in voices:
+            if voice_get(req.get("voice")) is not None:
                 native["voice"] = req["voice"]
             for k in ("max_new_tokens", "temperature", "top_p",
                       "repetition_penalty", "seed", "priority",
@@ -384,11 +397,11 @@ def _make_handler(driver: ServeDriver, sample_rate: int,
                 if k in req:
                     kw[k] = req[k]
             if "voice" in req:
-                profile = voices.get(req["voice"])
+                profile = voice_get(req["voice"])
                 if profile is None:
                     self._error(HTTPStatus.BAD_REQUEST,
                                 f"unknown voice {req['voice']!r}",
-                                voices=sorted(voices))
+                                voices=voice_names())
                     return
                 kw["references"] = [profile]
             fmt = req.get("format", "pcm")

@@ -1123,7 +1123,7 @@ class _LongChain:
 
     __slots__ = ("chunks", "idx", "cur", "base_texts", "base_codes",
                  "carry_frames", "kw", "seed", "deadline", "tail",
-                 "frames_offset", "aliases")
+                 "frames_offset", "aliases", "pending", "pending_kw")
 
     def __init__(self, chunks, base_texts, base_codes, carry_frames,
                  kw, seed, deadline):
@@ -1139,6 +1139,12 @@ class _LongChain:
         self.tail: np.ndarray | None = None  # current segment's code tail
         self.frames_offset = 0  # frames finished in previous segments
         self.aliases: list[int] = []  # successor internal ids
+        # prepared-but-unenqueued successor, kept across QueueFull retries
+        # (the carry context was consumed by take_carry at prepare time)
+        self.pending = None
+        # built-but-unprepared successor kwargs (prepare itself fail-fasts
+        # with QueueFull at the bound): the carry context lives in here
+        self.pending_kw = None
 
     def feed(self, codes: np.ndarray) -> None:
         """Accumulate the current segment's trailing codes (one spare frame
@@ -1196,8 +1202,10 @@ class ServeSession:
     LM side: one :class:`~fish_tts_tpu.engine.serve.ContinuousBatcher` slot
     pool — requests admit into the running batched decode between chunks.
     Audio side: ONE pool-wide batched stateful vocoder
-    (``vocoder_stream.decode_chunk_pool``) whose per-slot streams are
-    aligned with the LM slots — every flushing request's chunk decodes in a
+    (``vocoder_stream.decode_chunk_pool``) with as many lanes as LM slots,
+    allocated from a free pool per audio stream (NOT keyed by the LM slot:
+    a long-form chain keeps its lane across segments while its LM slots are
+    recycled) — every flushing request's chunk decodes in a
     single device program per round and all PCM is fetched in a single
     device->host transfer.  Per-request B=1 vocoder dispatches cost ~42 ms
     each on a tunneled platform (~8 ms of it compute); at 16 slots that is
@@ -1249,6 +1257,9 @@ class ServeSession:
         # run on handler threads, step on the driver thread)
         self._chains: dict[int, _LongChain] = {}
         self._alias: dict[int, int] = {}
+        # chains whose next segment hit QueueFull: retried each round
+        # (driver thread only)
+        self._chain_retry: dict[int, _LongChain] = {}
         # one in-flight pool decode: (device_audio | None, emit list) —
         # forced NEXT round so the PCM fetch overlaps device work
         self._pending = None
@@ -1361,50 +1372,98 @@ class ServeSession:
             else request_id
         )
 
-    def _chain_next(self, eid: int, chain: _LongChain) -> bool:
+    def _chain_next(self, eid: int, chain: _LongChain) -> str:
         """Submit a long request's next segment (driver thread, called when
-        the current segment's final LM event lands).  Returns False when the
-        chain must end instead (deadline passed, prompt no longer fits, or
-        queue backpressure) — the stream then finishes with the audio
-        produced so far and a warning."""
+        the current segment's final LM event lands or on a backpressure
+        retry round).  Returns ``"ok"`` (successor enqueued), ``"retry"``
+        (queue momentarily full — the prepared request is kept on the chain
+        and re-enqueued next round), or ``"end"`` (deadline passed, prompt
+        no longer fits, or cancelled — the stream finishes with the audio
+        produced so far)."""
         from fish_tts_tpu.engine.serve import QueueFull
 
         now = time.monotonic()
         if chain.deadline and now >= chain.deadline:
-            return False
+            return "end"
         idx = chain.idx
-        kw = dict(chain.kw)
-        if chain.seed is not None:
-            kw["seed"] = chain.seed + idx
-        if chain.deadline:
-            kw["timeout_s"] = chain.deadline - now
-        carry = chain.take_carry()
-        if not self._tts._engine.has_prefix and carry is not None:
-            # rolling continuity context; with a session prefix the prefix
-            # itself is the voice and successors submit plain text
-            kw["prompt_text"] = chain.base_texts + [chain.chunks[idx - 1]]
-            kw["prompt_tokens"] = chain.base_codes + [carry]
-        try:
-            req = self._srv.prepare(chain.chunks[idx], **kw)
-            # enqueue + registration atomically vs cancel(): a cancel that
-            # lands after this block pops the chain and cancels ``cur`` =
-            # the successor; one that landed before is seen here and the
-            # chain ends instead of spawning an orphan segment
-            with self._cancel_lock:
-                if self._chains.get(eid) is not chain:
-                    return False  # cancelled at the segment boundary
+        req = chain.pending
+        if req is None:
+            kw = chain.pending_kw
+            if kw is None:
+                kw = dict(chain.kw)
+                if chain.seed is not None:
+                    kw["seed"] = chain.seed + idx
+                carry = chain.take_carry()
+                if not self._tts._engine.has_prefix and carry is not None:
+                    # rolling continuity context; with a session prefix the
+                    # prefix itself is the voice and successors submit plain
+                    # text
+                    kw["prompt_text"] = (
+                        chain.base_texts + [chain.chunks[idx - 1]])
+                    kw["prompt_tokens"] = chain.base_codes + [carry]
+            if chain.deadline:
+                # refreshed per attempt so the prepared request's absolute
+                # deadline stays the CHAIN deadline across retry rounds
+                kw["timeout_s"] = chain.deadline - now
+            try:
+                req = self._srv.prepare(chain.chunks[idx], **kw)
+            except QueueFull:
+                # prepare fail-fasts at the queue bound; the consumed carry
+                # context lives in kw, so keep it for the next round
+                chain.pending_kw = kw
+                return "retry"
+            except ValueError as e:
+                logger.warning(
+                    "long request %d: chain ended early at chunk %d/%d: %s",
+                    eid, idx, len(chain.chunks), e,
+                )
+                return "end"
+            chain.pending_kw = None
+        # enqueue + registration atomically vs cancel(): a cancel that
+        # lands after this block pops the chain and cancels ``cur`` =
+        # the successor; one that landed before is seen here and the
+        # chain ends instead of spawning an orphan segment
+        with self._cancel_lock:
+            if self._chains.get(eid) is not chain:
+                return "end"  # cancelled at the segment boundary
+            try:
                 nid = self._srv.enqueue(req)
-                chain.idx += 1
-                chain.cur = nid
-                chain.aliases.append(nid)
-                self._alias[nid] = eid
-        except (ValueError, QueueFull) as e:
-            logger.warning(
-                "long request %d: chain ended early at chunk %d/%d: %s",
-                eid, idx, len(chain.chunks), e,
+            except QueueFull:
+                # transient backpressure is NOT a chain failure: keep the
+                # prepared request (its carry context is already consumed
+                # from the chain) and try again next scheduler round
+                chain.pending = req
+                return "retry"
+            chain.pending = None
+            chain.idx += 1
+            chain.cur = nid
+            chain.aliases.append(nid)
+            self._alias[nid] = eid
+        return "ok"
+
+    def _pick_lane(self) -> int:
+        """Vocoder lane for a NEW audio stream.  Lanes are a resource pool
+        independent of LM slots: a long-form chain keeps its lane (and the
+        vocoder state carried in it) for its whole multi-segment life, long
+        after its first LM slot was recycled — assigning by LM slot would
+        queue an unrelated new stream behind the entire chain.  Prefer a
+        free lane; under genuine oversubscription queue behind the lane
+        with the least pending work."""
+        best, best_key = 0, None
+        for s, q in enumerate(self._slot_q):
+            if not q:
+                return s
+            # avoid lanes whose occupant has unbounded future work: a live
+            # chain stream outlasts any single request (reading _chains
+            # off-lock is fine — it only tunes this heuristic)
+            live_chain = any(
+                not st.lm_done and st.rid in self._chains for st in q
             )
-            return False
-        return True
+            live = any(not st.lm_done for st in q)
+            key = (live_chain, live, len(q), sum(st.buffered for st in q))
+            if best_key is None or key < best_key:
+                best, best_key = s, key
+        return best
 
     def stats(self) -> dict:
         """Serving stats from the LM scheduler: queue depth, live slots,
@@ -1435,6 +1494,24 @@ class ServeSession:
         for rid in self._cancel_drop:
             self._cancel_drop[rid] -= 1
         instant_done: list[AudioEvent] = []
+        # chains blocked on queue backpressure: try their next segment again
+        for eid in list(self._chain_retry):
+            chain = self._chain_retry[eid]
+            r = self._chain_next(eid, chain)
+            if r == "retry":
+                continue
+            del self._chain_retry[eid]
+            if r == "end":
+                with self._cancel_lock:
+                    self._chains.pop(eid, None)
+                    for a in chain.aliases:
+                        self._alias.pop(a, None)
+                st = self._streams.get(eid)
+                if st is not None:
+                    st.lm_done = True  # drain the tail, then emit done
+                elif eid not in self._cancel_drop:
+                    instant_done.append(
+                        AudioEvent(eid, b"", True, chain.frames_offset))
         for ev in self._srv.step():
             with self._cancel_lock:
                 eid = self._alias.get(ev.request_id, ev.request_id)
@@ -1450,10 +1527,15 @@ class ServeSession:
                 if done:
                     # chain onward unless this segment FAILED (expiry /
                     # rejection events carry slot=-1) or was the last
-                    if (ev.slot != -1 and chain.idx < len(chain.chunks)
-                            and self._chain_next(eid, chain)):
+                    if ev.slot != -1 and chain.idx < len(chain.chunks):
+                        r = self._chain_next(eid, chain)
+                    else:
+                        r = "end"
+                    if r != "end":
                         done = False
                         chain.frames_offset = frames_total
+                        if r == "retry":
+                            self._chain_retry[eid] = chain
                     else:
                         with self._cancel_lock:
                             self._chains.pop(eid, None)
@@ -1471,7 +1553,7 @@ class ServeSession:
                     continue
                 st = _SlotAudioStream(eid)
                 self._streams[eid] = st
-                self._slot_q[ev.slot].append(st)
+                self._slot_q[self._pick_lane()].append(st)
             if ev.codes.shape[1]:
                 st.bufs.append(ev.codes)
                 st.buffered += ev.codes.shape[1]
@@ -1546,6 +1628,7 @@ class ServeSession:
             self._srv.busy
             or self._pending is not None
             or any(self._slot_q)
+            or bool(self._chain_retry)
         )
 
     def run(self) -> Iterator[AudioEvent]:

@@ -53,7 +53,10 @@ def _split_oversize(piece: str, max_chars: int) -> list[str]:
                 _split_oversize(c, max_chars) if len(c) > max_chars else [c]
             )
         return out
-    words = re.findall(r"\S+\s*", piece)
+    # keep LEADING whitespace with the first word: an oversize piece that
+    # starts with a separator (e.g. the space after a previous sentence)
+    # must not lose it, or packing glues it to the preceding sentence
+    words = re.findall(r"\s*\S+\s*", piece)
     if len(words) > 1:
         out = []
         for w in _pack(words, max_chars):

@@ -222,3 +222,87 @@ def test_long_respects_explicit_references(tts, monkeypatch):
     assert len(calls) >= 2
     assert calls[0][0] == ["r"] and not calls[0][1]
     assert calls[1][0][0] == "r" and len(calls[1][0]) == 2
+
+
+def test_serve_long_chain_retries_on_queue_full(tts):
+    """Transient queue backpressure at a segment boundary must NOT end the
+    chain: the prepared successor (carry context already consumed) is kept
+    and re-enqueued on a later round, and the full text still decodes."""
+    sess = tts.serve(slots=1)
+    rid = sess.submit(LONG_TEXT, long=True, max_chars=12,
+                      carry_frames=4, max_new_tokens=6, seed=21)
+    # every prepare/enqueue from here on raises QueueFull (max_queue=-1
+    # makes len(queue) >= max_queue always true) until we lift it: the
+    # chain boundary MUST retry instead of ending the stream early
+    sess._srv.max_queue = -1
+    events = []
+    retry_rounds = 0
+    try:
+        while sess.busy:
+            if sess._chain_retry:
+                retry_rounds += 1
+            if retry_rounds >= 3:
+                sess._srv.max_queue = 0  # lift the backpressure
+            events.extend(sess.step())
+    finally:
+        sess._srv.max_queue = 0
+    assert retry_rounds >= 3, "test did not exercise backpressure"
+    mine = [ev for ev in events if ev.request_id == rid]
+    assert sum(ev.done for ev in mine) == 1 and mine[-1].done
+    assert sum(len(ev.pcm) for ev in mine) > 0
+    # the chain decoded EVERY chunk despite the transient QueueFull
+    from fish_tts_tpu.utils.text import split_text
+
+    n_chunks = len(split_text(LONG_TEXT, 12))
+    assert n_chunks >= 2
+    assert mine[-1].frames_total >= n_chunks  # >= 1 frame per segment
+    assert not sess.busy and not sess._chains and not sess._chain_retry
+
+
+def test_serve_long_chain_does_not_pin_other_streams(tts, monkeypatch):
+    """A chain holds its vocoder lane for its whole life; a co-tenant
+    arriving mid-chain must get a DIFFERENT lane (and finish long before
+    the chain does) instead of queueing behind the entire chain."""
+    from fish_tts_tpu import synthesizer as syn
+
+    long_text = ("One two. Three four! Five six? Seven eight. "
+                 "Nine ten. Eleven twelve!")
+    sess = tts.serve(slots=2)
+    # lane assignment is only observable at creation time (short streams
+    # are created, flushed, and popped within one step): spy on stream
+    # creation and the lane pick, which happen back-to-back per stream
+    created, picked = [], []
+    orig_init = syn._SlotAudioStream.__init__
+
+    def init_spy(self, rid):
+        created.append(rid)
+        orig_init(self, rid)
+
+    monkeypatch.setattr(syn._SlotAudioStream, "__init__", init_spy)
+    orig_pick = sess._pick_lane
+
+    def pick_spy():
+        lane = orig_pick()
+        picked.append(lane)
+        return lane
+
+    sess._pick_lane = pick_spy
+    rid = sess.submit(long_text, long=True, max_chars=10, carry_frames=4,
+                      max_new_tokens=5, seed=31)
+    co = None
+    events = []
+    while sess.busy:
+        events.extend(sess.step())
+        with sess._cancel_lock:
+            chain = sess._chains.get(rid)
+        if co is None and chain is not None and chain.idx >= 2:
+            # mid-chain: the chain's audio lane is held, LM slots recycle
+            co = sess.submit("quick co tenant", max_new_tokens=4, seed=33)
+    assert co is not None, "chain finished before a co-tenant could join"
+    lanes = dict(zip(created, picked))
+    assert rid in lanes and co in lanes
+    assert lanes[co] != lanes[rid], "co-tenant queued behind the chain's lane"
+    order = [ev.request_id for ev in events if ev.done]
+    assert order.index(co) < order.index(rid), (
+        "co-tenant audio was starved until the chain finished"
+    )

@@ -392,3 +392,36 @@ def test_streaming_decode_pool_joins_and_leaves(vparams):
             np.concatenate(got[name], axis=-1),
             np.concatenate(solo, axis=-1), rtol=1e-5, atol=1e-5,
         )
+
+
+def test_stream_wlt_positions_beyond_rope_table(vparams):
+    """A continuous stream older than ``block_size`` frames (long-form
+    serving carries ONE vocoder stream across chain segments) must keep
+    rotating correctly: positions beyond the precomputed RoPE table use
+    on-the-fly angles.  Oracle: the same positions fully inside an enlarged
+    table.  A clamped gather (the old behavior) freezes rotation at the last
+    row and fails both assertions."""
+    import dataclasses
+
+    from fish_tts_tpu.models import vocoder_stream as vs
+
+    params, cfg = vparams, TINY_VOCODER_CONFIG
+    qp = params["quantizer"]["post"]
+    tcfg = cfg.quantizer_transformer
+    window = cfg.quantizer_window
+    cin = qp["input_proj"]["w"].shape[0] if "input_proj" in qp else tcfg.dim
+    x = jax.random.normal(jax.random.PRNGKey(7), (1, cin, 8), jnp.float32)
+    dtype = qp["layers"]["wqkv"].dtype
+
+    def run(tc, off_delta):
+        st = vs.init_wlt_state(qp, tc, window, 1, dtype)
+        st["off"] = st["off"] + off_delta
+        st, o = vs.stream_wlt(st, qp, tc, window, x)
+        return np.asarray(o)
+
+    delta = tcfg.block_size + 37  # beyond the table
+    fixed = run(tcfg, delta)
+    oracle = run(dataclasses.replace(tcfg, block_size=8192), delta)
+    np.testing.assert_allclose(fixed, oracle, rtol=0, atol=2e-3)
+    # windowed attention is translation-invariant up to angle rounding
+    np.testing.assert_allclose(fixed, run(tcfg, 0), rtol=0, atol=2e-3)
