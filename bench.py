@@ -236,6 +236,15 @@ def main() -> None:
               file=sys.stderr)
         fast_k = False
         kernel_fallback = True
+        # rebuild from scratch: decode_chunk DONATES `state`, so a RUNTIME
+        # (post-donation) kernel failure leaves deleted buffers — reusing
+        # them would crash this very fallback
+        state = fresh_state()
+        state, first = decode_mod.prefill(
+            params, rope, state, jnp.asarray(prompt), lengths,
+            jax.random.PRNGKey(1), t, p, r, cfg=cfg, ids=ids, top_k=top_k,
+            approx=args.approx, kv_bucket=0,
+        )
         state, frames, _ = decode_mod.decode_chunk(
             params, rope, state, jax.random.PRNGKey(2), t, p, r,
             cfg=cfg, ids=ids, num_frames=CHUNK, top_k=top_k,

@@ -25,6 +25,7 @@ and the prompt-length guard matches inference.py:794-795.
 
 from __future__ import annotations
 
+import itertools
 import logging
 import threading
 from dataclasses import dataclass
@@ -154,8 +155,14 @@ class GenerationEngine:
         self._key_lock = threading.Lock()
         self.metrics = Metrics()
         # Prefix (voice-profile) cache: state snapshot after prefilling the
-        # reference blocks, shared across synthesize calls.
-        self._prefix_state: decode_mod.State | None = None
+        # reference blocks, shared across synthesize calls.  Held as ONE
+        # (state, generation) tuple so concurrent readers (the serve driver)
+        # get a consistent snapshot via a single attribute read, and every
+        # write bumps the generation — serving admission compares
+        # generations to reject requests prepared against a prefix that was
+        # swapped (even for a same-length one) or cleared in between.
+        self._prefix_counter = itertools.count(1)
+        self._prefix_ref: tuple[decode_mod.State | None, int] = (None, 0)
 
     # -- rng ---------------------------------------------------------------
 
@@ -225,8 +232,16 @@ class GenerationEngine:
         self._prefix_state = None
 
     @property
+    def _prefix_state(self) -> "decode_mod.State | None":
+        return self._prefix_ref[0]
+
+    @_prefix_state.setter
+    def _prefix_state(self, state: "decode_mod.State | None") -> None:
+        self._prefix_ref = (state, next(self._prefix_counter))
+
+    @property
     def has_prefix(self) -> bool:
-        return self._prefix_state is not None
+        return self._prefix_ref[0] is not None
 
     def _fork_prefix(self) -> decode_mod.State:
         """Copy the cached prefix state so donation can't consume it."""
@@ -337,9 +352,16 @@ class GenerationEngine:
         stripped (inference.py:839); in streaming mode every chunk is yielded
         including the EOS frame (inference.py:271-274).
         """
-        assert 0 < top_p <= 1, "top_p must be in (0, 1]"
-        assert 0 < repetition_penalty < 2, "repetition_penalty must be in (0, 2)"
-        assert 0 < temperature < 2, "temperature must be in (0, 2)"
+        # real raises, not asserts: python -O strips asserts, and these
+        # ranges guard the sampler against division by zero / degenerate
+        # nuclei (the reference asserts, inference.py:763-765; serving's
+        # prepare() raises for the same reason, serve.py)
+        if not 0 < top_p <= 1:
+            raise ValueError("top_p must be in (0, 1]")
+        if not 0 < repetition_penalty < 2:
+            raise ValueError("repetition_penalty must be in (0, 2)")
+        if not 0 < temperature < 2:
+            raise ValueError("temperature must be in (0, 2)")
         for _ in range(num_samples):
             yield from self._generate_one(
                 text,
@@ -692,10 +714,14 @@ class GenerationEngine:
         if prompt_lens.max() > cfg.max_seq_len - reserve:
             raise ValueError(f"Prompt is too long: {prompt_lens.max()}")
         max_len = int(prompt_lens.max())
+        # PER-STREAM budgets, matching each stream's solo run (max_new_i =
+        # min(requested, max_seq_len - own prompt)): each stream has its own
+        # KV rows, so a shared cap derived from the LONGEST prompt would
+        # silently truncate short-prompt streams relative to generate_long
+        budgets = (cfg.max_seq_len - prompt_lens).astype(np.int64)
         if max_new_tokens:
-            max_new = min(max_new_tokens, cfg.max_seq_len - max_len)
-        else:
-            max_new = cfg.max_seq_len - max_len
+            budgets = np.minimum(max_new_tokens, budgets)
+        max_new = int(budgets.max())
 
         def group_params(idxs):
             """Sampling params for the streams ``idxs``: scalars when shared
@@ -778,6 +804,7 @@ class GenerationEngine:
         # internal (grouped) row -> caller stream index
         inv = np.empty(B, np.int64)
         inv[np.asarray(order)] = np.arange(B)
+        budgets_g = budgets[np.asarray(order)]  # grouped row order
         # decode-loop sampling params in grouped row order
         t_dev, p_dev, r_dev = group_params(order)
 
@@ -821,7 +848,7 @@ class GenerationEngine:
         self.metrics.record_tokens(B)
         yield first_np[inv][:, None, :], np.ones((B, 1), bool)
 
-        done_rows = first_np[:, 0] == self.ids.im_end  # (B,) grouped order
+        done_rows = (first_np[:, 0] == self.ids.im_end) | (budgets_g <= 1)
         produced = 1
         while True:
             nxt = None
@@ -836,9 +863,18 @@ class GenerationEngine:
                     f_np = np.asarray(f_dev)
                     e_np = np.asarray(e_dev)
                 n = min(n_disp, max_new - produced)
+                # clamp each row to ITS budget: columns past
+                # budgets_g[i] - produced are over-decode for that stream
+                # (the loop keeps running for bigger-budget co-streams)
+                e_np = e_np & (
+                    np.arange(n_disp)[None, :]
+                    < (budgets_g - produced)[:, None]
+                )
                 produced += n
-                done_rows = (~e_np[:, -1]) | (
-                    f_np[:, -1, 0] == self.ids.im_end
+                done_rows = (
+                    (~e_np[:, -1])
+                    | (f_np[:, -1, 0] == self.ids.im_end)
+                    | (budgets_g <= produced)
                 )
                 self.metrics.record_tokens(int(e_np[:, :n].sum()))
                 yield f_np[inv][:, :n], e_np[inv][:, :n]

@@ -91,6 +91,7 @@ class _Request:
     produced: int = 0
     prompt_len: int = 0  # full context length (prefix + prompt)
     prefix_len: int = 0  # engine prefix length at prepare() time (0 = none)
+    prefix_gen: int = 0  # engine prefix GENERATION at prepare() time
     priority: int = 0  # higher admits first (FIFO within a priority)
     deadline: float = 0.0  # time.monotonic() deadline; 0 = none
     # observability timestamps (time.monotonic)
@@ -330,15 +331,19 @@ class ContinuousBatcher:
         # generate_long derives for its one slot (decode.normalize_keys)
         slot_key = jax.random.fold_in(key, 0)
         has_refs = bool(prompt_text) or bool(prompt_tokens)
-        if has_refs and eng.has_prefix:
+        # ONE consistent snapshot: a concurrent set_prefix/clear_prefix
+        # between a has_prefix check and the state read must not crash or
+        # mix epochs (admission re-checks the generation)
+        prefix_state, prefix_gen = eng._prefix_ref
+        if has_refs and prefix_state is not None:
             raise ValueError(
                 "per-request references cannot be combined with a "
                 "session-level cached prefix (engine.set_prefix); clear "
                 "the prefix or drop the per-request references"
             )
-        if eng.has_prefix:
+        if prefix_state is not None:
             enc = eng._encode_suffix(text)
-            prefix_len = int(eng._prefix_state["pos"][0])
+            prefix_len = int(prefix_state["pos"][0])
         else:
             from fish_tts_tpu.models.prompt import build_prompt
 
@@ -360,6 +365,7 @@ class ContinuousBatcher:
             temperature=temperature, top_p=top_p,
             repetition_penalty=repetition_penalty, key=slot_key,
             prompt_len=prompt_len, prefix_len=prefix_len,
+            prefix_gen=prefix_gen,
             t_submit=time.monotonic(),
             priority=priority,
             deadline=(time.monotonic() + timeout_s) if timeout_s else 0.0,
@@ -442,8 +448,10 @@ class ContinuousBatcher:
         eng = self.engine
         cfg, ecfg = eng.cfg, eng.engine_cfg
         G = self.slots
-        if eng.has_prefix:
-            prefix = eng._prefix_state
+        # ONE consistent snapshot (a racing set_prefix/clear_prefix between
+        # a has_prefix check and the state read must not crash the driver)
+        prefix, prefix_gen = eng._prefix_ref
+        if prefix is not None:
             prefix_len = int(prefix["pos"][0])
             kv_pre = _kv_bucket(
                 prefix_len, ecfg.kv_bucket_step, cfg.max_seq_len
@@ -453,11 +461,12 @@ class ContinuousBatcher:
             prefix_len, kv_pre = 0, 0
             prefix_kv, prefix_pos = None, jnp.int32(0)
 
-        # a request encoded against a DIFFERENT prefix state than the one
+        # a request encoded against a DIFFERENT prefix epoch than the one
         # being forked now would decode against a wrong/truncated context
         # (set_prefix/clear_prefix raced prepare->admission): fail it loudly
-        # instead of producing silently garbled audio
-        rejected = [r for r in reqs if r.prefix_len != prefix_len]
+        # instead of producing silently garbled audio.  Generations, not
+        # lengths — a same-length prefix swap is just as garbling.
+        rejected = [r for r in reqs if r.prefix_gen != prefix_gen]
         rejected_slots: list[int] = []
         if rejected:
             logger.error(
@@ -466,9 +475,9 @@ class ContinuousBatcher:
                 prefix_len, [r.id for r in rejected],
             )
             keep = [(s, r) for s, r in zip(slot_ids, reqs)
-                    if r.prefix_len == prefix_len]
+                    if r.prefix_gen == prefix_gen]
             for s, r in zip(slot_ids, reqs):
-                if r.prefix_len != prefix_len:
+                if r.prefix_gen != prefix_gen:
                     self._slot_req[s] = None
                     rejected_slots.append(s)
             slot_ids = [s for s, _ in keep]
@@ -730,6 +739,34 @@ class ContinuousBatcher:
         if any_budget_done:
             self._state = _mark_done(self._state, jnp.asarray(budget_done))
         return events
+
+    def reset(self) -> None:
+        """Rebuild the pool after a failed ``step()``.  The decode program
+        donates ``self._state``; a RUNTIME failure mid-step (not a trace
+        error) can leave those buffers deleted, after which every further
+        step raises 'array has been deleted' forever — a zombie server.
+        Drops all queued and live requests (the caller has already failed
+        their consumers), clears in-flight bookkeeping, and reinstalls a
+        fresh all-done device state so new requests admit normally."""
+        with self._lock:
+            dropped = list(self._queue)
+            self._queue.clear()
+            self._cancelled.clear()
+        dropped += [r for r in self._slot_req if r is not None]
+        for req in dropped:
+            req.finished = True
+            self._record_done(req)
+        self._slot_req = [None] * self.slots
+        self._pending = None
+        self._dirty.clear()
+        self._dev_cache = None
+        self._state = _mark_done(
+            self.engine._init_state(self.slots), jnp.ones((self.slots,), bool)
+        )
+        logger.warning(
+            "serve: pool state rebuilt after step failure (%d request(s) "
+            "dropped)", len(dropped),
+        )
 
     def _record_done(self, req: _Request) -> None:
         now = time.monotonic()

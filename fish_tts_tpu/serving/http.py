@@ -193,6 +193,15 @@ class ServeDriver:
                     consumers, self._consumers = self._consumers, {}
                 for q in consumers.values():
                     q.put(_DONE)
+                try:
+                    # the step programs donate their device state: after a
+                    # RUNTIME failure the old buffers may be deleted, and
+                    # without a rebuild every subsequent step would raise
+                    # too (a zombie server failing 100% of new requests)
+                    self._sess.reset()
+                except Exception:
+                    logger.exception("serve driver: session reset failed; "
+                                     "will retry after next step failure")
                 time.sleep(0.5)
                 continue
             for ev in events:

@@ -1441,6 +1441,26 @@ class ServeSession:
             self._alias[nid] = eid
         return "ok"
 
+    def reset(self) -> None:
+        """Rebuild the session after a failed ``step()`` (see
+        ``ContinuousBatcher.reset``): both the LM pool state and the pool
+        vocoder state are donated into their device programs, so a runtime
+        failure mid-round can leave deleted buffers behind.  All live
+        requests are dropped (the driver has already ended their consumer
+        streams); new requests then serve normally."""
+        self._srv.reset()
+        init, _ = self._tts._pool_vocoder_fns(self._slots)
+        self._state = init(self._vparams)
+        self._streams.clear()
+        self._slot_q = [[] for _ in range(self._slots)]
+        self._pending = None
+        self._chain_retry.clear()
+        with self._cancel_lock:
+            self._chains.clear()
+            self._alias.clear()
+            self._cancel_pending.clear()
+            self._cancel_drop.clear()
+
     def _pick_lane(self) -> int:
         """Vocoder lane for a NEW audio stream.  Lanes are a resource pool
         independent of LM slots: a long-form chain keeps its lane (and the

@@ -64,6 +64,16 @@ def main(argv=None) -> int:
     from fish_tts_tpu import VoiceProfile, get_instance
     from fish_tts_tpu.serving.http import make_server
 
+    # fail fast on a bad device index — BEFORE the (minutes-long) model
+    # load/warmup would otherwise run just to die on jax.devices()[i]
+    if args.vocoder_device_index is not None:
+        n_dev = len(jax.devices())
+        if not 0 <= args.vocoder_device_index < n_dev:
+            ap.error(
+                f"--vocoder-device-index {args.vocoder_device_index} out of "
+                f"range: this host has {n_dev} device(s)"
+            )
+
     voices = {}
     if args.voices:
         from pathlib import Path

@@ -582,3 +582,37 @@ def test_decode_chunk_skips_after_all_done(setup):
     )
     # the held frame is replayed, never a fresh sample
     assert (np.asarray(frames) == 3).all()
+
+
+def test_generate_batch_per_stream_budgets(tiny_tokenizer):
+    """Each stream's generation budget is bounded by ITS OWN prompt's
+    headroom (matching its solo run), not by the longest prompt in the
+    batch — a short-prompt stream must not be silently truncated just
+    because a long-prompt co-stream shares the batch."""
+    from fish_tts_tpu.config import EngineConfig
+    from fish_tts_tpu.engine.generate import GenerationEngine
+
+    params = dual_ar.init_params(jax.random.PRNGKey(3), CFG, dtype=jnp.float32)
+
+    def make():
+        return GenerationEngine(
+            params, CFG, tiny_tokenizer,
+            engine_cfg=EngineConfig(prompt_buckets=(8, 16, 32, 64),
+                                    decode_chunk=4, first_chunk=4,
+                                    kv_bucket_step=32),
+            seed=7,
+        )
+
+    short, long = "hi", "a much longer text that eats context room here"
+    # unbounded request: budgets come from max_seq_len - own prompt
+    batch = make().generate_batch([short, long], max_new_tokens=0)
+    solo_short = np.concatenate(
+        [np.asarray(r.codes)
+         for r in make().generate_long(short, max_new_tokens=0)
+         if r.action == "sample"], axis=1,
+    )
+    # the long stream's headroom is strictly smaller than the short one's;
+    # under the old shared cap the short stream would stop at the long
+    # stream's budget
+    assert batch[1].shape[1] < batch[0].shape[1]
+    assert batch[0].shape[1] == solo_short.shape[1]

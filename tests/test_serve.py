@@ -576,3 +576,55 @@ def test_rejected_admission_onto_dirty_slot_forces_finish(engine):
     # the force-finish survived the rejection: nothing left running
     assert not srv.busy and srv._dirty == set()
     assert bool(np.asarray(srv._state["done"]).all())
+
+
+def test_same_length_prefix_swap_fails_request(engine):
+    """A prefix swapped for a DIFFERENT one of identical token length
+    between prepare() and admission must also fail the stale request:
+    the guard compares prefix generations, not lengths (a same-length
+    swap garbles audio just the same)."""
+    import numpy as _np
+
+    def mk(seed):
+        return _np.random.RandomState(seed).randint(
+            0, engine.cfg.codebook_size // 2,
+            (engine.cfg.num_codebooks, 4)).astype(_np.int64)
+
+    engine.set_prefix(["ref transcript"], [mk(0)])
+    try:
+        len_a = int(engine._prefix_state["pos"][0])
+        srv = ContinuousBatcher(engine, slots=2)
+        stale = srv.prepare("vs A", max_new_tokens=8, seed=85)
+        engine.set_prefix(["ref transcript"], [mk(1)])  # same shape/length
+        assert int(engine._prefix_state["pos"][0]) == len_a  # same LENGTH
+        srv.enqueue(stale)
+        codes_by_id, done = _collect(srv.run())
+        assert stale.id in done
+        assert stale.id not in codes_by_id or \
+            codes_by_id[stale.id].shape[1] == 0
+    finally:
+        engine.clear_prefix()
+
+
+def test_reset_recovers_from_poisoned_pool_state(engine):
+    """After a runtime step failure the donated pool state can be gone;
+    reset() must rebuild it, drop live/queued requests, and leave the
+    batcher serving new requests normally (no zombie server)."""
+    solo = _solo_codes(engine, "after the reset", seed=95, max_new=8)
+    srv = ContinuousBatcher(engine, slots=2)
+    srv.submit("doomed live request", max_new_tokens=20, seed=93,
+               temperature=0.7, top_p=0.8, repetition_penalty=1.1)
+    srv.step()  # admit + dispatch: state is now mid-flight
+    # simulate the post-donation wreckage of a failed device step
+    jax.tree_util.tree_map(
+        lambda x: x.delete() if hasattr(x, "delete") else None,
+        srv._state,
+    )
+    srv.reset()
+    assert not srv.busy
+    assert srv.stats()["live_slots"] == 0
+    ok = srv.submit("after the reset", max_new_tokens=8, seed=95,
+                    temperature=0.7, top_p=0.8, repetition_penalty=1.1)
+    codes_by_id, done = _collect(srv.run())
+    assert ok in done
+    np.testing.assert_array_equal(codes_by_id[ok], solo)
