@@ -140,6 +140,8 @@ def _sample_frame(
     top_k: int,
     approx: bool = False,
     fast_kernel: bool = False,
+    window: int = WINDOW,  # configured penalty window (matters only for the
+    # prev=None dummy: a mismatch would compile a second kernel variant)
 ) -> jnp.ndarray:
     """Sample one full (1+K)-row frame (reference decode_one_token_ar,
     inference.py:83-155).  Returns (B, 1+K) int32.
@@ -204,7 +206,7 @@ def _sample_frame(
             prev_rows = prev[:, 2:, :]  # row cb+1 per residual step cb
             rep = repetition_penalty
         else:
-            prev_rows = jnp.zeros((B, cfg.num_codebooks - 1, WINDOW), jnp.int32)
+            prev_rows = jnp.zeros((B, cfg.num_codebooks - 1, window), jnp.int32)
             rep = jnp.float32(1.0)  # exact no-op penalty (prefill)
         gumbel = jax.vmap(
             lambda k: jax.random.gumbel(
@@ -353,7 +355,7 @@ def prefill(
         params, cfg, ids, rope, keys, hidden_last, logits,
         temperature, top_p, repetition_penalty,
         prev=None, step=None, top_k=top_k, approx=approx,
-        fast_kernel=fast_kernel,
+        fast_kernel=fast_kernel, window=state["prev"].shape[2],
     )
 
     new_state = {
@@ -618,6 +620,10 @@ def prefill_chunk(
         temperature, top_p, repetition_penalty,
         cfg=cfg, ids=ids, top_k=top_k, approx=approx,
         kv_bucket=kv_bucket_prefill,
+        # forwarded so the first frame samples through the SAME path (and
+        # RNG consumption pattern) as serve admission and batch prefill,
+        # which both promise to match this route
+        fast_kernel=fast_kernel,
     )
     if num_frames == 0:
         B = first.shape[0]

@@ -45,12 +45,18 @@ def _source_hash() -> str:
 
 def build_library(verbose: bool = False) -> Path | None:
     """Compile bpe.cc into the cache dir (idempotent); returns the .so path."""
-    so_path = _cache_dir() / f"libfishbpe-{_source_hash()}.so"
-    if so_path.exists():
-        return so_path
-    so_path.parent.mkdir(parents=True, exist_ok=True)
-    fd, tmp = tempfile.mkstemp(suffix=".so", dir=so_path.parent)
-    os.close(fd)
+    try:
+        so_path = _cache_dir() / f"libfishbpe-{_source_hash()}.so"
+        if so_path.exists():
+            return so_path
+        so_path.parent.mkdir(parents=True, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(suffix=".so", dir=so_path.parent)
+        os.close(fd)
+    except OSError as e:
+        # read-only HOME / unwritable cache dir: the native path is
+        # strictly optional — fall back to tiktoken instead of raising
+        logger.warning("native BPE build cache unavailable: %s", e)
+        return None
     cmd = [
         "g++", "-O2", "-std=c++17", "-shared", "-fPIC",
         str(_SRC_DIR / "bpe.cc"), "-o", tmp,

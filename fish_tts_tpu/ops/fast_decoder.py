@@ -106,18 +106,6 @@ def _make_kernel(cfg: DualARConfig, window: int, batch: int):
         swap = jnp.where(lane % 2 == 0, r_next, r_prev)
         return x * cos_row + swap * sin_row
 
-    # constant (kv_size, q_size) 0/1 matrix: kv-head segment h copies into
-    # every query-head segment hq with hq//G == h (GQA duplication as one
-    # MXU pass instead of per-head lane concats)
-    dup = np.zeros((kv_size, q_size), np.float32)
-    for hq in range(H):
-        h0 = (hq // G) * Dh
-        dup[h0:h0 + Dh, hq * Dh:(hq + 1) * Dh] = np.eye(Dh)
-
-    # (B, B*R) group-sum: row b sums rows [b*R, (b+1)*R) — with a
-    # single-row mask applied first this is a per-stream row *select*
-    gsel = np.kron(np.eye(B, dtype=np.float32), np.ones((1, R), np.float32))
-
     def kernel(
         temp_ref, top_p_ref, rep_ref,             # (B, 1) VMEM f32
         h_ref,            # (B, D) slow hidden, already fast-projected
@@ -276,7 +264,11 @@ def _make_kernel(cfg: DualARConfig, window: int, batch: int):
                 s_above = jnp.sum(jnp.where(gt, p[:, None, :], 0.0), axis=-1)
                 pi = p[:, t0:t0 + TILE]
                 keep_parts.append(
-                    (s_above + pi <= top_p) | (li >= amax))
+                    # top_p >= 1 keeps everything (same special case as
+                    # sampler_kernel / sampling.top_p_threshold_mask:
+                    # f32 rounding can make the full mass land above 1.0)
+                    (s_above + pi <= top_p) | (li >= amax)
+                    | (top_p >= 1.0))
             keep = jnp.concatenate(keep_parts, axis=-1)  # (B, Vr)
             masked = jnp.where(keep, logits, _NEG)
 
@@ -315,7 +307,9 @@ def supports(cfg: DualARConfig, params: Params, batch: int) -> bool:
         and is_quantized(params.get("fast_embeddings"))
         and is_quantized(params.get("fast_output"))
         and cfg.fast_head_dim % 2 == 0
-        and "fast_project_in" not in params  # projection handled by caller
+        # fast_project_in (fast_dim != dim checkpoints) is NOT a blocker:
+        # the caller projects the slow hidden before handing it to the
+        # kernel (decode._sample_frame), which runs purely at fast_dim
     )
 
 

@@ -439,9 +439,11 @@ def slow_stack_step(
 
     def cache_rb(s):
         # pin the cache block during head-phase steps so it is never
-        # re-fetched after the last layer
+        # re-fetched after the last layer; pin to n_rb-1 (the block the
+        # LAST layer step leaves resident) — pinning to 0 would DMA one
+        # fresh K and V block at the layer->head transition every frame
         rb = s % n_rb
-        return jnp.where(s < L * n_rb, rb, 0) if with_head else rb
+        return jnp.where(s < L * n_rb, rb, n_rb - 1) if with_head else rb
 
     cache_spec = pl.BlockSpec(
         cache_block, lambda s: (layer_idx(s), 0, 0, cache_rb(s), 0),

@@ -208,3 +208,33 @@ def test_decode_chunk_batched_fast_kernel_interpret(qsetup):
     assert frames.shape == (B, 2, 1 + K)
     assert (frames[:, :, 1] >= 0).all() and (frames[:, :, 1] < CFG.codebook_size).all()
     assert (frames[:, :, 2:] >= 0).all() and (frames[:, :, 2:] < Vr).all()
+
+
+def test_prefill_chunk_first_frame_matches_bare_prefill_kernel_path(qsetup):
+    """prefill_chunk forwards fast_kernel to the inner prefill, so the fused
+    TTFA path's first frame is bit-identical to serve admission's bare
+    prefill(fast_kernel=True) for the same key (the fused kernel consumes
+    its gumbel draw differently from the XLA path, so the flag must not be
+    dropped on one side)."""
+    qp, rope = qsetup
+    T = 8
+    prompt = np.zeros((1, 1 + K, T), np.int32)
+    prompt[0, 0] = np.arange(1, T + 1)
+    lengths = jnp.asarray([T], jnp.int32)
+    t, p, r = jnp.float32(0.7), jnp.float32(0.8), jnp.float32(1.1)
+    key = jax.random.PRNGKey(7)
+
+    st1 = decode_mod.init_state(qp, CFG, batch=1)
+    _, frames, _ = decode_mod.prefill_chunk(
+        qp, rope, st1, jnp.asarray(prompt), lengths, key, t, p, r,
+        cfg=CFG, ids=IDS, num_frames=2, fast_kernel=True,
+    )
+    st2 = decode_mod.init_state(qp, CFG, batch=1)
+    k1 = jax.vmap(lambda k: jax.random.fold_in(k, 0x7FFFFFFF))(
+        decode_mod.normalize_keys(key, 1)
+    )
+    _, first = decode_mod.prefill(
+        qp, rope, st2, jnp.asarray(prompt), lengths, k1, t, p, r,
+        cfg=CFG, ids=IDS, fast_kernel=True,
+    )
+    np.testing.assert_array_equal(np.asarray(frames)[:, 0], np.asarray(first))
