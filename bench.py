@@ -75,6 +75,44 @@ def main() -> None:
             return True
         return False
 
+    device_fallback = False
+    if __import__("os").environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        args.cpu = True
+        args.int8 = False
+    if not args.cpu:
+        # The tunneled TPU backend can be DOWN for hours at a stretch; a bare
+        # jax.devices() then hangs ~20 min before raising, and the bench would
+        # produce no JSON line at all.  Probe backend init in a bounded
+        # subprocess first and fall back to CPU (flagged) if it is unreachable.
+        import os
+        import subprocess
+
+        probe_timeout = max(60.0, min(args.budget * 0.5, 420.0))
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; d = jax.devices(); "
+                 "print(d[0].platform, flush=True)"],
+                capture_output=True, text=True, timeout=probe_timeout,
+                env={k: v for k, v in os.environ.items()
+                     if k != "JAX_PLATFORMS"},
+            )
+            ok = probe.returncode == 0 and "cpu" not in probe.stdout.lower()
+        except subprocess.TimeoutExpired:
+            ok = False
+        if not ok:
+            print("# accelerator backend unavailable (probe failed within "
+                  f"{probe_timeout:.0f}s) -- falling back to CPU; numbers "
+                  "below are NOT TPU numbers", file=sys.stderr)
+            device_fallback = True
+            args.cpu = True
+            args.int8 = False
+            # keep the CPU run bounded: fewer timed frames, skip the
+            # aggregate-batch and TTFA stages (meaningless off-accelerator)
+            args.frames = min(args.frames, 16)
+            args.aggregate_batch = 0
+            args.no_ttfa = True
+
     import jax
 
     if args.cpu:
@@ -319,6 +357,9 @@ def main() -> None:
     }
     if kernel_fallback:
         extras["kernel_fallback"] = True
+    if device_fallback:
+        # accelerator backend was down at bench time; these are CPU numbers
+        extras["device_fallback"] = True
 
     try:
         stats = dev.memory_stats()
