@@ -30,6 +30,36 @@ import numpy as np
 AUDIO_TOKENS_PER_SEC = 44100 / 2048  # ≈21.53, reference vocoder.py:854,871-872
 
 
+def _last_tpu_bench() -> dict | None:
+    """Newest recorded accelerator bench (BENCH_r*.json in the repo root),
+    condensed.  Used only on CPU device-fallback so the JSON line still
+    points at real TPU numbers when the tunneled chip is down at bench time
+    (it has been unreachable for multi-hour stretches — PERFORMANCE.md)."""
+    import pathlib
+    import re
+
+    best = None
+    for f in pathlib.Path(__file__).parent.glob("BENCH_r*.json"):
+        m = re.match(r"BENCH_r(\d+)\.json", f.name)
+        if not m:
+            continue
+        try:
+            parsed = json.loads(f.read_text()).get("parsed") or {}
+        except Exception:
+            continue
+        if "tpu" not in str(parsed.get("device", "")).lower():
+            continue
+        if best is None or int(m.group(1)) > best[0]:
+            best = (int(m.group(1)), f.name, parsed)
+    if best is None:
+        return None
+    keep = ("metric", "value", "unit", "rtf", "rtf_e2e", "ttfa_ms",
+            "aggregate_tok_per_sec_b8", "device", "precision")
+    out = {k: best[2][k] for k in keep if k in best[2]}
+    out["source"] = best[1]
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--tiny", action="store_true", help="tiny config (CI/CPU)")
@@ -358,8 +388,13 @@ def main() -> None:
     if kernel_fallback:
         extras["kernel_fallback"] = True
     if device_fallback:
-        # accelerator backend was down at bench time; these are CPU numbers
+        # accelerator backend was down at bench time; these are CPU numbers.
+        # Embed the newest recorded TPU result so the fallback line still
+        # carries the last-known-good accelerator numbers for comparison.
         extras["device_fallback"] = True
+        last = _last_tpu_bench()
+        if last:
+            extras["last_tpu_bench"] = last
 
     try:
         stats = dev.memory_stats()
