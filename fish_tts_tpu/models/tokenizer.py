@@ -153,6 +153,10 @@ class FishTokenizer:
         )
 
         mode = os.environ.get("FISH_TTS_TPU_BPE", "auto")
+        if mode not in ("auto", "native", "tiktoken"):
+            raise ValueError(
+                f"FISH_TTS_TPU_BPE={mode!r}: expected auto|native|tiktoken"
+            )
         self._native = None
         if mode in ("auto", "native"):
             from fish_tts_tpu.native.bpe import load_native_bpe
@@ -222,7 +226,12 @@ class FishTokenizer:
         if allowed_special is True:
             allowed = self.tkt_model.special_tokens_set
         else:
-            allowed = allowed_special or set()
+            # tiktoken silently ignores allowed entries that are not
+            # registered specials; intersect so the native split regex (and
+            # its special-id lookup) sees the same set on both paths.
+            allowed = (allowed_special or set()) & set(
+                self.all_special_tokens_with_ids
+            )
         out: list[int] = []
         for start in range(0, len(s), TIKTOKEN_MAX_ENCODE_CHARS):
             span = s[start:start + TIKTOKEN_MAX_ENCODE_CHARS]

@@ -27,6 +27,7 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <memory>
 #include <string_view>
 #include <unordered_map>
 #include <vector>
@@ -123,6 +124,15 @@ bool decode_utf8(const uint8_t* s, size_t n, Decoded* out) {
     for (size_t k = 1; k < len; k++) {
       if ((s[i + k] & 0xC0) != 0x80) return false;
       cp = (cp << 6) | (s[i + k] & 0x3F);
+    }
+    // Reject what a strict decoder must: overlong encodings, surrogate
+    // codepoints, and values beyond U+10FFFF.  Unreachable from the Python
+    // binding (str.encode emits valid UTF-8) but this symbol is a stable C
+    // ABI whose contract says -1 on malformed input.
+    if ((len == 2 && cp < 0x80) || (len == 3 && cp < 0x800) ||
+        (len == 4 && cp < 0x10000) || (cp >= 0xD800 && cp <= 0xDFFF) ||
+        cp > 0x10FFFF) {
+      return false;
     }
     out->cp.push_back(cp);
     i += len;
@@ -251,8 +261,10 @@ extern "C" {
 int ft_abi_version(void) { return 1; }
 
 // blob: repeated (u32le token_len, token bytes, u32le rank) records.
-void* ft_bpe_new(const uint8_t* blob, size_t blob_len) {
-  auto* v = new (std::nothrow) Vocab;
+// Exceptions must not cross the C ABI (ctypes would std::terminate) — all
+// allocation failures surface as nullptr.
+void* ft_bpe_new(const uint8_t* blob, size_t blob_len) try {
+  std::unique_ptr<Vocab> v(new (std::nothrow) Vocab);
   if (!v) return nullptr;
   v->arena.reserve(blob_len);
   // First pass: copy token bytes into the arena (stable addresses).
@@ -260,17 +272,11 @@ void* ft_bpe_new(const uint8_t* blob, size_t blob_len) {
   while (i + 4 <= blob_len) {
     uint32_t tlen = rd_u32(blob + i);
     i += 4;
-    if (i + tlen + 4 > blob_len) {
-      delete v;
-      return nullptr;
-    }
+    if (i + tlen + 4 > blob_len) return nullptr;
     v->arena.insert(v->arena.end(), blob + i, blob + i + tlen);
     i += tlen + 4;
   }
-  if (i != blob_len) {
-    delete v;
-    return nullptr;
-  }
+  if (i != blob_len) return nullptr;
   // Second pass: build views into the arena.
   size_t arena_pos = 0;
   i = 0;
@@ -283,7 +289,9 @@ void* ft_bpe_new(const uint8_t* blob, size_t blob_len) {
     v->ranks.emplace(key, rd_u32(blob + i));
     i += 4;
   }
-  return v;
+  return v.release();
+} catch (...) {
+  return nullptr;
 }
 
 void ft_bpe_free(void* h) { delete static_cast<Vocab*>(h); }
@@ -294,7 +302,7 @@ void ft_ids_free(uint32_t* ids) { std::free(ids); }
 // token count and stores a malloc'd id array in *out (free with
 // ft_ids_free); returns -1 on malformed UTF-8 / incomplete vocab / OOM.
 int64_t ft_bpe_encode(const void* h, const uint8_t* utf8, size_t len,
-                      uint32_t** out) {
+                      uint32_t** out) try {
   const Vocab& v = *static_cast<const Vocab*>(h);
   Decoded d;
   if (!decode_utf8(utf8, len, &d)) return -1;
@@ -319,6 +327,9 @@ int64_t ft_bpe_encode(const void* h, const uint8_t* utf8, size_t len,
   std::memcpy(buf, ids.data(), sizeof(uint32_t) * ids.size());
   *out = buf;
   return static_cast<int64_t>(ids.size());
+} catch (...) {
+  // std::bad_alloc (or anything else) must not unwind into ctypes
+  return -1;
 }
 
 }  // extern "C"

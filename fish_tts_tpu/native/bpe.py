@@ -1,7 +1,8 @@
 """ctypes binding for the native BPE encoder (``bpe.cc``).
 
 Build model: the shared library is compiled on demand with ``g++`` into
-``~/.cache/fish-tts/native/`` keyed by a hash of the C++ sources, so a source
+``$FISH_TTS_TPU_CACHE_DIR/native/`` (default ``~/.cache/fish-tts-tpu/native/``
+— the repo's one cache root) keyed by a hash of the C++ sources, so a source
 edit triggers a rebuild and concurrent processes race benignly (atomic
 rename).  No pybind11 in this image — plain C ABI + ctypes.
 
@@ -31,8 +32,10 @@ _ABI_VERSION = 1
 
 
 def _cache_dir() -> Path:
-    root = os.environ.get("FISH_TTS_CACHE_DIR", "")
-    base = Path(root) if root else Path.home() / ".cache" / "fish-tts"
+    # Same relocation knob as the XLA compile cache (utils/compile_cache.py);
+    # "" there means "disable the XLA cache", for builds it just means default.
+    root = os.environ.get("FISH_TTS_TPU_CACHE_DIR") or ""
+    base = Path(root) if root else Path.home() / ".cache" / "fish-tts-tpu"
     return base / "native"
 
 

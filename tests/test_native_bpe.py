@@ -183,3 +183,73 @@ def test_build_is_cached():
     p1 = build_library()
     p2 = build_library()
     assert p1 == p2 and p1.exists()
+
+
+def test_cache_dir_honors_repo_cache_root(monkeypatch, tmp_path):
+    """The build cache lives under the repo's one cache knob
+    (FISH_TTS_TPU_CACHE_DIR), not a second divergent root."""
+    from pathlib import Path
+
+    from fish_tts_tpu.native import bpe as bpe_mod
+
+    monkeypatch.setenv("FISH_TTS_TPU_CACHE_DIR", str(tmp_path))
+    assert bpe_mod._cache_dir() == tmp_path / "native"
+    # "" disables the XLA cache but just means default here
+    monkeypatch.setenv("FISH_TTS_TPU_CACHE_DIR", "")
+    assert bpe_mod._cache_dir() == (
+        Path.home() / ".cache" / "fish-tts-tpu" / "native"
+    )
+
+
+def test_allowed_special_unknown_entry_ignored(tiny_tokenizer):
+    """allowed_special entries that are not registered specials must be
+    ignored on both engines — tiktoken never matches them; the native split
+    regex must not build them in (it would KeyError on the id lookup)."""
+    tk = tiny_tokenizer
+    text = "hello foo <|im_end|> bar foo"
+    ids = tk.encode(text, allowed_special={"foo", "<|im_end|>"})
+    ref = tk.tkt_model.encode(
+        text, allowed_special={"<|im_end|>"}, disallowed_special=set()
+    )
+    assert ids == ref
+    assert tk.decode(ids) == text
+
+
+def test_invalid_bpe_mode_rejected(tiny_vocab_path, monkeypatch):
+    """A typo'd FISH_TTS_TPU_BPE must raise, not silently fall back to
+    tiktoken and lose the strict-native guarantee."""
+    from fish_tts_tpu.models.tokenizer import FishTokenizer, tiny_special_tokens
+
+    monkeypatch.setenv("FISH_TTS_TPU_BPE", "Native")
+    with pytest.raises(ValueError, match="FISH_TTS_TPU_BPE"):
+        FishTokenizer(tiny_vocab_path, tiny_special_tokens(num_semantic=48))
+
+
+def test_malformed_utf8_rejected_at_c_abi():
+    """Overlong encodings, surrogates, out-of-range codepoints, bare
+    continuation bytes, and truncated sequences all return -1 at the C ABI
+    (unreachable via str.encode — exercised with raw bytes)."""
+    import ctypes
+
+    nat = load_native_bpe(BYTE_RANKS)
+    bad_inputs = [
+        b"\xc0\x80",              # overlong NUL
+        b"\xe0\x80\xaf",          # overlong 3-byte
+        b"\xf0\x80\x80\x80",      # overlong 4-byte
+        b"\xed\xa0\x80",          # UTF-8-encoded surrogate U+D800
+        b"\xf7\xbf\xbf\xbf",      # codepoint 0x1FFFFF > U+10FFFF
+        b"\xf4\x90\x80\x80",      # 0x110000, first past the Unicode range
+        b"\x80",                  # bare continuation byte
+        b"\xc2",                  # truncated 2-byte sequence
+        b"ok\xc0\x80",            # valid prefix then malformed
+    ]
+    for bad in bad_inputs:
+        out = ctypes.POINTER(ctypes.c_uint32)()
+        n = nat._lib.ft_bpe_encode(nat._handle, bad, len(bad),
+                                   ctypes.byref(out))
+        assert n == -1, bad
+    # the handle still encodes valid input afterwards
+    assert nat.encode_ordinary("ok") == [ord("o"), ord("k")]
+    # boundary cases that must PASS strict validation
+    for good in ("퟿", "", "\U0010ffff", "߿", "ࠀ"):
+        assert nat.encode_ordinary(good) == list(good.encode("utf-8"))
