@@ -159,6 +159,11 @@ class ContentSequence:
             block.append(TextPart(text=f"<|speaker:{speaker}|>"))
         block += part_or_parts if isinstance(part_or_parts, list) else [part_or_parts]
         if add_end:
+            if not block and not self.parts:
+                raise ValueError(
+                    "append(add_end=True) on an empty sequence: no part to "
+                    "inherit cal_loss from"
+                )
             tail = block[-1] if block else self.parts[-1]
             block.append(TextPart(text=IM_END_TOKEN, cal_loss=tail.cal_loss))
         self.parts += block
@@ -199,6 +204,16 @@ class ContentSequence:
                 mask_chunks.append(np.zeros(len(toks), dtype=bool))
             elif isinstance(part, VQPart):
                 codes = np.asarray(part.codes, dtype=np.int32)
+                if codes.ndim != 2 or codes.shape[0] < 1:
+                    raise ValueError(
+                        f"VQPart codes must be (num_codebooks, T), got "
+                        f"{codes.shape}"
+                    )
+                if vq_parts and codes.shape[0] != vq_parts[0].shape[0]:
+                    raise ValueError(
+                        "VQPart codebook counts differ within one sequence: "
+                        f"{vq_parts[0].shape[0]} vs {codes.shape[0]}"
+                    )
                 toks = (codes[0] + tokenizer.semantic_begin_id).astype(np.int32)
                 mask_chunks.append(np.ones(len(toks), dtype=bool))
                 vq_parts.append(codes)

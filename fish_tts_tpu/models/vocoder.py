@@ -159,9 +159,27 @@ def _vq_p(key, input_dim, codebook_size, codebook_dim, dtype):
     }
 
 
+def _stage_tcfg(d: int, n_t: int) -> VocoderTransformerConfig:
+    """Encoder-stage WLT wiring (reference vocoder.py:513-524): heads of 64,
+    3x FFN.  One definition shared by init and forward so the two cannot
+    drift apart."""
+    return VocoderTransformerConfig(
+        block_size=16384, n_layer=n_t, n_head=d // 64, dim=d,
+        intermediate_size=d * 3, head_dim=64,
+    )
+
+
+def _key_stream(key):
+    """Unbounded stream of fresh subkeys (a fixed-size split would cap the
+    config sizes init can handle)."""
+    while True:
+        key, sub = jax.random.split(key)
+        yield sub
+
+
 def init_vocoder_params(key, cfg: VocoderConfig, dtype=jnp.float32) -> Params:
     """Random-init the full codec parameter pytree."""
-    ks = iter(jax.random.split(key, 64))
+    ks = _key_stream(key)
     tq = cfg.quantizer_transformer
 
     # --- encoder ---
@@ -175,12 +193,7 @@ def init_vocoder_params(key, cfg: VocoderConfig, dtype=jnp.float32) -> Params:
             "down": _conv_p(next(ks), d, d // 2, 2 * stride, dtype),
         }
         if n_t > 0:
-            # encoder-stage WLT: dims per reference vocoder.py:513-524
-            scfg = VocoderTransformerConfig(
-                block_size=16384, n_layer=n_t, n_head=d // 64, dim=d,
-                intermediate_size=d * 3, head_dim=64,
-            )
-            block["wlt"] = _wlt_p(next(ks), scfg, d, dtype)
+            block["wlt"] = _wlt_p(next(ks), _stage_tcfg(d, n_t), d, dtype)
         enc["blocks"].append(block)
     enc["final_snake"] = _snake_p(d, dtype)
     enc["final_conv"] = _conv_p(next(ks), cfg.latent_dim, d, 3, dtype)
@@ -258,7 +271,11 @@ def _wlt_forward(
         x = x @ p["input_proj"]["w"] + p["input_proj"]["b"]
     T = x.shape[1]
     pos = jnp.arange(T, dtype=jnp.int32)
-    freqs = precompute_freqs_cis(T, tcfg.head_dim, tcfg.rope_base)
+    # conformer mode never applies rotary (see below) — skip the table
+    freqs = (
+        precompute_freqs_cis(T, tcfg.head_dim, tcfg.rope_base)
+        if tcfg.pos_embed_type == "rope" else None
+    )
     bias = window_causal_bias(pos, pos, window)
 
     H, Hkv, Dh = tcfg.n_head, tcfg.n_local_heads, tcfg.head_dim
@@ -398,11 +415,8 @@ def encoder_forward(ep: Params, cfg: VocoderConfig, x: jnp.ndarray) -> jnp.ndarr
         x = snake(x, block["snake"])
         x = causal_conv1d(x, block["down"]["w"], block["down"]["b"], stride=stride)
         if n_t > 0:
-            scfg = VocoderTransformerConfig(
-                block_size=16384, n_layer=n_t, n_head=d // 64, dim=d,
-                intermediate_size=d * 3, head_dim=64,
-            )
-            x = _wlt_forward(block["wlt"], scfg, cfg.encoder_window, x)
+            x = _wlt_forward(block["wlt"], _stage_tcfg(d, n_t),
+                             cfg.encoder_window, x)
     x = snake(x, ep["final_snake"])
     x = causal_conv1d(x, ep["final_conv"]["w"], ep["final_conv"]["b"])
     return x

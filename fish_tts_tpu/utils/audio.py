@@ -18,15 +18,21 @@ DEFAULT_SAMPLE_RATE = 44100
 
 
 def _fft_resample(x: np.ndarray, num: int) -> np.ndarray:
-    """Fourier-method resampling equivalent to ``scipy.signal.resample``."""
+    """Fourier-method resampling equivalent to ``scipy.signal.resample``,
+    including its Nyquist-bin split/fold for even lengths — the fallback must
+    produce the same audio as the scipy path, or reference codes would depend
+    on which host encoded them."""
     n = len(x)
     X = np.fft.rfft(x)
-    new_len = num // 2 + 1
-    if new_len <= len(X):
-        Y = X[:new_len].copy()
-    else:
-        Y = np.zeros(new_len, dtype=X.dtype)
-        Y[: len(X)] = X
+    Y = np.zeros(num // 2 + 1, dtype=X.dtype)
+    m = min(num, n)
+    nyq = m // 2 + 1
+    Y[:nyq] = X[:nyq]
+    if m % 2 == 0:  # the shorter spectrum ends in a real Nyquist bin
+        if num < n:  # downsampling: fold the discarded conjugate half in
+            Y[m // 2] *= 2.0
+        elif num > n:  # upsampling: split the Nyquist bin across +/- freqs
+            Y[m // 2] *= 0.5
     y = np.fft.irfft(Y, num)
     return (y * (num / n)).astype(np.float32)
 

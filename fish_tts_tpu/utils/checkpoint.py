@@ -208,8 +208,16 @@ def _normalize_lm_keys(raw: Mapping[str, Any]) -> dict[str, Any]:
     sd = dict(raw)
     if "state_dict" in sd:
         sd = dict(sd["state_dict"])
-    if next(iter(sd)).startswith("model."):
-        sd = {k.replace("model.", "", 1): v for k, v in sd.items()}
+    # Conscious fix of a reference quirk: the reference keys the strip off
+    # the FIRST dict entry and replaces "model." anywhere in the key
+    # (llama.py:487-491) — one stray metadata entry ordered first disables
+    # the strip, and a mid-path "model." gets corrupted.  Anchored per-key
+    # stripping behaves identically on real checkpoints.
+    if any(k.startswith("model.") for k in sd):
+        sd = {
+            (k[len("model."):] if k.startswith("model.") else k): v
+            for k, v in sd.items()
+        }
     return sd
 
 
@@ -406,11 +414,16 @@ def convert_vocoder_state_dict(
     sd_raw = dict(raw)
     if "state_dict" in sd_raw:
         sd_raw = dict(sd_raw["state_dict"])
-    if any("generator" in k for k in sd_raw):
+    # Conscious fix of a reference quirk: the reference triggers on the bare
+    # substring "generator" then filters on "generator." (synthesizer.py:277-282),
+    # so a non-prefixed checkpoint containing e.g. "generator_ema" would lose
+    # every real key.  Anchored prefix handling is identical on real
+    # checkpoints (keys are either all "generator."-prefixed or none are).
+    if any(k.startswith("generator.") for k in sd_raw):
         sd_raw = {
-            k.replace("generator.", ""): v
+            k[len("generator."):]: v
             for k, v in sd_raw.items()
-            if "generator." in k
+            if k.startswith("generator.")
         }
     sd = _SD(sd_raw)
 
@@ -531,6 +544,8 @@ def save_params(path: str | Path, params: Params, dtype: str = "bf16") -> None:
     """
     from safetensors.numpy import save_file
 
+    if dtype not in ("bf16", "fp32"):
+        raise ValueError(f"dtype={dtype!r}: expected 'bf16' or 'fp32'")
     flat = flatten_params(params)
     if dtype == "bf16":
         import ml_dtypes

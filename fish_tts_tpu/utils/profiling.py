@@ -50,17 +50,15 @@ class Metrics:
     audio_seconds: float = 0.0
 
     @contextlib.contextmanager
-    def span(self, name: str, block_on=None):
-        """Time a phase; pass ``block_on`` (a jax array/pytree) to include
-        device completion via block_until_ready."""
+    def span(self, name: str):
+        """Time a phase (host wall clock).  Device completion is the
+        caller's job: fetch the results inside the block (on this platform
+        only a device->host read is a true barrier — PERFORMANCE.md), which
+        every engine span already does."""
         t0 = time.perf_counter()
         try:
             yield
         finally:
-            if block_on is not None:
-                import jax
-
-                jax.block_until_ready(block_on)
             st = self.phases[name]
             st.total_s += time.perf_counter() - t0
             st.count += 1

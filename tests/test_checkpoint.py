@@ -218,3 +218,19 @@ def test_safetensors_bf16_storage(tmp_path):
     )
     l32 = ckpt.load_params(p32)
     np.testing.assert_array_equal(l32["w"], tree["w"])
+
+
+def test_lm_prefix_strip_survives_stray_first_key():
+    """The strip decision must not hinge on dict order: a metadata entry
+    ordered first (reference quirk: llama.py:487 keys off next(iter(sd)))
+    must not disable the model. prefix strip."""
+    sd = {"epoch": np.zeros(1, np.float32)}
+    sd.update(_lm_state_dict(prefix="model."))
+    params = ckpt.convert_lm_state_dict(sd, CFG)
+    assert params["norm"].shape == (CFG.dim,)
+
+
+def test_save_params_rejects_unknown_dtype(tmp_path):
+    with pytest.raises(ValueError, match="dtype"):
+        ckpt.save_params(tmp_path / "x.safetensors",
+                         {"w": np.zeros((2, 2), np.float32)}, dtype="fp16")

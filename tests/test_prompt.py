@@ -2,6 +2,7 @@
 algorithm (inference.py:467-640, 779-795)."""
 
 import numpy as np
+import pytest
 
 from fish_tts_tpu.models.prompt import ContentSequence, TextPart, VQPart, build_prompt
 
@@ -175,3 +176,26 @@ def test_encode_for_inference_consistency(tiny_tokenizer):
     inf = seq.encode_for_inference(tk, num_codebooks=K)
     np.testing.assert_array_equal(inf.values[0], msg.tokens)
     np.testing.assert_array_equal(inf.vq_mask, msg.vq_mask_tokens)
+
+
+def test_encode_rejects_malformed_vq_codes(tiny_tokenizer):
+    """1-D codes raise a clear ValueError (not a TypeError deep inside),
+    and mixed codebook counts within one sequence are rejected."""
+    seq = ContentSequence([VQPart(codes=np.array([1, 2, 3]))])
+    with pytest.raises(ValueError, match="num_codebooks"):
+        seq.encode(tiny_tokenizer)
+
+    seq2 = ContentSequence([
+        VQPart(codes=np.zeros((K, 2), np.int64)),
+        VQPart(codes=np.zeros((K + 1, 2), np.int64)),
+    ])
+    with pytest.raises(ValueError, match="codebook counts differ"):
+        seq2.encode(tiny_tokenizer)
+
+
+def test_append_add_end_on_empty_sequence_raises():
+    """append([], add_end=True) on an empty sequence has no part to inherit
+    cal_loss from — must be a clear error, not IndexError."""
+    seq = ContentSequence(modality=None)
+    with pytest.raises(ValueError, match="empty sequence"):
+        seq.append([], add_end=True)

@@ -470,3 +470,18 @@ def test_wlt_conformer_mode_matches():
     )
     j_rope = np.asarray(jvoc._wlt_forward(params, jcfg_rope, 24, jnp.asarray(x)))
     assert not np.allclose(j_rope, t_out, atol=1e-3)
+
+
+def test_vocoder_prefix_strip_ignores_bare_generator_substring(codecs):
+    """A NON-prefixed checkpoint containing a key with the bare substring
+    "generator" (e.g. "generator_ema") must not trigger the prefix filter
+    and lose every real key (reference quirk at synthesizer.py:277-282:
+    triggers on "generator", filters on "generator.")."""
+    _, tdac, _ = codecs
+    sd = dict(tdac.state_dict())
+    sd["generator_ema"] = torch.zeros(1)
+    out = []
+    convert_vocoder_state_dict(sd, CFG, report_out=out)
+    (rep,) = out
+    # conversion consumed the real keys; only the stray entry is unconsumed
+    assert rep.unconsumed == ("generator_ema",)
