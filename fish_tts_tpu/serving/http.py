@@ -189,19 +189,28 @@ class ServeDriver:
             except Exception:
                 logger.exception("serve driver: step failed; "
                                  "failing all live streams")
+                # swap + reset under ONE lock hold: a submit that slipped
+                # between them would register its consumer in the fresh
+                # dict while reset() silently dropped its request from the
+                # session — the handler would block on q.get() forever.
+                # Holding the routing lock, a submit lands either before
+                # the swap (gets _DONE below) or after the rebuilt session
+                # is ready to serve it.
                 with self._lock:
                     consumers, self._consumers = self._consumers, {}
+                    try:
+                        # the step programs donate their device state: after
+                        # a RUNTIME failure the old buffers may be deleted,
+                        # and without a rebuild every subsequent step would
+                        # raise too (a zombie server failing 100% of new
+                        # requests)
+                        self._sess.reset()
+                    except Exception:
+                        logger.exception(
+                            "serve driver: session reset failed; "
+                            "will retry after next step failure")
                 for q in consumers.values():
                     q.put(_DONE)
-                try:
-                    # the step programs donate their device state: after a
-                    # RUNTIME failure the old buffers may be deleted, and
-                    # without a rebuild every subsequent step would raise
-                    # too (a zombie server failing 100% of new requests)
-                    self._sess.reset()
-                except Exception:
-                    logger.exception("serve driver: session reset failed; "
-                                     "will retry after next step failure")
                 time.sleep(0.5)
                 continue
             for ev in events:

@@ -90,6 +90,8 @@ class _StreamVocoder:
     """
 
     def __init__(self, tts: "FishTTS"):
+        if tts._vocoder_params is None:
+            raise RuntimeError("Vocoder not loaded")
         self._tts = tts
         # one jitted call: eager init would dispatch ~30 small zeros
         # allocations, each paying a device round trip on tunneled platforms
@@ -127,6 +129,8 @@ class _PoolStreamBatch:
     """
 
     def __init__(self, tts: "FishTTS", batch: int):
+        if tts._vocoder_params is None:
+            raise RuntimeError("Vocoder not loaded")
         self._tts = tts
         self._B = batch
         init, self._dec = tts._pool_vocoder_fns(batch)
@@ -243,6 +247,23 @@ class FishTTS:
             self._dtype = jnp.float32
 
         if device == "cpu":
+            # jax_platforms only takes effect before the process's first
+            # backend initialization; after that the update is a silent
+            # no-op and this "cpu" instance would dispatch to the
+            # accelerator.  Fail loudly instead of mis-placing compute.
+            try:
+                from jax._src import xla_bridge
+
+                initialized = xla_bridge.backends_are_initialized()
+            except Exception:  # private API moved: fall back to the update
+                initialized = False
+            if initialized and jax.default_backend() != "cpu":
+                raise RuntimeError(
+                    "device='cpu' requested but the JAX backend is already "
+                    f"initialized on '{jax.default_backend()}'; construct "
+                    "the CPU instance first (or in its own process), or "
+                    "set JAX_PLATFORMS=cpu before any JAX use."
+                )
             jax.config.update("jax_platforms", "cpu")
 
         if _testing_bundle is not None:
@@ -877,7 +898,10 @@ class FishTTS:
                     np.concatenate(buffer, axis=1)), 0)
             if in_flight is not None:
                 yield self._force_pcm(*in_flight)
-            if collected:
+            if collected and carry_frames > 0:
+                # carry_frames=0 disables carry (prev stays None and later
+                # chunks use the base references alone); without the guard
+                # ``[:, -0:]`` would inline the ENTIRE previous chunk
                 codes = np.concatenate(collected, axis=1)
                 # streaming yields the EOS frame too (inference.py:271-274);
                 # drop it from the carry like the reference's batch path
@@ -890,7 +914,8 @@ class FishTTS:
                 )
 
     def serve(self, slots: int = 8, vocoder_device=None,
-              max_queue: int = 0) -> "ServeSession":
+              max_queue: int = 0,
+              warmup: bool | None = None) -> "ServeSession":
         """Continuous-batching audio serving: a session whose requests JOIN
         the running decode pool (``engine.serve.ContinuousBatcher``) and
         stream raw PCM per request through ONE pool-wide batched stateful
@@ -918,21 +943,29 @@ class FishTTS:
         0 = unbounded.  ``submit`` raises ``engine.serve.QueueFull`` at the
         bound.  ``session.stats()`` reports queue depth, p50/p95 queue wait
         and TTFT over recent completions.
+
+        ``warmup``: compile the pool programs now (one drained tiny
+        request, :meth:`ServeSession.warmup`) instead of on the first real
+        request's TTFT.  Default (``None``) follows the instance's warmup
+        setting.
         """
         if self._vocoder_params is None:
             raise RuntimeError(
                 "Audio serving requires the vocoder; this instance loaded "
                 "without one (LM codes only)."
             )
-        return ServeSession(self, slots=slots, vocoder_device=vocoder_device,
-                    max_queue=max_queue)
+        sess = ServeSession(self, slots=slots, vocoder_device=vocoder_device,
+                            max_queue=max_queue)
+        if warmup if warmup is not None else self._is_warmed_up:
+            sess.warmup()
+        return sess
 
     # ------------------------------------------------------------------
     # Vocoder plumbing
     # ------------------------------------------------------------------
 
-    def _vocoder_decode_fn(self, bucket: int):
-        """Jitted vocoder decode for a given frame-count bucket.
+    def _vocoder_decode_fn(self):
+        """Jitted vocoder decode (jit re-specializes per padded bucket shape).
 
         Params are an explicit argument, never a closure: closed-over device
         arrays get embedded as HLO constants, which bloats the executable
@@ -1011,7 +1044,7 @@ class FishTTS:
         bucket = _vocoder_bucket(n)
         padded = np.zeros((1, codes.shape[0], bucket), np.int32)
         padded[0, :, :n] = codes
-        audio = self._vocoder_decode_fn(bucket)(jnp.asarray(padded))
+        audio = self._vocoder_decode_fn()(jnp.asarray(padded))
         return audio, n
 
     def _force_pcm(self, audio, n_frames: int, skip_frames: int = 0) -> bytes:
@@ -1159,7 +1192,9 @@ class _LongChain:
         reference's batch path strips it — inference.py:839)."""
         tail = self.tail
         self.tail = None
-        if tail is None or tail.shape[1] == 0:
+        # carry_frames=0 means carry disabled — and ``[:, -0:]`` below
+        # would return the WHOLE tail (the EOS frame) instead of nothing
+        if self.carry_frames <= 0 or tail is None or tail.shape[1] == 0:
             return None
         if tail.shape[1] > 1:
             tail = tail[:, :-1]
@@ -1394,13 +1429,20 @@ class ServeSession:
                 if chain.seed is not None:
                     kw["seed"] = chain.seed + idx
                 carry = chain.take_carry()
-                if not self._tts._engine.has_prefix and carry is not None:
+                if not self._tts._engine.has_prefix:
                     # rolling continuity context; with a session prefix the
                     # prefix itself is the voice and successors submit plain
-                    # text
-                    kw["prompt_text"] = (
-                        chain.base_texts + [chain.chunks[idx - 1]])
-                    kw["prompt_tokens"] = chain.base_codes + [carry]
+                    # text.  When a segment yielded no carry (e.g. EOS on
+                    # its first frame) the base references must still be
+                    # passed — dropping them would switch the rest of the
+                    # chain to the default voice.
+                    if carry is not None:
+                        kw["prompt_text"] = (
+                            chain.base_texts + [chain.chunks[idx - 1]])
+                        kw["prompt_tokens"] = chain.base_codes + [carry]
+                    elif chain.base_texts:
+                        kw["prompt_text"] = list(chain.base_texts)
+                        kw["prompt_tokens"] = list(chain.base_codes)
             if chain.deadline:
                 # refreshed per attempt so the prepared request's absolute
                 # deadline stays the CHAIN deadline across retry rounds
@@ -1655,6 +1697,23 @@ class ServeSession:
         """Drive the session until the queue and all slots drain."""
         while self.busy:
             yield from self.step()
+
+    def warmup(self) -> None:
+        """Compile the pool programs before the first real request.
+
+        Engine warmup (``FishTTS(warmup=True)``) covers only the
+        single-stream programs; the pool's admission, batched decode round
+        and slot-pool vocoder programs would otherwise compile on the FIRST
+        request's critical path (tens of seconds on remote-compile
+        platforms — enough to blow a request ``timeout_s``).  Drains one
+        tiny request through the session; all pool programs are shaped by
+        the slot count, not the request, so this covers steady state."""
+        t0 = time.perf_counter()
+        self.submit("Warm up.", max_new_tokens=2 * self._n, seed=0)
+        for _ in self.run():
+            pass  # discard the warmup request's audio
+        logger.info("Serve pool warmup (%d slots) in %.1fs",
+                    self._slots, time.perf_counter() - t0)
 
 
 def get_instance(

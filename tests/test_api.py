@@ -638,3 +638,48 @@ def test_serve_vocoder_device_disaggregation(tts):
     base = drive(None)
     disagg = drive(jax.devices()[1])
     assert base == disagg
+
+
+def test_vocoderless_stream_raises_clean_error():
+    """An instance loaded without codec weights must raise the same clean
+    'Vocoder not loaded' from the default STATEFUL streaming path as the
+    context path does (regression: it died tracing init_decode_state(None)
+    with a TypeError)."""
+    from fish_tts_tpu.synthesizer import FishTTS
+    from fish_tts_tpu.testing import make_tiny_bundle
+
+    cfg, params, tok, vcfg, _ = make_tiny_bundle(7)
+    tts = FishTTS(device="cpu", precision="fp32", warmup=False,
+                  _testing_bundle=(cfg, params, tok, vcfg, None))
+    with pytest.raises(RuntimeError, match="Vocoder not loaded"):
+        list(tts.synthesize_stream("hi", max_tokens=4))
+    with pytest.raises(RuntimeError, match="Vocoder not loaded"):
+        for _ in tts.synthesize_batch_stream(["hi", "ho"], max_tokens=4):
+            pass
+
+
+def test_device_cpu_after_foreign_backend_raises(monkeypatch):
+    """device='cpu' cannot take effect once the process backend is live on
+    an accelerator — the constructor must fail loudly instead of silently
+    dispatching the 'cpu' instance to the accelerator."""
+    import jax
+
+    from fish_tts_tpu.synthesizer import FishTTS
+    from fish_tts_tpu.testing import make_tiny_bundle
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    with pytest.raises(RuntimeError, match="already.*initialized"):
+        FishTTS(device="cpu", precision="fp32", warmup=False,
+                _testing_bundle=make_tiny_bundle(8))
+
+
+def test_serve_warmup_compiles_pool_without_leaking_events(tts):
+    """serve(warmup=True) drains its own tiny request: the session comes
+    back idle, no warmup audio leaks to the caller, and a real request
+    still serves normally."""
+    sess = tts.serve(slots=1, warmup=True)
+    assert not sess.busy
+    rid = sess.submit("after warmup", max_new_tokens=4, seed=5)
+    events = list(sess.run())
+    assert {ev.request_id for ev in events} == {rid}
+    assert sum(len(ev.pcm) for ev in events) > 0

@@ -394,3 +394,86 @@ def test_buffered_mode_errors_on_no_audio(server):
     for c, r in zip(blockers, resps):
         r.read()
         c.close()
+
+
+def test_driver_recovery_is_atomic_with_submit():
+    """A submit racing the step-failure recovery must not fall into the gap
+    between the consumer-dict swap and session.reset(): with the swap+reset
+    under one lock hold, the racing submit blocks until the session is
+    rebuilt and then serves normally (regression: its request was silently
+    dropped by reset() while its consumer queue waited forever)."""
+    import threading
+    import time as _t
+
+    from fish_tts_tpu.serving.http import ServeDriver
+    from fish_tts_tpu.synthesizer import AudioEvent
+
+    class FakeSession:
+        def __init__(self):
+            self.fail_next = True
+            self.in_reset = threading.Event()
+            self.release_reset = threading.Event()
+            self.reset_done = threading.Event()
+            self.epoch = 0
+            self.enqueue_epoch = {}
+            self.pending = []
+            self.busy = True
+
+        def prepare(self, text, **kw):
+            return text
+
+        def enqueue(self, req):
+            rid = len(self.enqueue_epoch) + 1
+            self.enqueue_epoch[rid] = self.epoch
+            self.pending.append(rid)
+            return rid
+
+        def step(self):
+            if self.fail_next:
+                self.fail_next = False
+                raise RuntimeError("injected device failure")
+            if self.pending:
+                rid = self.pending.pop(0)
+                return [AudioEvent(rid, b"\x01\x02", True, 1)]
+            _t.sleep(0.002)
+            return []
+
+        def reset(self):
+            self.in_reset.set()
+            assert self.release_reset.wait(5), "test never released reset"
+            self.epoch += 1
+            self.reset_done.set()
+
+        def cancel(self, rid):
+            pass
+
+        def stats(self):
+            return {}
+
+    fake = FakeSession()
+    drv = ServeDriver(fake, poll_idle_s=0.001)
+    try:
+        assert fake.in_reset.wait(5), "driver never hit the failure path"
+        result = {}
+
+        def racing_submit():
+            result["rid"], result["q"] = drv.submit("late request")
+
+        t = threading.Thread(target=racing_submit)
+        t.start()
+        _t.sleep(0.3)
+        # the reset is still in progress: the submit must be blocked, not
+        # enqueued into the session that reset() is about to wipe
+        assert "rid" not in result and not fake.enqueue_epoch
+        fake.release_reset.set()
+        t.join(timeout=5)
+        assert not t.is_alive()
+        assert fake.enqueue_epoch[result["rid"]] == 1, \
+            "request enqueued into the pre-reset session"
+        # ... and it is served by the rebuilt session
+        assert result["q"].get(timeout=5) == b"\x01\x02"
+        assert drv.is_done(result["q"].get(timeout=5))
+    finally:
+        fake.release_reset.set()
+        fake.busy = False
+        drv.close(timeout=5)

@@ -306,3 +306,71 @@ def test_serve_long_chain_does_not_pin_other_streams(tts, monkeypatch):
     assert order.index(co) < order.index(rid), (
         "co-tenant audio was starved until the chain finished"
     )
+
+
+def test_carry_frames_zero_disables_carry(tts, monkeypatch):
+    """carry_frames=0 means NO rolling context: later chunks are prompted
+    with the base references alone.  (Regression: ``codes[:, -0:]`` is the
+    whole array, so 0 used to inline the ENTIRE previous chunk and blow the
+    prompt budget.)"""
+    from fish_tts_tpu.synthesizer import VoiceProfile
+
+    ref = VoiceProfile(
+        codes=np.random.RandomState(5).randint(
+            0, tts._cfg.codebook_size // 2,
+            (tts._cfg.num_codebooks, 2)).astype(np.int64),
+        text="r",
+    )
+    calls = []
+    real = tts._engine.generate_long
+
+    def spy(text, **kw):
+        calls.append((list(kw["prompt_text"] or []),
+                      [np.asarray(c) for c in (kw["prompt_tokens"] or [])]))
+        return real(text, **kw)
+
+    monkeypatch.setattr(tts._engine, "generate_long", spy)
+    wav = tts.synthesize_long(
+        "Aa bb. Cc dd.", references=[ref], max_chars=8, carry_frames=0,
+        max_tokens_per_chunk=6,
+    )
+    assert wav[:4] == b"RIFF"
+    assert len(calls) >= 2
+    for texts, tokens in calls:
+        assert texts == ["r"], "carry pair must not be appended"
+        assert len(tokens) == 1 and tokens[0].shape[1] == 2
+
+
+def test_take_carry_zero_frames_returns_none():
+    """_LongChain.take_carry with carry_frames=0 yields no carry (not the
+    EOS frame via ``[:, -0:]``)."""
+    from fish_tts_tpu.synthesizer import _LongChain
+
+    chain = _LongChain(["a", "b"], [], [], 0, {}, None, 0.0)
+    chain.feed(np.ones((4, 3), np.int32))
+    assert chain.take_carry() is None
+    assert chain.tail is None  # consumed
+
+
+def test_chain_keeps_base_refs_when_segment_has_no_carry(tts):
+    """A segment that produced no carry codes (e.g. EOS on its first frame)
+    must NOT drop the base voice references for the rest of the chain."""
+    sess = tts.serve(slots=1)
+    from fish_tts_tpu.synthesizer import _LongChain
+
+    base_codes = [np.zeros((tts._cfg.num_codebooks, 2), np.int64)]
+    chain = _LongChain(["seg a.", "seg b."], ["r"], base_codes,
+                       4, {"max_new_tokens": 4}, None, 0.0)
+    chain.tail = None  # the finished segment emitted nothing
+
+    seen = {}
+
+    def prepare_spy(text, **kw):
+        seen["text"], seen["kw"] = text, kw
+        raise ValueError("stop before touching scheduler state")
+
+    sess._srv.prepare = prepare_spy
+    assert sess._chain_next(77, chain) == "end"
+    assert seen["text"] == "seg b."
+    assert seen["kw"]["prompt_text"] == ["r"]
+    assert [c.shape for c in seen["kw"]["prompt_tokens"]] == [(4, 2)]
