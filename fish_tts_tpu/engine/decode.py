@@ -151,9 +151,10 @@ def _sample_frame(
     invariant; batch callers derive decorrelated slot keys via
     :func:`normalize_keys`).
 
-    With ``fast_kernel`` (and int8 params, B <= 8) the codebook loop runs in the
-    fused Pallas kernel (ops/fast_decoder.py) — same math, f32 accumulation,
-    exact full-vocab top-p; otherwise the XLA ``lax.scan`` loop below.
+    With ``fast_kernel`` (and int8 params, B <= fast_decoder.MAX_BATCH) the
+    codebook loop runs in the fused Pallas kernel (ops/fast_decoder.py) —
+    same math, f32 accumulation, exact full-vocab top-p; otherwise the XLA
+    ``lax.scan`` loop below.
     """
     B = logits.shape[0]
     pair = jax.vmap(lambda k: jax.random.split(k))(keys)  # (B, 2) keys

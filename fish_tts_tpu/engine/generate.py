@@ -192,7 +192,10 @@ class GenerationEngine:
         return state
 
     def reseed(self, seed: int) -> None:
-        self._key = jax.random.PRNGKey(seed)
+        # under the key lock: a concurrent _next_key mid read-split-write
+        # would otherwise overwrite the new seed with a split of the old key
+        with self._key_lock:
+            self._key = jax.random.PRNGKey(seed)
 
     # -- prefix (voice profile) caching ------------------------------------
 
@@ -243,19 +246,27 @@ class GenerationEngine:
     def has_prefix(self) -> bool:
         return self._prefix_ref[0] is not None
 
-    def _fork_prefix(self) -> decode_mod.State:
-        """Copy the cached prefix state so donation can't consume it."""
-        return jax.tree_util.tree_map(jnp.copy, self._prefix_state)
+    def _fork_prefix(self, s: decode_mod.State) -> decode_mod.State:
+        """Copy a prefix-state SNAPSHOT so donation can't consume it.
 
-    def _fork_prefix_batch(self, batch: int) -> decode_mod.State:
-        """Broadcast the cached B=1 prefix state across ``batch`` streams.
+        Callers must pass the one-time ``_prefix_ref[0]`` snapshot they
+        gated on — re-reading ``self._prefix_state`` here would race a
+        concurrent ``set_prefix``/``clear_prefix`` (mixed prefix epochs, or
+        a TypeError on a cleared prefix).  serve.py takes the same
+        single-read snapshot for the same reason.
+        """
+        return jax.tree_util.tree_map(jnp.copy, s)
+
+    def _fork_prefix_batch(self, s: decode_mod.State,
+                           batch: int) -> decode_mod.State:
+        """Broadcast a B=1 prefix-state SNAPSHOT across ``batch`` streams
+        (same snapshot contract as :meth:`_fork_prefix`).
 
         The voice references are prefilled ONCE (set_prefix); batched serving
         forks that KV prefix instead of re-prefilling the reference blocks
         per stream (the reference re-encodes and re-forwards the full prompt
         on every call, inference.py:779-795 — and has no batching at all).
         """
-        s = self._prefix_state
         state = {
             "kv": {k: jnp.repeat(v, batch, axis=1) for k, v in s["kv"].items()},
             "frame": jnp.repeat(s["frame"], batch, axis=0),
@@ -399,14 +410,17 @@ class GenerationEngine:
         ecfg = self.engine_cfg
         max_length = cfg.max_seq_len
 
+        # ONE atomic snapshot: a concurrent set_prefix/clear_prefix must not
+        # change what this call forks after the gate below has passed
+        prefix_snap = self._prefix_ref[0]
         use_cached_prefix = (
-            use_prefix_cache and self._prefix_state is not None and not prompt_text
+            use_prefix_cache and prefix_snap is not None and not prompt_text
         )
 
         if use_cached_prefix:
             # Only the target-text suffix needs encoding + prefilling.
             enc = self._encode_suffix(text)
-            state = self._fork_prefix()
+            state = self._fork_prefix(prefix_snap)
             prompt_len = int(state["pos"][0]) + enc.values.shape[1]
         else:
             enc = build_prompt(
@@ -541,7 +555,6 @@ class GenerationEngine:
             # inference.py:839) and the prompt is naturally absent.
             codes = all_frames[:-1, 1:].T if all_frames.shape[0] > 1 else all_frames[:0, 1:].T
             codes = np.maximum(codes, 0)
-            assert (codes >= 0).all()
             yield GenerateResponse(
                 action="sample", codes=codes.astype(np.int64), text=text
             )
@@ -692,12 +705,16 @@ class GenerationEngine:
         prompt_text = prompt_text or []
         prompt_tokens = prompt_tokens or []
 
+        # ONE atomic snapshot (see _fork_prefix): prefix_len, kv_pre and the
+        # forked KV below must all describe the SAME prefix epoch even if a
+        # concurrent set_prefix/clear_prefix lands mid-call
+        prefix_snap = self._prefix_ref[0]
         use_cached_prefix = (
-            use_prefix_cache and self._prefix_state is not None and not prompt_text
+            use_prefix_cache and prefix_snap is not None and not prompt_text
         )
         if use_cached_prefix:
             encs = [self._encode_suffix(t) for t in texts]
-            prefix_len = int(self._prefix_state["pos"][0])
+            prefix_len = int(prefix_snap["pos"][0])
         else:
             encs = [
                 build_prompt(
@@ -760,7 +777,8 @@ class GenerationEngine:
                 for row, i in enumerate(idxs):
                     padded[row, :, : lengths[i]] = encs[i].values
                 state_g = (
-                    self._fork_prefix_batch(Bg) if use_cached_prefix
+                    self._fork_prefix_batch(prefix_snap, Bg)
+                    if use_cached_prefix
                     else self._init_state(batch=Bg)
                 )
                 t_g, p_g, r_g = group_params(idxs)

@@ -296,6 +296,42 @@ def _make_kernel(cfg: DualARConfig, window: int, batch: int):
     return kernel
 
 
+# VMEM budget for the whole-stack-resident kernel: the pallas_call caps
+# vmem_limit_bytes at 128 MiB (v5e core VMEM) with a 48 MiB scratch margin
+# over the weight bytes — supports() must enforce the same arithmetic so an
+# oversized fast stack falls back to XLA instead of failing Mosaic compile.
+_VMEM_BUDGET = 128 * 1024 * 1024
+_SCRATCH_MARGIN = 48 * 1024 * 1024
+
+
+def _vmem_estimate(cfg: DualARConfig, params: Params, batch: int) -> int:
+    """Approximate VMEM residency of the fused kernel's inputs: int8 weight
+    planes + f32 scales/norms + the derived rope/segment/dup tables + the
+    per-stream buffers.  Mirrors fast_decode_frame's input list."""
+    fl = params["fast_layers"]
+    K, Vr = cfg.num_codebooks, cfg.residual_codebook_size
+    H, Hkv, Dh = cfg.fast_n_head, cfg.fast_n_local_heads, cfg.fast_head_dim
+
+    def qs(p) -> int:
+        return int(p["q"].size) + 4 * int(p["s"].size)
+
+    w = sum(qs(fl[k]) for k in ("wqkv", "wo", "w1", "w3", "w2"))
+    w += qs(params["fast_embeddings"])
+    head = params["fast_output"]
+    w += int(head["q"].shape[0]) * Vr + 4 * Vr  # head sliced to [:, :Vr]
+    w += 4 * (int(fl["attention_norm"].size) + int(fl["ffn_norm"].size)
+              + int(params["fast_norm"].size))
+    tables = 4 * (
+        K * Dh * 2 * (H + Hkv)     # interleaved rope lane tables
+        + (Hkv * Dh) * (H * Dh)    # GQA dup matrix
+        + 2 * H * Dh * H           # seg / seg_t
+        + batch * batch * (K - 1)  # gsel scatter matrix
+    )
+    # h_fast + a0/prev windows + gumbel + logits out (window <= 64 bound)
+    acts = 4 * batch * (cfg.fast_dim + (K - 1) * (2 * Vr + 64) + 2)
+    return w + tables + acts
+
+
 def supports(cfg: DualARConfig, params: Params, batch: int) -> bool:
     """True when the fused kernel can run this config/params/batch combo."""
     from fish_tts_tpu.utils.quantize import is_quantized
@@ -310,33 +346,25 @@ def supports(cfg: DualARConfig, params: Params, batch: int) -> bool:
         # fast_project_in (fast_dim != dim checkpoints) is NOT a blocker:
         # the caller projects the slow hidden before handing it to the
         # kernel (decode._sample_frame), which runs purely at fast_dim
+        and _vmem_estimate(cfg, params, batch)
+        + _SCRATCH_MARGIN <= _VMEM_BUDGET
     )
 
 
 def rope_tables(cfg: DualARConfig, rope_fast: jnp.ndarray):
-    """Expand the (K, Dh/2, 2) pair table into interleaved lane tables.
+    """Expand the (K, Dh/2, 2) pair table into interleaved lane tables
+    (shared layout: ops/kernel_layout.interleaved_lane_tables)."""
+    from fish_tts_tpu.ops.kernel_layout import interleaved_lane_tables
 
-    Returns (cos_q, sin_q, cos_k, sin_k): cos duplicated per pair element and
-    tiled per head; sin carries the rotation sign (-sin at even lanes, +sin
-    at odd), so the kernel's pairwise lane swap is a pure multiply-add.
-    """
-    K = cfg.num_codebooks
-    Dh = cfg.fast_head_dim
-    cs = rope_fast[..., 0].astype(jnp.float32)  # (K, Dh/2)
-    sn = rope_fast[..., 1].astype(jnp.float32)
-    cos_i = jnp.repeat(cs, 2, axis=1)  # (K, Dh)
-    sin_i = jnp.stack([-sn, sn], axis=-1).reshape(K, Dh)
-    cos_q = jnp.tile(cos_i, (1, cfg.fast_n_head))
-    sin_q = jnp.tile(sin_i, (1, cfg.fast_n_head))
-    cos_k = jnp.tile(cos_i, (1, cfg.fast_n_local_heads))
-    sin_k = jnp.tile(sin_i, (1, cfg.fast_n_local_heads))
-    return cos_q, sin_q, cos_k, sin_k
+    return interleaved_lane_tables(
+        rope_fast, cfg.fast_n_head, cfg.fast_n_local_heads
+    )
 
 
 def _segment_masks(cfg: DualARConfig):
-    H, Dh = cfg.fast_n_head, cfg.fast_head_dim
-    seg = np.kron(np.eye(H, dtype=np.float32), np.ones((Dh, 1), np.float32))
-    return jnp.asarray(seg), jnp.asarray(seg.T)
+    from fish_tts_tpu.ops.kernel_layout import head_segment_masks
+
+    return head_segment_masks(cfg.fast_n_head, cfg.fast_head_dim)
 
 
 def _dup_matrix(cfg: DualARConfig):

@@ -356,25 +356,20 @@ def _segment_masks(cfg: DualARConfig):
     """(kv_size, Hkv) per-kv-head segment mask + transpose: the attention
     reductions run in folded group layout, so the masks are kv-sized (the
     cache is never duplicated out to q_size)."""
-    Hkv, Dh = cfg.n_local_heads, cfg.head_dim
-    seg = np.kron(np.eye(Hkv, dtype=np.float32), np.ones((Dh, 1), np.float32))
-    return jnp.asarray(seg), jnp.asarray(seg.T)
+    from fish_tts_tpu.ops.kernel_layout import head_segment_masks
+
+    return head_segment_masks(cfg.n_local_heads, cfg.head_dim)
 
 
 def _rope_rows(cfg: DualARConfig, rope_slow: jnp.ndarray, pos: jnp.ndarray):
     """Interleaved cos / signed-sin lane rows at per-stream positions
-    (XLA-side gather).  pos: (B,) -> rows (B, q_size) / (B, kv_size)."""
-    Dh = cfg.head_dim
-    B = pos.shape[0]
-    row = rope_slow[pos].astype(jnp.float32)  # (B, Dh/2, 2)
-    cs, sn = row[..., 0], row[..., 1]
-    cos_i = jnp.repeat(cs, 2, axis=-1)  # (B, Dh)
-    sin_i = jnp.stack([-sn, sn], axis=-1).reshape(B, Dh)
-    cos_q = jnp.tile(cos_i, (1, cfg.n_head))
-    sin_q = jnp.tile(sin_i, (1, cfg.n_head))
-    cos_k = jnp.tile(cos_i, (1, cfg.n_local_heads))
-    sin_k = jnp.tile(sin_i, (1, cfg.n_local_heads))
-    return cos_q, sin_q, cos_k, sin_k
+    (XLA-side gather; shared layout with the fast-decoder kernel).
+    pos: (B,) -> rows (B, q_size) / (B, kv_size)."""
+    from fish_tts_tpu.ops.kernel_layout import interleaved_lane_tables
+
+    return interleaved_lane_tables(
+        rope_slow[pos], cfg.n_head, cfg.n_local_heads
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "read_len", "interpret"))

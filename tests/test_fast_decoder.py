@@ -155,6 +155,45 @@ def test_supports_gates():
     assert not fast_decoder.supports(CFG, params, batch=1)  # bf16/fp32 params
 
 
+def test_supports_rejects_fast_stack_over_vmem():
+    """A quantized fast stack larger than the kernel's VMEM budget must be
+    rejected by supports() (fall back to XLA) instead of passing the gate
+    and dying in Mosaic compilation."""
+    import dataclasses
+
+    import numpy as _np
+
+    big_cfg = dataclasses.replace(
+        CFG, fast_dim=2048, fast_intermediate_size=8192, n_fast_layer=8,
+    )
+    L, D, I = 8, 2048, 8192
+    H, Dh = big_cfg.fast_n_head, big_cfg.fast_head_dim
+    Hkv = big_cfg.fast_n_local_heads
+
+    def q(shape):
+        # np.empty: shapes are what the estimate reads; contents never are
+        return {"q": _np.empty(shape, _np.int8),
+                "s": _np.empty((shape[0], 1, shape[-1]), _np.float32)}
+
+    big_params = {
+        "fast_layers": {
+            "wqkv": q((L, D, (H + 2 * Hkv) * Dh)),
+            "wo": q((L, H * Dh, D)),
+            "w1": q((L, D, I)),
+            "w3": q((L, D, I)),
+            "w2": q((L, I, D)),
+            "attention_norm": _np.empty((L, D), _np.float32),
+            "ffn_norm": _np.empty((L, D), _np.float32),
+        },
+        "fast_embeddings": q((4096, D)),
+        "fast_output": q((D, 4096)),
+        "fast_norm": _np.empty((D,), _np.float32),
+    }
+    assert fast_decoder._vmem_estimate(big_cfg, big_params, 1) \
+        > fast_decoder._VMEM_BUDGET
+    assert not fast_decoder.supports(big_cfg, big_params, batch=1)
+
+
 def test_batched_kernel_matches_per_stream_runs(qsetup):
     """B concurrent streams through one kernel produce exactly what B
     separate B=1 invocations produce for the same per-stream inputs —
