@@ -47,7 +47,7 @@ from fish_tts_tpu.models.dual_ar import Params, TokenIds
 from fish_tts_tpu.ops import fast_decoder, sampler_kernel, slow_stack
 from fish_tts_tpu.utils.quantize import qgather
 
-_NEG_INF = float(np.finfo(np.float32).min)
+from fish_tts_tpu.ops.attention import _NEG_INF  # one mask constant repo-wide
 
 WINDOW = 16  # default repetition-penalty window (reference inference.py:187)
 

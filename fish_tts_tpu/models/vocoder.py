@@ -96,7 +96,6 @@ def _wlt_p(key, tcfg: VocoderTransformerConfig, input_dim: int, dtype):
     """WindowLimitedTransformer params, stacked layers (vocoder.py:296-354)."""
     ks = jax.random.split(key, 8)
     L, D, I = tcfg.n_layer, tcfg.dim, tcfg.intermediate_size
-    kv = tcfg.n_local_heads * tcfg.head_dim
     qkv_out = (tcfg.n_head + 2 * tcfg.n_local_heads) * tcfg.head_dim
 
     def stack(k, d_in, d_out):
@@ -259,6 +258,55 @@ def _residual_unit(p: Params, x: jnp.ndarray, dilation: int) -> jnp.ndarray:
     return x + y
 
 
+def wlt_layer_body(
+    lp: Params,
+    h: jnp.ndarray,  # (B, T, D)
+    tcfg: VocoderTransformerConfig,
+    freqs: jnp.ndarray | None,  # (T, Dh/2, 2) or per-stream (B, T, Dh/2, 2)
+    bias: jnp.ndarray,
+    kv_cache: tuple[jnp.ndarray, jnp.ndarray] | None = None,
+):
+    """One WindowLimitedTransformer layer (reference vocoder.py:159-241):
+    RMSNorm → fused-QKV attention with the kv_size split quirk
+    (vocoder.py:191-192) → LayerScale residual → SwiGLU FFN.
+
+    THE single source of the layer math: both the full-sequence forward
+    (:func:`_wlt_forward`) and the streaming continuation
+    (``vocoder_stream.stream_wlt``) run this body, so the
+    chunked-vs-joint bit parity contract cannot drift.
+
+    ``kv_cache``: optional (kc, vc) ``(B, Hkv, W, Dh)`` carried window,
+    prepended to this chunk's keys/values.  Returns ``(h, (k_all, v_all))``
+    with keys/values in (B, Hkv, T[+W], Dh) layout for the caller's window
+    bookkeeping.
+    """
+    H, Hkv, Dh = tcfg.n_head, tcfg.n_local_heads, tcfg.head_dim
+    kv_size = Hkv * Dh
+    B, T = h.shape[0], h.shape[1]
+    a_in = vocoder_rms_norm(h, lp["attention_norm"], tcfg.norm_eps)
+    qkv = a_in @ lp["wqkv"]
+    q, k, v = jnp.split(qkv, [kv_size, 2 * kv_size], axis=-1)
+    q = q.reshape(B, T, H, Dh)
+    k = k.reshape(B, T, Hkv, Dh)
+    v = v.reshape(B, T, Hkv, Dh)
+    if tcfg.pos_embed_type == "rope":
+        # conformer mode skips rotary entirely (reference vocoder.py:198-200;
+        # its rel_pos_embeddings are never applied)
+        q = apply_rotary_emb(q, freqs)
+        k = apply_rotary_emb(k, freqs)
+    q, k, v = (jnp.swapaxes(t, 1, 2) for t in (q, k, v))
+    if kv_cache is not None:
+        k = jnp.concatenate([kv_cache[0], k], axis=2)  # (B, Hkv, W+T, Dh)
+        v = jnp.concatenate([kv_cache[1], v], axis=2)
+    att = attention(q, k, v, bias)
+    att = jnp.swapaxes(att, 1, 2).reshape(B, T, H * Dh)
+    h = h + (att @ lp["wo"]) * lp["attn_scale"]
+    f_in = vocoder_rms_norm(h, lp["ffn_norm"], tcfg.norm_eps)
+    f = (silu(f_in @ lp["w1"]) * (f_in @ lp["w3"])) @ lp["w2"]
+    h = h + f * lp["ffn_scale"]
+    return h, (k, v)
+
+
 def _wlt_forward(
     p: Params, tcfg: VocoderTransformerConfig, window: int, x: jnp.ndarray
 ) -> jnp.ndarray:
@@ -278,33 +326,8 @@ def _wlt_forward(
     )
     bias = window_causal_bias(pos, pos, window)
 
-    H, Hkv, Dh = tcfg.n_head, tcfg.n_local_heads, tcfg.head_dim
-    kv_size = Hkv * Dh
-
     def body(carry, lp):
-        h = carry
-        # attention with LayerScale residual (vocoder.py:230-241)
-        a_in = vocoder_rms_norm(h, lp["attention_norm"], tcfg.norm_eps)
-        qkv = a_in @ lp["wqkv"]
-        # reference vocoder splits all three at kv_size (vocoder.py:191-192)
-        q, k, v = jnp.split(qkv, [kv_size, 2 * kv_size], axis=-1)
-        B = q.shape[0]
-        q = q.reshape(B, T, H, Dh)
-        k = k.reshape(B, T, Hkv, Dh)
-        v = v.reshape(B, T, Hkv, Dh)
-        if tcfg.pos_embed_type == "rope":
-            # conformer mode skips rotary entirely (reference
-            # vocoder.py:198-200; its rel_pos_embeddings are never applied)
-            q = apply_rotary_emb(q, freqs)
-            k = apply_rotary_emb(k, freqs)
-        q, k, v = (jnp.swapaxes(t, 1, 2) for t in (q, k, v))
-        att = attention(q, k, v, bias)
-        att = jnp.swapaxes(att, 1, 2).reshape(B, T, H * Dh)
-        h = h + (att @ lp["wo"]) * lp["attn_scale"]
-        # FFN with LayerScale residual
-        f_in = vocoder_rms_norm(h, lp["ffn_norm"], tcfg.norm_eps)
-        f = (silu(f_in @ lp["w1"]) * (f_in @ lp["w3"])) @ lp["w2"]
-        h = h + f * lp["ffn_scale"]
+        h, _ = wlt_layer_body(lp, carry, tcfg, freqs, bias)
         return h, None
 
     x, _ = jax.lax.scan(body, x, p["layers"])

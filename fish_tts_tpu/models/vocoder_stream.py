@@ -35,15 +35,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from fish_tts_tpu.config import VocoderConfig, VocoderTransformerConfig
-from fish_tts_tpu.ops.attention import attention
+from fish_tts_tpu.ops.attention import _NEG_INF
 from fish_tts_tpu.ops.conv import conv1d, conv_transpose1d
-from fish_tts_tpu.ops.norms import layer_norm, silu, snake, vocoder_rms_norm
-from fish_tts_tpu.ops.rope import apply_rotary_emb, precompute_freqs_cis
-from fish_tts_tpu.models.vocoder import _vq_embed_codes
+from fish_tts_tpu.ops.norms import layer_norm, snake, vocoder_rms_norm
+from fish_tts_tpu.ops.rope import precompute_freqs_cis
+from fish_tts_tpu.models.vocoder import _vq_embed_codes, wlt_layer_body
 
 Params = dict[str, Any]
-
-_NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 
 # ---------------------------------------------------------------------------
@@ -161,30 +159,13 @@ def stream_wlt(
     allowed = (diff >= 0) & (diff < window) & (kpos[:, None, :] >= 0)
     bias = jnp.where(allowed, 0.0, _NEG_INF)[:, None].astype(jnp.float32)
 
-    H, Hkv, Dh = tcfg.n_head, tcfg.n_local_heads, tcfg.head_dim
-    kv_size = Hkv * Dh
-
     def body(carry, inputs):
-        h = carry
         lp, kc, vc = inputs  # kc/vc: (B, Hkv, W, Dh) this layer's window
-        a_in = vocoder_rms_norm(h, lp["attention_norm"], tcfg.norm_eps)
-        qkv = a_in @ lp["wqkv"]
-        q, k, v = jnp.split(qkv, [kv_size, 2 * kv_size], axis=-1)
-        q = q.reshape(B, T, H, Dh)
-        k = k.reshape(B, T, Hkv, Dh)
-        v = v.reshape(B, T, Hkv, Dh)
-        if tcfg.pos_embed_type == "rope":
-            q = apply_rotary_emb(q, freqs)
-            k = apply_rotary_emb(k, freqs)
-        q, k, v = (jnp.swapaxes(t, 1, 2) for t in (q, k, v))
-        k_all = jnp.concatenate([kc, k], axis=2)  # (B, Hkv, W+T, Dh)
-        v_all = jnp.concatenate([vc, v], axis=2)
-        att = attention(q, k_all, v_all, bias)
-        att = jnp.swapaxes(att, 1, 2).reshape(B, T, H * Dh)
-        h = h + (att @ lp["wo"]) * lp["attn_scale"]
-        f_in = vocoder_rms_norm(h, lp["ffn_norm"], tcfg.norm_eps)
-        f = (silu(f_in @ lp["w1"]) * (f_in @ lp["w3"])) @ lp["w2"]
-        h = h + f * lp["ffn_scale"]
+        # the layer math lives in vocoder.wlt_layer_body — ONE source, so
+        # streaming cannot drift from the joint forward it must bit-match
+        h, (k_all, v_all) = wlt_layer_body(
+            lp, carry, tcfg, freqs, bias, kv_cache=(kc, vc)
+        )
         return h, (k_all[:, :, -W:], v_all[:, :, -W:])
 
     x, (new_k, new_v) = jax.lax.scan(body, x, (p["layers"], st["k"], st["v"]))

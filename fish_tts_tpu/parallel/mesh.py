@@ -9,9 +9,13 @@ fastest ICI dimension.
 
 from __future__ import annotations
 
+import logging
+
 import jax
 import numpy as np
 from jax.sharding import Mesh
+
+logger = logging.getLogger(__name__)
 
 
 def make_mesh(
@@ -30,6 +34,13 @@ def make_mesh(
         dp = n // tp
     if dp * tp > n:
         raise ValueError(f"dp*tp={dp * tp} exceeds {n} devices")
+    if dp * tp < n:
+        # legitimate (e.g. reserving a chip for a disaggregated vocoder) but
+        # never silent: idle chips halve throughput with no other signal
+        logger.warning(
+            "mesh (dp=%d, tp=%d) covers %d of %d devices; %d left idle",
+            dp, tp, dp * tp, n, n - dp * tp,
+        )
     grid = np.asarray(devices[: dp * tp]).reshape(dp, tp)
     return Mesh(grid, axis_names=("dp", "tp"))
 

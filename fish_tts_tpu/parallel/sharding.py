@@ -83,7 +83,7 @@ def state_specs(dp_batch: bool = True) -> Params:
     KV cache (L, B, Hkv, S, Dh) sharded over (dp batch, tp KV heads).
 
     ``dp_batch=False`` replicates the batch axis instead — required when the
-    batch size does not divide the mesh's dp extent (e.g. single-stream
+    mesh's dp extent does not divide the batch size (e.g. single-stream
     ``generate_long`` on a dp>1 mesh, where the one stream simply does not
     use the dp rows).
     """
@@ -94,7 +94,7 @@ def state_specs(dp_batch: bool = True) -> Params:
         "frame": P(b, None),
         "pos": P(b),
         "prev": P(b, None, None),
-        "step": P(),
+        "step": P(b),  # per-slot (B,) counter, like pos/done
         "done": P(b),
     }
 
@@ -135,18 +135,44 @@ def _put(tree: Params, specs: Params, mesh: Mesh) -> Params:
     )
 
 
+def _validate_divisible(params: Params, specs: Params, mesh: Mesh) -> None:
+    """Every mesh-sharded array dim must be divisible by its axis extent —
+    checked up front with the param's name, instead of the raw
+    ``device_put`` ValueError deep inside :func:`_put`."""
+    from jax import tree_util as jtu
+
+    def check(path, x, spec):
+        for i, ax in enumerate(spec):
+            if ax is None:
+                continue
+            if x.shape[i] % mesh.shape[ax]:
+                raise ValueError(
+                    f"{ax}={mesh.shape[ax]} must divide axis {i} "
+                    f"(size {x.shape[i]}) of param {jtu.keystr(path)}"
+                )
+
+    jtu.tree_map_with_path(check, params, specs)
+
+
 def shard_params(params: Params, cfg: DualARConfig, mesh: Mesh) -> Params:
     """Place LM params (bf16 or weight-only int8) on the mesh with TP
     shardings."""
     tp = mesh.shape["tp"]
-    if cfg.n_local_heads % tp != 0:
-        raise ValueError(
-            f"tp={tp} must divide n_local_heads={cfg.n_local_heads}"
-        )
-    if cfg.intermediate_size % tp != 0:
-        raise ValueError(
-            f"tp={tp} must divide intermediate_size={cfg.intermediate_size}"
-        )
+    # Head-granularity checks first: a fused-QKV dim divisible by tp could
+    # still split mid-head, which would be numerically wrong rather than a
+    # placement error.  Both transformer stacks are TP-sharded.
+    for name, heads, inter in (
+        ("", cfg.n_local_heads, cfg.intermediate_size),
+        ("fast_", cfg.fast_n_local_heads, cfg.fast_intermediate_size),
+    ):
+        if heads % tp != 0:
+            raise ValueError(
+                f"tp={tp} must divide {name}n_local_heads={heads}"
+            )
+        if inter % tp != 0:
+            raise ValueError(
+                f"tp={tp} must divide {name}intermediate_size={inter}"
+            )
     prepared = [k for k in params if k.startswith("_")]
     if prepared:
         raise ValueError(
@@ -154,12 +180,15 @@ def shard_params(params: Params, cfg: DualARConfig, mesh: Mesh) -> Params:
             "kernels are single-device — shard before slow_stack.prepare_head"
         )
     specs = expand_quant_specs(param_specs(cfg), params)
+    # catches the remaining sharded dims (vocab-sharded embeddings/heads)
+    _validate_divisible(params, specs, mesh)
     return _put(params, specs, mesh)
 
 
 def shard_state(state: Params, mesh: Mesh, dp_batch: bool | None = None) -> Params:
     """Place the decode state on the mesh.  ``dp_batch=None`` autodetects:
-    the batch axis is dp-sharded iff its size divides the mesh dp extent."""
+    the batch axis is dp-sharded iff the mesh dp extent divides the batch
+    size (each dp row then holds batch/dp streams)."""
     if dp_batch is None:
         dp_batch = state["pos"].shape[0] % mesh.shape["dp"] == 0
     return _put(state, state_specs(dp_batch), mesh)
