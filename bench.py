@@ -246,7 +246,11 @@ def main() -> None:
         init_materialize_s = time.perf_counter() - t0
     rope = dual_ar.make_rope_tables(cfg)
     init_s = init_compile_s + init_materialize_s
-    n_params = dual_ar.param_count(params)
+    # count model weights only: prepared-kernel layouts ("_slow_head", a
+    # padded duplicate of the tied embedding) would overstate by ~30%
+    n_params = dual_ar.param_count(
+        {k: v for k, v in params.items() if not k.startswith("_")}
+    )
     print(f"# init: {init_s:.1f}s = compile {init_compile_s:.1f}s + "
           f"materialize {init_materialize_s:.1f}s ({n_params/1e6:.0f}M params)",
           file=sys.stderr)
@@ -495,6 +499,10 @@ def _measure_user_path(args, cfg, vcfg, params, dtype, real_tts=None):
 
     if real_tts is not None:
         tts = real_tts
+        # code geometry must come from the loaded checkpoint's codec, not
+        # the CLI-default VocoderConfig (wrong residual count would index
+        # out of range or benchmark the wrong shape)
+        vcfg = real_tts._vocoder_cfg
     else:
         d = Path(tempfile.mkdtemp(prefix="fish_tts_bench_"))
         write_tiny_vocab(d / "tokenizer.tiktoken")

@@ -115,14 +115,23 @@ def top_p_threshold_mask(
 ) -> jnp.ndarray:
     """Exact nucleus membership without any sort.
 
-    The sorted-cumsum rule "keep i iff cum_i <= top_p or i is the argmax"
-    (inference.py:48-57) is equivalent to a *threshold* rule: with
-    ``g(l) = sum of softmax mass at logits >= l`` (monotone decreasing),
-    token i is kept iff ``g(l_i) <= top_p``.  The kept set is therefore an
-    upper level set ``{l_i >= tau*}``, and ``tau*`` is found by bisection —
-    ``iters`` masked reductions over the vocab instead of a 155k-entry sort.
-    40 iterations over a <=30-logit bracket resolve far below float32
-    resolution (boundary ties land like an arbitrary-order sort would).
+    For DISTINCT logits the sorted-cumsum rule "keep i iff cum_i <= top_p
+    or i is the argmax" (inference.py:48-57) is equivalent to a *threshold*
+    rule: with ``g(l) = sum of softmax mass at logits >= l`` (monotone
+    decreasing), token i is kept iff ``g(l_i) <= top_p``.  The kept set is
+    then an upper level set ``{l_i >= tau*}``, and ``tau*`` is found by
+    bisection — ``iters`` masked reductions over the vocab instead of a
+    155k-entry sort.  40 iterations over a <=30-logit bracket resolve far
+    below float32 resolution.
+
+    Tie semantics (documented deviation): a group of EQUAL logits straddling
+    the nucleus boundary is kept or dropped as a whole (a level set cannot
+    split it), whereas the reference's sort keeps an arbitrary-order prefix
+    of the group.  E.g. p = (.5, .25, .25) with top_p=0.6: the sort keeps
+    {argmax, one of the ties}; this rule keeps {argmax} alone, because
+    including the tie group overshoots 0.6.  For continuous logits ties at
+    the exact boundary have measure zero; both rules always keep the argmax
+    and never keep anything past the reference's cut+group.
     """
     z = jax.nn.logsumexp(logits, axis=-1, keepdims=True)
     p = jnp.exp(logits - z)
@@ -150,9 +159,10 @@ def top_p_threshold_sample(
     temperature: jnp.ndarray,
     top_p: jnp.ndarray,
 ) -> jnp.ndarray:
-    """Nucleus sampling with the sort-free threshold mask: exact full-sort
-    semantics (no candidate truncation at all) at a fraction of the cost of
-    ``lax.top_k`` over a 155k vocab."""
+    """Nucleus sampling with the sort-free threshold mask: full-vocab
+    membership with no candidate truncation, at a fraction of the cost of
+    ``lax.top_k`` over a 155k vocab (equal to the sort rule except for
+    boundary tie groups — see :func:`top_p_threshold_mask`)."""
     logits = logits.astype(jnp.float32)
     keep = top_p_threshold_mask(logits, top_p)
     masked = jnp.where(keep, logits, _NEG_INF)

@@ -98,7 +98,14 @@ class DualARTransformer:
         )
 
     def forward_generate_fast(self, x: jnp.ndarray, pos, fast_cache):
-        """One fast-transformer step (reference llama.py:561-580)."""
+        """One fast-transformer step (reference llama.py:561-580).
+
+        ``x`` is the SLOW hidden (dim-width): the ``fast_project_in``
+        bridge for fast_dim != dim checkpoints is applied here — the
+        reference applies it inside ``forward_generate`` (llama.py:584-591),
+        but this surface keeps :meth:`forward_generate`'s hidden raw so
+        :meth:`lm_logits` (tied head at dim) can consume it directly."""
+        x = self._m.project_fast_in(self.params, x)
         return self._m.fast_step(
             self.params, self.config, self.rope, x, pos, fast_cache
         )
@@ -162,10 +169,12 @@ class DAC:
                  params: Params | None = None):
         self.config = config or VocoderConfig()
         self.params = params
-        if params is not None:
-            self.quantizer = DownsampleResidualVectorQuantize(
-                self.config, params["quantizer"]
-            )
+        # always set, so a params-less handle fails with a clear error on
+        # use rather than an AttributeError on access
+        self.quantizer = (
+            DownsampleResidualVectorQuantize(self.config, params["quantizer"])
+            if params is not None else None
+        )
 
     @classmethod
     def from_pretrained(cls, path: str | Path,
@@ -242,6 +251,13 @@ def init_model(
         params = cast_params(params, jnp.bfloat16)
     elif precision == "fp16":
         params = cast_params(params, jnp.float16)
+    elif precision == "fp32":
+        params = cast_params(params, jnp.float32)
+    else:
+        raise ValueError(
+            f"Unknown precision {precision!r}; "
+            "expected one of bf16, int8, fp16, fp32"
+        )
     if precision == "int8":
         params = quantize_lm_params(params)
     engine = GenerationEngine(params, model.config, model.tokenizer)

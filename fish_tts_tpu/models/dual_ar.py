@@ -461,9 +461,21 @@ def param_count(params: Params) -> int:
 
 
 def cast_params(params: Params, dtype) -> Params:
-    def cast(p):
+    """Cast float leaves to ``dtype``, leaving already-quantized weights
+    (``{"q": int8, "s": f32 scale}``, utils/quantize.py) untouched: the
+    scales are deliberately float32 — rounding them to bf16 silently
+    degrades every int8 matmul downstream."""
+    from fish_tts_tpu.utils.quantize import is_quantized
+
+    def walk(p):
+        if is_quantized(p):
+            return p
+        if isinstance(p, dict):
+            return {k: walk(v) for k, v in p.items()}
+        if isinstance(p, (list, tuple)):
+            return type(p)(walk(v) for v in p)
         if jnp.issubdtype(p.dtype, jnp.floating):
             return p.astype(dtype)
         return p
 
-    return jax.tree_util.tree_map(cast, params)
+    return {k: walk(v) for k, v in params.items()}

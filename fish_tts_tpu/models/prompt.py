@@ -309,8 +309,17 @@ def build_prompt(
     """Assemble the full inference prompt as the reference does
     (``generate_long``, inference.py:779-795): an ``<|interleave|>`` modality
     tag, one ``[speaker, text, codes, <|im_end|>]`` block per voice reference,
-    then ``[speaker, target text]`` with no end tag."""
-    assert len(prompt_texts) == len(prompt_codes)
+    then ``[speaker, target text]`` with no end tag.
+
+    A mismatched reference list raises (the reference silently generates
+    without the prompt when either half is missing, inference.py:767-773 —
+    a dropped voice reference is a bug worth surfacing, and ``python -O``
+    would strip an assert into silent zip truncation)."""
+    if len(prompt_texts) != len(prompt_codes):
+        raise ValueError(
+            f"prompt_texts ({len(prompt_texts)}) and prompt_codes "
+            f"({len(prompt_codes)}) must pair up one reference each"
+        )
     seq = ContentSequence(modality="interleave")
     for t, c in zip(prompt_texts, prompt_codes):
         seq.append([TextPart(text=t), VQPart(codes=c)], add_end=True, speaker=0)

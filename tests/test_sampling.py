@@ -269,3 +269,25 @@ def test_per_stream_param_columns_top_k_path():
     row1 = run(jnp.float32(1.3), jnp.float32(0.9))
     assert vec[0] == row0[0]
     assert vec[1] == row1[1]
+
+
+def test_threshold_mask_tie_group_all_or_none():
+    """Documented deviation: a tie group straddling the nucleus boundary is
+    kept or dropped as a WHOLE (level-set rule), never split into an
+    arbitrary-order prefix like the reference's sort."""
+    from fish_tts_tpu.engine.sampling import top_p_threshold_mask
+
+    # p = (.5, .25, .25); top_p = 0.6: including the tie group overshoots,
+    # so only the argmax survives (the sort would keep argmax + one tie)
+    logits = jnp.log(jnp.asarray([[0.5, 0.25, 0.25]], jnp.float32))
+    keep = np.asarray(top_p_threshold_mask(logits, jnp.float32(0.6)))
+    assert keep.tolist() == [[True, False, False]]
+    # p = (.5, .2, .2, .1), top_p = 0.95: mass at the tie level is 0.9
+    # <= 0.95, so the whole group is admitted (but not the 0.1 tail)
+    logits4 = jnp.log(jnp.asarray([[0.5, 0.2, 0.2, 0.1]], jnp.float32))
+    keep = np.asarray(top_p_threshold_mask(logits4, jnp.float32(0.95)))
+    assert keep.tolist() == [[True, True, True, False]]
+    # all-equal logits: every token ties with the argmax -> all kept
+    flat = jnp.zeros((1, 16), jnp.float32)
+    keep = np.asarray(top_p_threshold_mask(flat, jnp.float32(0.5)))
+    assert keep.all()
