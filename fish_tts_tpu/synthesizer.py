@@ -291,6 +291,12 @@ class FishTTS:
         self._engine = GenerationEngine(
             params, self._cfg, self._tokenizer, engine_cfg=engine_config
         )
+        if self._vocoder_cfg is not None:
+            # RTF/audio_s metrics follow the LOADED codec's frame rate, not
+            # the default 44100/2048 (frame_length is config-derived)
+            self._engine.metrics.audio_tokens_per_sec = (
+                self._vocoder_cfg.sample_rate / self._vocoder_cfg.frame_length
+            )
         self._vocoder_jit_cache: dict[int, object] = {}
         self._encode_jit = None
 

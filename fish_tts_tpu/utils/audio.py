@@ -41,12 +41,16 @@ def resample(audio: np.ndarray, sr_in: int, sr_out: int = DEFAULT_SAMPLE_RATE) -
     if sr_in == sr_out:
         return audio.astype(np.float32)
     num = int(len(audio) * sr_out / sr_in)
+    # both paths run in float64 so hosts with and without scipy round the
+    # float32 output identically (the module invariant: reference codes must
+    # not depend on which host encoded them)
+    x64 = audio.astype(np.float64)
     try:
         from scipy import signal
 
-        return signal.resample(audio, num).astype(np.float32)
+        return signal.resample(x64, num).astype(np.float32)
     except ImportError:
-        return _fft_resample(audio.astype(np.float64), num)
+        return _fft_resample(x64, num)
 
 
 def read_wav(audio_bytes: bytes, target_sr: int = DEFAULT_SAMPLE_RATE) -> np.ndarray:

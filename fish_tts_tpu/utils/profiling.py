@@ -16,7 +16,9 @@ import time
 from collections import defaultdict
 from dataclasses import dataclass, field
 
-AUDIO_TOKENS_PER_SEC = 44100 / 2048  # reference vocoder.py:854,871-872
+# default S1-mini codec rate (reference vocoder.py:854,871-872); a loaded
+# vocoder config overrides per-instance via Metrics.audio_tokens_per_sec
+AUDIO_TOKENS_PER_SEC = 44100 / 2048
 
 
 @dataclass
@@ -48,6 +50,10 @@ class Metrics:
     )
     tokens_generated: int = 0
     audio_seconds: float = 0.0
+    # frames/s of the codec in use: set from the loaded VocoderConfig
+    # (sample_rate / frame_length) so RTF/audio_s stay correct for
+    # non-default codec wirings; defaults to the S1-mini rate
+    audio_tokens_per_sec: float = AUDIO_TOKENS_PER_SEC
 
     @contextlib.contextmanager
     def span(self, name: str):
@@ -65,7 +71,7 @@ class Metrics:
 
     def record_tokens(self, n: int) -> None:
         self.tokens_generated += n
-        self.audio_seconds += n / AUDIO_TOKENS_PER_SEC
+        self.audio_seconds += n / self.audio_tokens_per_sec
 
     @property
     def tokens_per_sec(self) -> float:

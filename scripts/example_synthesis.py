@@ -45,10 +45,11 @@ def parse_args(argv=None) -> argparse.Namespace:
                     help="long-form mode: sentence-aware chunking with "
                          "rolling voice-continuity context (for texts past "
                          "one model context window)")
-    ap.add_argument("--max-chars", type=int, default=200,
-                    help="per-chunk text budget for --long")
-    ap.add_argument("--carry-frames", type=int, default=64,
-                    help="rolling audio-context frames for --long")
+    ap.add_argument("--max-chars", type=int, default=None,
+                    help="per-chunk text budget for --long (default 200)")
+    ap.add_argument("--carry-frames", type=int, default=None,
+                    help="rolling audio-context frames for --long "
+                         "(default 64)")
     ap.add_argument("--batch", nargs="+", metavar="TEXT",
                     help="synthesize several texts concurrently in one "
                          "batched device program; writes OUTPUT-0.wav, "
@@ -74,6 +75,22 @@ def parse_args(argv=None) -> argparse.Namespace:
         ap.error("--reference and --profile are mutually exclusive")
     if (args.reference or args.profile) and not args.transcript:
         ap.error("cloning needs --transcript")
+    # modes must not silently override each other
+    if args.batch and args.serve:
+        ap.error("--batch and --serve are mutually exclusive")
+    if args.stream and (args.batch or args.serve):
+        ap.error("--stream applies to single-text modes; --batch/--serve "
+                 "stream per request already")
+    if args.long and (args.batch or args.serve):
+        ap.error("--long is a single-text mode (serve_http supports "
+                 "long=true per request)")
+    if (args.max_chars is not None or args.carry_frames is not None) \
+            and not args.long:
+        ap.error("--max-chars/--carry-frames only apply to --long")
+    if args.max_chars is None:
+        args.max_chars = 200
+    if args.carry_frames is None:
+        args.carry_frames = 64
     return args
 
 
@@ -92,9 +109,7 @@ def build_references(args, synth):
 
 
 def synthesize_streaming(args, synth, references) -> bytes:
-    import numpy as np
-
-    from fish_tts_tpu.utils.audio import to_wav_bytes
+    from fish_tts_tpu.utils.audio import wav_header
 
     pcm = bytearray()
     started = time.perf_counter()
@@ -107,8 +122,9 @@ def synthesize_streaming(args, synth, references) -> bytes:
             ttfa = time.perf_counter() - started
             print(f"first audio after {ttfa * 1e3:.0f} ms")
         pcm.extend(chunk)
-    samples = np.frombuffer(bytes(pcm), np.int16).astype(np.float32) / 32767.0
-    return to_wav_bytes(samples)
+    # wrap the streamed int16 PCM as-is: a float round trip would clip
+    # legitimate -32768 samples to -32767
+    return wav_header(synth.sample_rate, len(pcm)) + bytes(pcm)
 
 
 def serve_demo(args, synth, references) -> int:
@@ -121,7 +137,7 @@ def serve_demo(args, synth, references) -> int:
     """
     import numpy as np
 
-    from fish_tts_tpu.utils.audio import to_wav_bytes
+    from fish_tts_tpu.utils.audio import wav_header
 
     if references is not None:
         synth.set_references(references)
@@ -135,6 +151,7 @@ def serve_demo(args, synth, references) -> int:
     next_idx = 1
     pcm: dict[int, bytearray] = {}
     first_at: dict[int, float] = {}
+    finished: set[int] = set()
     while sess.busy or next_idx < len(texts):
         for ev in sess.step():
             idx = rid_to_idx[ev.request_id]
@@ -142,10 +159,17 @@ def serve_demo(args, synth, references) -> int:
                 first_at[idx] = time.perf_counter() - started[idx]
             pcm.setdefault(idx, bytearray()).extend(ev.pcm)
             if ev.done:
+                finished.add(idx)
                 print(f"req {idx}: {ev.frames_total} frames, first audio "
                       f"after {first_at.get(idx, 0) * 1e3:.0f} ms")
-        # stagger: admit the next request once the previous one is running
-        if next_idx < len(texts):
+        # stagger: admit the next request only once the previous one has
+        # produced its FIRST audio, so later submissions genuinely join a
+        # running decode (submitting every round would just refill the
+        # queue up front, like static --batch).  A frame-less finish also
+        # unblocks the chain (no audio will ever come from it).
+        if next_idx < len(texts) and (
+            (next_idx - 1) in first_at or (next_idx - 1) in finished
+        ):
             rid = sess.submit(texts[next_idx], temperature=args.temperature,
                               top_p=args.top_p)
             rid_to_idx[rid] = next_idx
@@ -155,7 +179,7 @@ def serve_demo(args, synth, references) -> int:
     total_audio = 0.0
     for idx, buf in sorted(pcm.items()):
         samples = np.frombuffer(bytes(buf), np.int16)
-        wav = to_wav_bytes(samples.astype(np.float32) / 32767.0)
+        wav = wav_header(synth.sample_rate, len(buf)) + bytes(buf)
         out = args.output.with_name(f"{args.output.stem}-{idx}.wav")
         out.write_bytes(wav)
         audio_s = samples.size / 44100
@@ -201,7 +225,22 @@ def main(argv=None) -> int:
         print(f"batched: {total_audio:.1f}s total audio in {wall:.2f}s "
               f"(aggregate RTF {wall / total_audio:.3f})")
         return 0
-    if args.long:
+    if args.long and args.stream:
+        from fish_tts_tpu.utils.audio import wav_header
+
+        pcm = bytearray()
+        ttfa = None
+        for chunk in synth.synthesize_long_stream(
+            args.text, references=references,
+            temperature=args.temperature, top_p=args.top_p,
+            max_chars=args.max_chars, carry_frames=args.carry_frames,
+        ):
+            if ttfa is None:
+                ttfa = time.perf_counter() - t0
+                print(f"first audio after {ttfa * 1e3:.0f} ms")
+            pcm.extend(chunk)
+        wav = wav_header(synth.sample_rate, len(pcm)) + bytes(pcm)
+    elif args.long:
         wav = synth.synthesize_long(
             args.text, references=references,
             temperature=args.temperature, top_p=args.top_p,

@@ -163,3 +163,33 @@ def test_convert_checkpoint_help(monkeypatch):
     with pytest.raises(SystemExit) as e:
         mod.main()
     assert e.value.code == 0
+
+
+def test_example_synthesis_long_stream_cli(tiny_model_dir, tmp_path, capsys):
+    """--long --stream streams continuously across text chunks (previously
+    --stream was silently ignored when --long was given)."""
+    mod = _load_script("example_synthesis")
+    out = tmp_path / "ls.wav"
+    rc = mod.main(_common(tiny_model_dir) + [
+        "--long", "--stream", "--max-chars", "12", "--carry-frames", "4",
+        "--text", "One two. Three four! Five six.", "-o", str(out),
+    ])
+    assert rc == 0
+    assert out.read_bytes()[:4] == b"RIFF"
+    assert "first audio after" in capsys.readouterr().out
+
+
+def test_example_synthesis_mode_conflicts_error(tmp_path):
+    """Conflicting mode flags raise an argparse error instead of silently
+    overriding each other (no model load needed: validation is pre-load)."""
+    mod = _load_script("example_synthesis")
+    for argv in (
+        ["--batch", "a", "--serve", "b"],
+        ["--stream", "--batch", "a"],
+        ["--long", "--serve", "a"],
+        ["--carry-frames", "4", "--text", "x"],  # --long-only knob
+    ):
+        with pytest.raises(SystemExit) as e:
+            mod.parse_args(argv + ["--text", "x"] if "--text" not in argv
+                           else argv)
+        assert e.value.code == 2
