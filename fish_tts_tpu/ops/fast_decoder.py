@@ -126,16 +126,38 @@ def _make_kernel(cfg: DualARConfig, window: int, batch: int):
         emb_q, emb_s,                             # (C, D) int8, (1, C) scales
         codes_ref,        # (B, R) int32 out
         logits_out_ref,   # (B*R, Vr) f32 out (penalized, pre-mask)
+        wscr_ref,         # (D, max(I, q+2kv)) bf16 scratch: per-qdot staging
+        wscr2_ref,        # (I, D) bf16 scratch (w2)
+        escr_ref,         # (C, D) bf16 scratch: embedding, staged once
+        hscr_ref,         # (D, Vr) bf16 scratch: residual head, staged once
     ):
         temp = temp_ref[...]     # (B, 1)
         top_p = top_p_ref[...]
         rep = rep_ref[...]
 
-        def qdot(x, wq, ws, layer):
-            w = wq[layer].astype(jnp.bfloat16)
-            out = jnp.dot(x.astype(jnp.bfloat16), w,
+        # Weight dequantization is staged through EXPLICIT VMEM scratch
+        # buffers, never value-level `wq[layer].astype(bf16)` expressions:
+        # the codebook loop is statically unrolled, and Mosaic CSE unifies
+        # the identical per-step converts into one whose live range then
+        # spans the whole kernel — bf16 (or f32, for a mixed-dtype dot)
+        # copies of the ENTIRE stack stay resident and VMEM accounting
+        # explodes ("Ran out of memory in memory space vmem. Used 194.50M
+        # of 128.00M" at S1-mini shapes).  Ref writes have program-order
+        # semantics, so each staging write reuses the same buffer and peak
+        # VMEM is weights + two layer-sized slots.  s8 -> bf16 is exact
+        # (|v| <= 127), so the math is unchanged.
+        def qdot(x, wq, ws, layer, scr):
+            d0, d1 = wq.shape[1], wq.shape[2]
+            scr[:d0, :d1] = wq[layer].astype(jnp.bfloat16)
+            out = jnp.dot(x.astype(jnp.bfloat16), scr[:d0, :d1],
                           preferred_element_type=jnp.float32)
             return out * ws[layer]
+
+        # embedding table and residual head are used by every step: stage
+        # them once into their own scratch (explicitly accounted, unlike a
+        # CSE'd convert which Mosaic double-counts against the limit)
+        escr_ref[...] = emb_q[...].astype(jnp.bfloat16)
+        hscr_ref[...] = head_q[...].astype(jnp.bfloat16)
 
         C = emb_q.shape[0]
         c_iota = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
@@ -148,8 +170,7 @@ def _make_kernel(cfg: DualARConfig, window: int, batch: int):
             # tile-aligned for Mosaic, but a (B, C) @ (C, D) MXU pass over the
             # VMEM-resident table is cheap and exact.  code: (B, 1)
             onehot = (c_iota == code)  # (B, C)
-            row = jnp.dot(onehot.astype(jnp.bfloat16),
-                          emb_q[...].astype(jnp.bfloat16),
+            row = jnp.dot(onehot.astype(jnp.bfloat16), escr_ref[...],
                           preferred_element_type=jnp.float32)
             s = jnp.sum(jnp.where(onehot, emb_s[...], 0.0),
                         axis=-1, keepdims=True)  # (B, 1)
@@ -174,7 +195,7 @@ def _make_kernel(cfg: DualARConfig, window: int, batch: int):
             sin_k = sin_k_ref[pos:pos + 1]
             for layer in range(L):
                 h = _rms(x, attn_norm_ref[layer])
-                qkv = qdot(h, wqkv_q, wqkv_s, layer)  # (B, q+2kv)
+                qkv = qdot(h, wqkv_q, wqkv_s, layer, wscr_ref)  # (B, q+2kv)
                 q = _rope(qkv[:, :q_size], cos_q, sin_q)
                 k = _rope(qkv[:, q_size:q_size + kv_size], cos_k, sin_k)
                 v = qkv[:, q_size + kv_size:]
@@ -208,12 +229,12 @@ def _make_kernel(cfg: DualARConfig, window: int, batch: int):
                 den_exp = jnp.dot(den, seg_t_ref[...],
                                   preferred_element_type=jnp.float32)
                 o = o / den_exp  # (B, q_size)
-                x = x + qdot(o, wo_q, wo_s, layer)
+                x = x + qdot(o, wo_q, wo_s, layer, wscr_ref)
                 f = _rms(x, ffn_norm_ref[layer])
-                gate = qdot(f, w1_q, w1_s, layer)
-                up = qdot(f, w3_q, w3_s, layer)
+                gate = qdot(f, w1_q, w1_s, layer, wscr_ref)
+                up = qdot(f, w3_q, w3_s, layer, wscr_ref)
                 x = x + qdot(gate * jax.lax.logistic(gate) * up,
-                             w2_q, w2_s, layer)
+                             w2_q, w2_s, layer, wscr2_ref)
             return x
 
         h_rows = h_ref[...].astype(jnp.float32)   # (B, D)
@@ -233,7 +254,7 @@ def _make_kernel(cfg: DualARConfig, window: int, batch: int):
 
             hn = _rms(x, fast_norm_ref[...])
             logits = jnp.dot(
-                hn.astype(jnp.bfloat16), head_q[...].astype(jnp.bfloat16),
+                hn.astype(jnp.bfloat16), hscr_ref[...],
                 preferred_element_type=jnp.float32,
             ) * head_s[...]  # (B, Vr)
 
@@ -329,7 +350,16 @@ def _vmem_estimate(cfg: DualARConfig, params: Params, batch: int) -> int:
     )
     # h_fast + a0/prev windows + gumbel + logits out (window <= 64 bound)
     acts = 4 * batch * (cfg.fast_dim + (K - 1) * (2 * Vr + 64) + 2)
-    return w + tables + acts
+    # bf16 dequant staging scratch (fast_decode_frame scratch_shapes)
+    D = cfg.fast_dim
+    I = int(fl["w1"]["q"].shape[2])
+    q_size, kv_size = H * Dh, Hkv * Dh
+    C = int(params["fast_embeddings"]["q"].shape[0])
+    scratch = 2 * (
+        max(D, q_size) * max(q_size + 2 * kv_size, I, D)
+        + I * D + C * D + D * Vr
+    )
+    return w + tables + acts + scratch
 
 
 def supports(cfg: DualARConfig, params: Params, batch: int) -> bool:
@@ -453,6 +483,23 @@ def fast_decode_frame(
     # production decode path post-processes the outputs (concatenate /
     # state updates), which breaks that fusion; standalone benchmark
     # harnesses should do the same (see scripts/profile_batch.py).
+    # dequant staging buffers (see _make_kernel.qdot): one slot big enough
+    # for any (in, out)-oriented layer weight, one for the (I, D) down proj,
+    # plus once-staged embedding and head tables
+    D = cfg.fast_dim
+    I = int(fl["w1"]["q"].shape[2])
+    q_size = cfg.fast_n_head * cfg.fast_head_dim
+    kv_size = cfg.fast_n_local_heads * cfg.fast_head_dim
+    C = int(emb["q"].shape[0])
+    scr1 = (max(D, q_size), max(q_size + 2 * kv_size, I, D))
+    scratch_shapes = [
+        pltpu.VMEM(scr1, jnp.bfloat16),
+        pltpu.VMEM((I, D), jnp.bfloat16),
+        pltpu.VMEM((C, D), jnp.bfloat16),
+        pltpu.VMEM((D, Vr), jnp.bfloat16),
+    ]
+    scratch_bytes = 2 * (scr1[0] * scr1[1] + I * D + C * D + D * Vr)
+
     codes, logits = pl.pallas_call(
         kernel,
         out_shape=(
@@ -461,9 +508,11 @@ def fast_decode_frame(
         ),
         in_specs=[specs] * 32,
         out_specs=(specs, specs),
+        scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(128 * 1024 * 1024,
-                                 vmem_bytes + 48 * 1024 * 1024),
+                                 vmem_bytes + scratch_bytes
+                                 + 48 * 1024 * 1024),
         ),
         interpret=interpret,
     )(*inputs)
