@@ -126,8 +126,11 @@ def _make_kernel(cfg: DualARConfig, window: int, batch: int):
         emb_q, emb_s,                             # (C, D) int8, (1, C) scales
         codes_ref,        # (B, R) int32 out
         logits_out_ref,   # (B*R, Vr) f32 out (penalized, pre-mask)
-        wscr_ref,         # (D, max(I, q+2kv)) bf16 scratch: per-qdot staging
-        wscr2_ref,        # (I, D) bf16 scratch (w2)
+        qkv_scr_ref,      # (D, q+2kv) bf16 scratch: wqkv staging
+        wo_scr_ref,       # (q_size, D) bf16 scratch: wo staging
+        w1_scr_ref,       # (D, I) bf16 scratch: w1 staging
+        w3_scr_ref,       # (D, I) bf16 scratch: w3 staging
+        w2_scr_ref,       # (I, D) bf16 scratch: w2 staging
         escr_ref,         # (C, D) bf16 scratch: embedding, staged once
         hscr_ref,         # (D, Vr) bf16 scratch: residual head, staged once
     ):
@@ -137,19 +140,21 @@ def _make_kernel(cfg: DualARConfig, window: int, batch: int):
 
         # Weight dequantization is staged through EXPLICIT VMEM scratch
         # buffers, never value-level `wq[layer].astype(bf16)` expressions:
-        # the codebook loop is statically unrolled, and Mosaic CSE unifies
-        # the identical per-step converts into one whose live range then
-        # spans the whole kernel — bf16 (or f32, for a mixed-dtype dot)
-        # copies of the ENTIRE stack stay resident and VMEM accounting
-        # explodes ("Ran out of memory in memory space vmem. Used 194.50M
-        # of 128.00M" at S1-mini shapes).  Ref writes have program-order
-        # semantics, so each staging write reuses the same buffer and peak
-        # VMEM is weights + two layer-sized slots.  s8 -> bf16 is exact
-        # (|v| <= 127), so the math is unchanged.
+        # the codebook loop is statically unrolled, and Mosaic unifies the
+        # identical per-step converts into one temporary per weight, all
+        # accounted live simultaneously — bf16 (or f32, for a mixed-dtype
+        # dot) copies of the ENTIRE stack count against the limit and VMEM
+        # accounting explodes ("Ran out of memory in memory space vmem.
+        # Used 194.50M of 128.00M" at S1-mini shapes).  Ref writes have
+        # program-order semantics, so each staging write reuses its buffer
+        # and peak VMEM is weights + one slot per weight class.  Each class
+        # gets its OWN slot (not one shared slot) so consecutive qdots have
+        # no false write-after-read dependency and Mosaic can overlap the
+        # next weight's staging (VPU) with the current dot (MXU).
+        # s8 -> bf16 is exact (|v| <= 127), so the math is unchanged.
         def qdot(x, wq, ws, layer, scr):
-            d0, d1 = wq.shape[1], wq.shape[2]
-            scr[:d0, :d1] = wq[layer].astype(jnp.bfloat16)
-            out = jnp.dot(x.astype(jnp.bfloat16), scr[:d0, :d1],
+            scr[...] = wq[layer].astype(jnp.bfloat16)
+            out = jnp.dot(x.astype(jnp.bfloat16), scr[...],
                           preferred_element_type=jnp.float32)
             return out * ws[layer]
 
@@ -195,7 +200,7 @@ def _make_kernel(cfg: DualARConfig, window: int, batch: int):
             sin_k = sin_k_ref[pos:pos + 1]
             for layer in range(L):
                 h = _rms(x, attn_norm_ref[layer])
-                qkv = qdot(h, wqkv_q, wqkv_s, layer, wscr_ref)  # (B, q+2kv)
+                qkv = qdot(h, wqkv_q, wqkv_s, layer, qkv_scr_ref)  # (B, q+2kv)
                 q = _rope(qkv[:, :q_size], cos_q, sin_q)
                 k = _rope(qkv[:, q_size:q_size + kv_size], cos_k, sin_k)
                 v = qkv[:, q_size + kv_size:]
@@ -229,12 +234,12 @@ def _make_kernel(cfg: DualARConfig, window: int, batch: int):
                 den_exp = jnp.dot(den, seg_t_ref[...],
                                   preferred_element_type=jnp.float32)
                 o = o / den_exp  # (B, q_size)
-                x = x + qdot(o, wo_q, wo_s, layer, wscr_ref)
+                x = x + qdot(o, wo_q, wo_s, layer, wo_scr_ref)
                 f = _rms(x, ffn_norm_ref[layer])
-                gate = qdot(f, w1_q, w1_s, layer, wscr_ref)
-                up = qdot(f, w3_q, w3_s, layer, wscr_ref)
+                gate = qdot(f, w1_q, w1_s, layer, w1_scr_ref)
+                up = qdot(f, w3_q, w3_s, layer, w3_scr_ref)
                 x = x + qdot(gate * jax.lax.logistic(gate) * up,
-                             w2_q, w2_s, layer, wscr2_ref)
+                             w2_q, w2_s, layer, w2_scr_ref)
             return x
 
         h_rows = h_ref[...].astype(jnp.float32)   # (B, D)
@@ -356,8 +361,8 @@ def _vmem_estimate(cfg: DualARConfig, params: Params, batch: int) -> int:
     q_size, kv_size = H * Dh, Hkv * Dh
     C = int(params["fast_embeddings"]["q"].shape[0])
     scratch = 2 * (
-        max(D, q_size) * max(q_size + 2 * kv_size, I, D)
-        + I * D + C * D + D * Vr
+        D * (q_size + 2 * kv_size) + q_size * D + 3 * I * D
+        + C * D + D * Vr
     )
     return w + tables + acts + scratch
 
@@ -483,22 +488,27 @@ def fast_decode_frame(
     # production decode path post-processes the outputs (concatenate /
     # state updates), which breaks that fusion; standalone benchmark
     # harnesses should do the same (see scripts/profile_batch.py).
-    # dequant staging buffers (see _make_kernel.qdot): one slot big enough
-    # for any (in, out)-oriented layer weight, one for the (I, D) down proj,
-    # plus once-staged embedding and head tables
+    # dequant staging buffers (see _make_kernel.qdot): one slot per weight
+    # class (so staging of the next weight overlaps the current dot), plus
+    # once-staged embedding and head tables
     D = cfg.fast_dim
     I = int(fl["w1"]["q"].shape[2])
     q_size = cfg.fast_n_head * cfg.fast_head_dim
     kv_size = cfg.fast_n_local_heads * cfg.fast_head_dim
     C = int(emb["q"].shape[0])
-    scr1 = (max(D, q_size), max(q_size + 2 * kv_size, I, D))
     scratch_shapes = [
-        pltpu.VMEM(scr1, jnp.bfloat16),
-        pltpu.VMEM((I, D), jnp.bfloat16),
-        pltpu.VMEM((C, D), jnp.bfloat16),
-        pltpu.VMEM((D, Vr), jnp.bfloat16),
+        pltpu.VMEM((D, q_size + 2 * kv_size), jnp.bfloat16),  # wqkv
+        pltpu.VMEM((q_size, D), jnp.bfloat16),                # wo
+        pltpu.VMEM((D, I), jnp.bfloat16),                     # w1
+        pltpu.VMEM((D, I), jnp.bfloat16),                     # w3
+        pltpu.VMEM((I, D), jnp.bfloat16),                     # w2
+        pltpu.VMEM((C, D), jnp.bfloat16),                     # embedding
+        pltpu.VMEM((D, Vr), jnp.bfloat16),                    # head
     ]
-    scratch_bytes = 2 * (scr1[0] * scr1[1] + I * D + C * D + D * Vr)
+    scratch_bytes = 2 * (
+        D * (q_size + 2 * kv_size) + q_size * D + 3 * I * D
+        + C * D + D * Vr
+    )
 
     codes, logits = pl.pallas_call(
         kernel,
