@@ -277,3 +277,81 @@ def test_prefill_chunk_first_frame_matches_bare_prefill_kernel_path(qsetup):
         cfg=CFG, ids=IDS, fast_kernel=True,
     )
     np.testing.assert_array_equal(np.asarray(frames)[:, 0], np.asarray(first))
+
+
+def test_dequant_modes_agree(qsetup):
+    """The three dequant modes (ops/fast_decoder.DEQUANT_MODES): "scratch"
+    and "value" are both exact s8->bf16 dequantization and must agree to the
+    bit; "s8" adds per-row 8-bit activation rounding and must stay within a
+    small relative tolerance of the exact logits while sampling only codes
+    from its OWN exact nucleus (self-consistency is the quality bar — the
+    sampled code may differ from the exact modes')."""
+    qp, rope = qsetup
+    h = jax.random.normal(jax.random.PRNGKey(50), (2, CFG.fast_dim)) * 0.4
+    a0 = jnp.asarray([7, 3], jnp.int32)
+    prev = jnp.zeros((2, K - 1, W), jnp.int32)
+    g = jax.random.gumbel(jax.random.PRNGKey(51), (2, K - 1, Vr))
+
+    outs = {}
+    for mode in fast_decoder.DEQUANT_MODES:
+        codes, logits = fast_decoder.fast_decode_frame(
+            qp, CFG, rope["fast"], h, a0, prev, g,
+            jnp.float32(0.7), jnp.float32(0.8), jnp.float32(1.1),
+            window=W, interpret=True, dequant=mode,
+        )
+        outs[mode] = (np.asarray(codes), np.asarray(logits))
+
+    np.testing.assert_array_equal(outs["scratch"][0], outs["value"][0])
+    np.testing.assert_array_equal(outs["scratch"][1], outs["value"][1])
+
+    exact, s8 = outs["value"][1], outs["s8"][1]
+    scale = np.abs(exact).max()
+    assert np.abs(exact - s8).max() <= 0.03 * scale, (
+        "s8 activation quantization drifted beyond 3% of the logit range"
+    )
+    # every s8-sampled code is in the exact top-p nucleus of s8's own logits
+    codes_s8 = outs["s8"][0]
+    for b in range(codes_s8.shape[0]):
+        for cb in range(K - 1):
+            probs = np.asarray(
+                logits_to_probs_exact(
+                    jnp.asarray(s8[b, cb]), jnp.float32(0.7),
+                    jnp.float32(0.8), jnp.float32(1.0),
+                )
+            )
+            assert probs[codes_s8[b, cb]] > 0
+
+
+def test_default_dequant_supported_at_s1_shapes():
+    """The production default mode must pass the supports() gate at S1-mini
+    shapes for every serving batch size — round 4 shipped a silently gated
+    kernel (supports() returned False at S1-mini, decode fell back to the
+    XLA fast loop, and the driver recorded it as a 532 -> 339 tok/s
+    regression)."""
+    import numpy as _np
+
+    from fish_tts_tpu.config import S1_MINI_CONFIG as scfg
+
+    L, D, I = scfg.n_fast_layer, scfg.fast_dim, scfg.fast_intermediate_size
+    H, Dh, Hkv = scfg.fast_n_head, scfg.fast_head_dim, scfg.fast_n_local_heads
+
+    def q(shape):
+        return {"q": _np.empty(shape, _np.int8),
+                "s": _np.empty((shape[0], 1, shape[-1]), _np.float32)}
+
+    p = {
+        "fast_layers": {
+            "wqkv": q((L, D, (H + 2 * Hkv) * Dh)),
+            "wo": q((L, H * Dh, D)),
+            "w1": q((L, D, I)), "w3": q((L, D, I)), "w2": q((L, I, D)),
+            "attention_norm": _np.empty((L, D), _np.float32),
+            "ffn_norm": _np.empty((L, D), _np.float32),
+        },
+        "fast_embeddings": q((scfg.codebook_size, D)),
+        "fast_output": q((D, scfg.codebook_size)),
+        "fast_norm": _np.empty((D,), _np.float32),
+    }
+    for B in (1, 8, fast_decoder.MAX_BATCH):
+        assert fast_decoder.supports(scfg, p, B), (
+            f"default dequant mode gated off at S1-mini B={B}"
+        )
