@@ -295,3 +295,128 @@ def test_scale_codebook_embeddings_variant(models):
     )
     j_logits = np.asarray(dual_ar.lm_logits(params, cfg, hidden))[0, -1]
     np.testing.assert_allclose(j_logits, t_logits, rtol=1e-4, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# Production-scale shape parity: the tiny-config tests above pin the math;
+# this pins the S1-mini GEOMETRY (dim 1024, 28 slow + 4 fast layers, vocab
+# 155776, 10 codebooks, GQA 16/8 heads) against the same reference module
+# with random weights on CPU — the environment has no egress, so real
+# checkpoint weights cannot be downloaded; this is the closest executable
+# proof that production-scale numerics and shape handling match (reference
+# load contract: llama.py:466-500, synthesizer.py:272-284).
+# ---------------------------------------------------------------------------
+
+S1_SHAPE_CFG = DualARConfig(
+    vocab_size=155776,
+    n_layer=28,
+    n_head=16,
+    n_local_heads=8,
+    dim=1024,
+    head_dim=64,
+    intermediate_size=4096,
+    max_seq_len=32,      # cache sizing only — not a numerics shape
+    num_codebooks=10,
+    codebook_size=4096,
+    n_fast_layer=4,
+    fast_dim=1024,
+    tie_word_embeddings=True,
+)
+
+
+def test_full_s1_shapes_one_frame_parity():
+    """One prefill + one full fast-codebook frame at S1-mini shapes: logits
+    and hidden parity vs the reference torch model (fp32 both sides)."""
+    llama = _load_reference_llama()
+    cfg = S1_SHAPE_CFG
+    args = llama.DualARModelArgs(
+        vocab_size=cfg.vocab_size,
+        n_layer=cfg.n_layer,
+        n_head=cfg.n_head,
+        n_local_heads=cfg.n_local_heads,
+        dim=cfg.dim,
+        head_dim=cfg.head_dim,
+        intermediate_size=cfg.intermediate_size,
+        max_seq_len=cfg.max_seq_len,
+        codebook_size=cfg.codebook_size,
+        num_codebooks=cfg.num_codebooks,
+        n_fast_layer=cfg.n_fast_layer,
+        fast_dim=cfg.fast_dim,
+        tie_word_embeddings=True,
+    )
+    torch.manual_seed(0)
+    tmodel = llama.DualARTransformer(args, tokenizer=_StubTokenizer())
+    tmodel = tmodel.float().eval()
+    tmodel.setup_caches(1, cfg.max_seq_len, dtype=torch.float32)
+
+    params = convert_lm_state_dict(tmodel.state_dict(), cfg)
+    params = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x, jnp.float32), params)
+
+    T = 8
+    rng = np.random.RandomState(7)
+    prompt = np.zeros((1, 1 + cfg.num_codebooks, T), np.int64)
+    prompt[0, 0] = rng.randint(0, 150000, T)
+    prompt[0, 1] = rng.randint(0, cfg.codebook_size, T)
+    prompt[0, 2:] = rng.randint(
+        0, cfg.residual_codebook_size, (cfg.num_codebooks - 1, T))
+
+    with torch.no_grad():
+        res = tmodel.forward_generate(
+            torch.from_numpy(prompt), torch.arange(T))
+        t_logits = res.logits.numpy()[0, -1]
+        t_hidden = res.hidden_states.numpy()[0, -1]
+
+    rope = dual_ar.make_rope_tables(cfg)
+    kv = dual_ar.init_kv_cache(cfg, 1, dtype=jnp.float32)
+    S = kv["k"].shape[3]
+    positions = jnp.arange(T, dtype=jnp.int32)[None]
+    cache_bias = jnp.broadcast_to(
+        jnp.full((S,), NEG, jnp.float32)[None, None, None, :], (1, 1, T, S))
+    t_idx = jnp.arange(T, dtype=jnp.int32)
+    block_bias = jnp.where(
+        t_idx[None, :] <= t_idx[:, None], 0.0, NEG)[None, None].astype(
+        jnp.float32)
+    hidden, kv = dual_ar.slow_forward(
+        params, cfg, IDS, rope, jnp.asarray(prompt.astype(np.int32)),
+        positions, kv, cache_bias, block_bias)
+    logits = dual_ar.lm_logits(params, cfg, hidden)
+    j_hidden = np.asarray(dual_ar.project_fast_in(params, hidden))[0, -1]
+    j_logits = np.asarray(logits)[0, -1]
+
+    # 28 fp32 layers of divergence headroom: rel-tolerance on the spread
+    span = np.abs(t_logits).max()
+    assert np.abs(j_logits - t_logits).max() <= 2e-4 * span
+    hspan = np.abs(t_hidden).max()
+    assert np.abs(j_hidden - t_hidden).max() <= 2e-4 * hspan
+
+    # one full fast frame with a fixed code path
+    with torch.no_grad():
+        hidden_t = res.hidden_states[:, -1:]
+        for layer in tmodel.fast_layers:
+            layer.attention.kv_cache.k_cache.fill_(0)
+            layer.attention.kv_cache.v_cache.fill_(0)
+        tmodel.forward_generate_fast(hidden_t, torch.tensor([0]))
+        codes = [7, 901, 333]
+        t_steps = []
+        emb = tmodel.fast_embeddings(torch.tensor([[codes[0]]]))
+        for cb in range(1, cfg.num_codebooks):
+            lg = tmodel.forward_generate_fast(emb, torch.tensor([cb]))
+            t_steps.append(lg.numpy()[0, -1])
+            emb = tmodel.fast_embeddings(
+                torch.tensor([[codes[cb % len(codes)]]]))
+
+    h_fast = dual_ar.project_fast_in(params, hidden[:, -1:])
+    cache = dual_ar.new_fast_cache(params, cfg, 1)
+    _, cache = dual_ar.fast_step(
+        params, cfg, rope, h_fast, jnp.int32(0), cache)
+    emb = params["fast_embeddings"][jnp.asarray([[codes[0]]])]
+    for cb in range(1, cfg.num_codebooks):
+        lg, cache = dual_ar.fast_step(
+            params, cfg, rope, emb, jnp.int32(cb), cache)
+        fspan = np.abs(t_steps[cb - 1]).max()
+        assert np.abs(
+            np.asarray(lg)[0, -1] - t_steps[cb - 1]
+        ).max() <= 2e-4 * fspan, f"fast step {cb} diverged"
+        emb = params["fast_embeddings"][
+            jnp.asarray([[codes[cb % len(codes)]]])]
