@@ -84,7 +84,7 @@ def main() -> None:
                          "JSON); default is random weights (throughput only)")
     ap.add_argument("--budget", type=float,
                     default=float(__import__("os").environ.get(
-                        "FISH_TTS_BENCH_BUDGET", 1200.0)),
+                        "FISH_TTS_BENCH_BUDGET", 1800.0)),
                     help="wall-clock seconds after which optional stages "
                          "(aggregate batch, TTFA/e2e) are skipped so the "
                          "JSON line always lands; full runs take ~6-8 min "
@@ -200,6 +200,16 @@ def main() -> None:
           f"fast={cfg.n_fast_layer} vocab={cfg.vocab_size} "
           f"precision={'int8' if args.int8 else str(dtype.__name__)}",
           file=sys.stderr)
+
+    # The FIRST program execution of a session pays a platform-side cost
+    # that dwarfs everything (same-session probe: 339.1 s then 0.1 s for
+    # the identical compiled init program — r4's "304.6 s materialize"
+    # mystery).  Pay it here on a trivial op so every timed stage below
+    # measures OUR programs, and report it separately.
+    t0 = time.perf_counter()
+    force(jnp.zeros((8,), jnp.float32) + 1.0)
+    first_op_s = time.perf_counter() - t0
+    print(f"# platform first-op: {first_op_s:.1f}s", file=sys.stderr)
 
     # -- init: one jitted program (eager per-op dispatch pays a compile per
     # shape on this platform; a single jit is one compile, and a cached one
@@ -412,6 +422,7 @@ def main() -> None:
         "init_s": round(init_s, 1),
         "init_compile_s": round(init_compile_s, 1),
         "init_materialize_s": round(init_materialize_s, 1),
+        "platform_first_op_s": round(first_op_s, 1),
         **({"init_build_s": round(init_build_s, 1),
             "init_head_s": round(init_head_s, 1)}
            if init_build_s is not None else {}),
