@@ -139,7 +139,8 @@ class _PoolStreamBatch:
 
     def decode_round(self, entries: list[tuple[int, np.ndarray]]):
         """Decode [(stream, (K, m) codes), ...] in one program; returns the
-        device audio (forced by the caller after any further dispatches)."""
+        device int16 PCM (forced by the caller after any further
+        dispatches; the transfer is started here so it overlaps them)."""
         import jax.numpy as jnp
 
         W = max(c.shape[1] for _, c in entries)
@@ -152,11 +153,15 @@ class _PoolStreamBatch:
                 self._finished.add(b)
             codes[b, :, : c.shape[1]] = c
             active[b] = True
-        self._state, audio = self._dec(
+        self._state, pcm = self._dec(
             self._tts._vocoder_params, self._state, jnp.asarray(codes),
             jnp.asarray(active), jnp.zeros((self._B,), bool),
         )
-        return audio
+        try:
+            pcm.copy_to_host_async()
+        except Exception:  # noqa: BLE001 — optional fast path only
+            pass
+        return pcm
 
 
 class _ContextBuffer:
@@ -617,16 +622,14 @@ class FishTTS:
                 return b, codes  # deferred into the round's pool program
 
             def emit(handles):
-                from fish_tts_tpu.utils.audio import to_pcm_bytes
-
                 entries = [h for h in handles if h is not None]
-                audio = pool.decode_round(entries)  # ONE program
+                pcm = pool.decode_round(entries)  # ONE program, int16 out
                 with self._engine.metrics.span("vocoder"):
-                    arr = np.asarray(audio, dtype=np.float32)  # ONE fetch
+                    arr = np.asarray(pcm)  # ONE fetch
                 fl = self._vocoder_cfg.frame_length
                 out: list[bytes | None] = [None] * B
                 for b, c in entries:
-                    out[b] = to_pcm_bytes(arr[b, 0, : c.shape[1] * fl])
+                    out[b] = arr[b, 0, : c.shape[1] * fl].tobytes()
                 return out
         else:
             ctxs = [_ContextBuffer(context_frames) for _ in range(B)]
@@ -1020,22 +1023,36 @@ class FishTTS:
 
     def _pool_vocoder_fns(self, batch: int):
         """Jitted (init, decode) pair for the slot-pool streaming vocoder
-        (ServeSession): one batched state aligned with the LM slot pool."""
+        (ServeSession): one batched state aligned with the LM slot pool.
+
+        The decode returns **int16 PCM**, not float audio: the device->host
+        audio fetch is the serving round's second-largest wall phase
+        (~81 ms of a ~182 ms round at 16 slots on the tunneled v5e —
+        scripts/profile_serving.py), so the ``*32767 -> int16`` conversion
+        runs inside the program and the transfer shrinks 2x vs bf16 / 4x vs
+        f32.  Bit-exact vs the host-side ``to_pcm_bytes`` float path: the
+        decoder ends in tanh so samples are strictly inside (-1, 1) —
+        ``x*32767`` can never overflow int16 — and XLA's float->int convert
+        truncates toward zero exactly like numpy's ``astype(int16)``
+        (pinned by tests/test_serve.py::test_pool_pcm_matches_host_path).
+        """
         key = ("pool", batch)
         if key not in self._vocoder_jit_cache:
             import jax
+            import jax.numpy as jnp
 
             from fish_tts_tpu.models import vocoder_stream as vs
 
             cfg = self._vocoder_cfg
+
+            def _decode_pcm(p, st, c, a, r):
+                st, audio = vs.decode_chunk_pool(p, cfg, st, c, a, r)
+                pcm = (audio.astype(jnp.float32) * 32767).astype(jnp.int16)
+                return st, pcm
+
             self._vocoder_jit_cache[key] = (
                 jax.jit(lambda p: vs.init_decode_state(p, cfg, batch=batch)),
-                jax.jit(
-                    lambda p, st, c, a, r: vs.decode_chunk_pool(
-                        p, cfg, st, c, a, r
-                    ),
-                    donate_argnums=(1,),
-                ),
+                jax.jit(_decode_pcm, donate_argnums=(1,)),
             )
         return self._vocoder_jit_cache[key]
 
@@ -1667,23 +1684,30 @@ class ServeSession:
                 self._vparams, self._state, jnp.asarray(codes),
                 jnp.asarray(active), jnp.asarray(reset),
             )
+            # begin the device->host PCM transfer NOW: by the time next
+            # round's _emit forces it, the copy has overlapped this round's
+            # bookkeeping and next round's LM-chunk wait (the transfer was
+            # ~45% of the round's wall when fetched synchronously —
+            # scripts/profile_serving.py)
+            try:
+                audio.copy_to_host_async()
+            except Exception:  # noqa: BLE001 — optional fast path only
+                pass
         nxt = (audio, emits) if (audio is not None or emits) else None
         out = self._emit(*self._pending) if self._pending is not None else []
         self._pending = nxt
         return instant_done + out
 
     def _emit(self, audio, emits) -> list[AudioEvent]:
-        from fish_tts_tpu.utils.audio import to_pcm_bytes
-
         fl = self._tts._vocoder_cfg.frame_length
         arr = None
         if audio is not None:
             with self._tts._engine.metrics.span("vocoder"):
-                arr = np.asarray(audio, dtype=np.float32)  # ONE fetch
+                arr = np.asarray(audio)  # int16 PCM; ONE (async-begun) fetch
         return [
             AudioEvent(
                 st.rid,
-                to_pcm_bytes(arr[s, 0, : m * fl]) if m else b"",
+                arr[s, 0, : m * fl].tobytes() if m else b"",
                 done, st.frames_total,
             )
             for s, st, m, done in emits

@@ -628,3 +628,39 @@ def test_reset_recovers_from_poisoned_pool_state(engine):
     codes_by_id, done = _collect(srv.run())
     assert ok in done
     np.testing.assert_array_equal(codes_by_id[ok], solo)
+
+
+def test_pool_pcm_matches_host_path():
+    """The pool vocoder program emits int16 PCM on device (the D2H audio
+    fetch was ~45% of the serving round's wall when transferred as float —
+    scripts/profile_serving.py).  The device conversion must be BIT-EXACT
+    vs the host path (``to_pcm_bytes`` on the float audio): the decoder's
+    tanh bounds samples inside (-1, 1) so ``*32767`` cannot overflow, and
+    XLA's float->int convert truncates toward zero like numpy astype."""
+    import jax.numpy as _jnp
+
+    from fish_tts_tpu.models import vocoder_stream as vs
+    from fish_tts_tpu.testing import make_tiny_tts
+    from fish_tts_tpu.utils.audio import to_pcm_bytes
+
+    tts = make_tiny_tts()
+    vcfg = tts._vocoder_cfg
+    B = 3
+    init, dec = tts._pool_vocoder_fns(B)
+    st = init(tts._vocoder_params)
+    rng = np.random.RandomState(0)
+    codes = rng.randint(
+        0, vcfg.residual_codebook_size, (B, vcfg.num_codebooks, 6)
+    ).astype(np.int32)
+    active = _jnp.asarray(np.array([True, True, False]))
+    reset = _jnp.zeros((B,), bool)
+    _, pcm = dec(tts._vocoder_params, st, _jnp.asarray(codes), active, reset)
+    assert np.asarray(pcm).dtype == np.int16
+
+    # host path: float audio from the same fresh state, converted on host
+    st_f = vs.init_decode_state(tts._vocoder_params, vcfg, batch=B)
+    _, audio = vs.decode_chunk_pool(
+        tts._vocoder_params, vcfg, st_f, _jnp.asarray(codes), active, reset
+    )
+    expect = to_pcm_bytes(np.asarray(audio, dtype=np.float32))
+    assert np.asarray(pcm).tobytes() == expect
