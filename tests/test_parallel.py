@@ -252,15 +252,23 @@ def test_continuous_batching_on_mesh(eight_devices, engine_tokenizer):
     assert rid2 in got
 
 
-def test_mesh_engine_disables_pallas_kernels(eight_devices, engine_tokenizer):
+def test_mesh_engine_disables_pallas_kernels(
+    eight_devices, engine_tokenizer, monkeypatch
+):
     """Kernel x TP composition is pinned OFF: the Pallas kernels are
     single-device programs (they run outside GSPMD), so an engine built
     over a mesh must cleanly bypass them — never hand sharded params to a
     pallas_call.  A single-device engine on TPU would enable them; on any
-    mesh the gate must win regardless of the fast_kernel config flag."""
+    mesh the gate must win regardless of the fast_kernel config flag.
+
+    On CPU the backend gate alone would make this vacuous, so the backend
+    probe is faked to "tpu" during construction: the MESH gate must turn
+    the kernels off by itself."""
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     eng = _tiny_engine(engine_tokenizer, tp=4, dp=2, int8=True)
     assert eng.mesh is not None
     assert eng._fast_kernel is False
+    monkeypatch.undo()
     # and the product path actually runs (XLA path on the mesh)
     segs = eng.generate_long("ab", max_new_tokens=4)
     assert len(list(segs)) >= 1
