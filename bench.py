@@ -311,7 +311,7 @@ def main() -> None:
     CHUNK = 20
     t0 = time.perf_counter()
     state = fresh_state()
-    kv_b = min(cfg.max_seq_len, 512)
+    kv_b = min(cfg.max_seq_len, 256)  # EngineConfig.kv_bucket_step default
     # fused Pallas kernels: gated on the *actual* backend, not the CLI flags —
     # off-TPU they would run in interpret mode, orders of magnitude slower,
     # and the numbers would be meaningless.  Both kernels handle B <= 8
@@ -369,7 +369,7 @@ def main() -> None:
     # (decode_chunk requires max(pos)+num_frames <= kv_bucket).  Two timed
     # passes, best taken: the tunneled platform has occasional multi-ms
     # dispatch hiccups that are queue noise, not decode speed.
-    step = 512
+    step = 256  # EngineConfig.kv_bucket_step default
     pass_times = []
     for rep in range(2):
         t0 = time.perf_counter()
