@@ -304,8 +304,18 @@ def main() -> None:
 
     B = max(1, args.batch)
 
+    # Cache allocation mirrors the engine: generate_long/serving allocate
+    # the _cache_bucket of the request extent, not cfg.max_seq_len (decode
+    # cost is ~linear in the ALLOCATED length — decode.resize_cache).  This
+    # workload: 48-token prompt + args.frames decode + dispatch overshoot.
+    from fish_tts_tpu.engine.generate import _cache_bucket
+
+    state_alloc = _cache_bucket(48 + args.frames + 2 * 100, cfg.max_seq_len)
+
     def fresh_state():
-        return decode_mod.init_state(params, cfg, batch=B)
+        return decode_mod.init_state(
+            params, cfg, batch=B, max_seq_len=state_alloc
+        )
 
     # -- compile/warmup ----------------------------------------------------
     CHUNK = 20
@@ -455,7 +465,12 @@ def main() -> None:
         for Ba in sorted(batches):
             prompt_a = np.zeros((Ba, 1 + cfg.num_codebooks, T), np.int32)
             prompt_a[:, 0] = np.random.RandomState(1).randint(0, 1000, (Ba, T))
-            state_a = decode_mod.init_state(params, cfg, batch=Ba)
+            # same allocation the serving pool would hold for this extent
+            # (pos reaches 48 + 4 chunks; the pool buckets the live need)
+            state_a = decode_mod.init_state(
+                params, cfg, batch=Ba,
+                max_seq_len=_cache_bucket(48 + CHUNK * 5, cfg.max_seq_len),
+            )
             state_a, _ = decode_mod.prefill(
                 params, rope, state_a, jnp.asarray(prompt_a),
                 jnp.asarray([48] * Ba, jnp.int32),

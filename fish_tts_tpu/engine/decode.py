@@ -82,6 +82,40 @@ def init_state(
     }
 
 
+@partial(jax.jit, static_argnames=("new_len",), donate_argnames=("state",))
+def resize_cache(state: State, *, new_len: int) -> State:
+    """Re-allocate the state's KV cache to ``new_len`` positions.
+
+    Round-5 finding (PERFORMANCE.md): per-frame decode cost grows ~linearly
+    with the *allocated* cache length — ~0.5 ms per GB per frame at B=16 on
+    v5e, regardless of the ``kv_bucket`` read window and on both the XLA
+    and Pallas paths (XLA traverses the full carried cache arrays every
+    scan step).  Sizing the allocation to the live workload (and growing it
+    in buckets as streams lengthen) removes that cost: B=16 decode measured
+    5.11 -> 3.37 ms/frame going from a 4096- to a 512-row cache.
+
+    Growing pads zeros above the live rows; shrinking slices.  The caller
+    must guarantee ``max(pos) <= new_len`` when shrinking (rows at and
+    above ``new_len`` are dropped).  One-time O(cache) device copy.
+    """
+    kv = state["kv"]
+    S = kv["k"].shape[3]
+    if new_len == S:
+        return state
+    if new_len < S:
+        new_kv = {
+            "k": kv["k"][:, :, :, :new_len],
+            "v": kv["v"][:, :, :, :new_len],
+        }
+    else:
+        pad = [(0, 0)] * 5
+        pad[3] = (0, new_len - S)
+        new_kv = {"k": jnp.pad(kv["k"], pad), "v": jnp.pad(kv["v"], pad)}
+    out = dict(state)
+    out["kv"] = new_kv
+    return out
+
+
 def is_single_key(key: jax.Array) -> bool:
     """True for ONE prng key (typed scalar or raw (2,) uint32), False for a
     per-slot batch of keys (typed (B,) or raw (B, 2))."""

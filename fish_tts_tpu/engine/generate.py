@@ -68,6 +68,25 @@ def _kv_bucket(n: int, step: int, cap: int) -> int:
     return min(cap, -(-n // step) * step)
 
 
+# Cache *allocation* floor (rows).  Decode cost grows ~linearly with the
+# allocated cache length (see decode.resize_cache), so states are allocated
+# at the smallest power-of-two bucket >= the request's worst-case extent
+# instead of cfg.max_seq_len.  Power-of-two buckets (512/1024/2048/4096 at
+# the production config) bound the compile-variant count; the floor keeps
+# short requests from fragmenting into many tiny variants.
+CACHE_FLOOR = 512
+
+
+def _cache_bucket(n: int, cap: int) -> int:
+    """Smallest power-of-two allocation bucket >= n (>= CACHE_FLOOR),
+    capped at ``cap`` (the model context).  ``n > cap`` callers rely on the
+    decode-position clamp + host budget truncation, exactly as before."""
+    b = min(CACHE_FLOOR, cap)
+    while b < min(n, cap):
+        b *= 2
+    return min(b, cap)
+
+
 def _chunk_len(remaining: int, chunk: int, decode_chunk: int) -> int:
     """Frames for the next decode dispatch: a full ``chunk``, or — for the
     final partial one — the remainder rounded up to a ``decode_chunk``
@@ -177,12 +196,19 @@ class GenerationEngine:
         bound paths); never below the streaming chunk."""
         return max(self.engine_cfg.batch_chunk, self.engine_cfg.decode_chunk)
 
-    def _init_state(self, batch: int) -> decode_mod.State:
+    def _init_state(
+        self, batch: int, seq_len: int | None = None
+    ) -> decode_mod.State:
         """Fresh decode state, placed on the mesh when one is configured
         (KV over (dp batch, tp KV-heads); batch axis replicated when it does
-        not divide dp — e.g. a single generate_long stream on a dp>1 mesh)."""
+        not divide dp — e.g. a single generate_long stream on a dp>1 mesh).
+
+        ``seq_len`` sizes the KV-cache *allocation* (callers pass the
+        ``_cache_bucket`` of their worst-case extent; ``None`` = full
+        context).  Smaller allocations decode faster — see
+        decode.resize_cache."""
         state = decode_mod.init_state(
-            self.params, self.cfg, batch=batch,
+            self.params, self.cfg, batch=batch, max_seq_len=seq_len,
             window=self.engine_cfg.rep_penalty_window,
         )
         if self.mesh is not None:
@@ -246,7 +272,8 @@ class GenerationEngine:
     def has_prefix(self) -> bool:
         return self._prefix_ref[0] is not None
 
-    def _fork_prefix(self, s: decode_mod.State) -> decode_mod.State:
+    def _fork_prefix(self, s: decode_mod.State,
+                     seq_len: int | None = None) -> decode_mod.State:
         """Copy a prefix-state SNAPSHOT so donation can't consume it.
 
         Callers must pass the one-time ``_prefix_ref[0]`` snapshot they
@@ -254,11 +281,32 @@ class GenerationEngine:
         concurrent ``set_prefix``/``clear_prefix`` (mixed prefix epochs, or
         a TypeError on a cleared prefix).  serve.py takes the same
         single-read snapshot for the same reason.
-        """
-        return jax.tree_util.tree_map(jnp.copy, s)
 
-    def _fork_prefix_batch(self, s: decode_mod.State,
-                           batch: int) -> decode_mod.State:
+        ``seq_len`` re-sizes the fork's KV allocation to the request's
+        bucket (decode.resize_cache rationale: decode cost is ~linear in
+        the allocated length).  Ignored on a mesh — a sharded resize is not
+        plumbed, and the full-size state is always correct.
+        """
+        kv = self._fork_kv(s["kv"], seq_len)
+        out = {k: jnp.copy(v) for k, v in s.items() if k != "kv"}
+        out["kv"] = kv
+        return out
+
+    def _fork_kv(self, kv: Params, seq_len: int | None) -> Params:
+        """Copy a prefix KV, re-allocated to ``seq_len`` rows (None / mesh:
+        same-size copy).  Slices drop only dead rows (callers size
+        ``seq_len`` above the prefix extent); grows pad zeros."""
+        S = kv["k"].shape[3]
+        if seq_len is None or self.mesh is not None or seq_len == S:
+            return jax.tree_util.tree_map(jnp.copy, kv)
+        if seq_len < S:
+            return {k: v[:, :, :, :seq_len] for k, v in kv.items()}
+        pad = [(0, 0)] * 5
+        pad[3] = (0, seq_len - S)
+        return {k: jnp.pad(v, pad) for k, v in kv.items()}
+
+    def _fork_prefix_batch(self, s: decode_mod.State, batch: int,
+                           seq_len: int | None = None) -> decode_mod.State:
         """Broadcast a B=1 prefix-state SNAPSHOT across ``batch`` streams
         (same snapshot contract as :meth:`_fork_prefix`).
 
@@ -266,9 +314,12 @@ class GenerationEngine:
         forks that KV prefix instead of re-prefilling the reference blocks
         per stream (the reference re-encodes and re-forwards the full prompt
         on every call, inference.py:779-795 — and has no batching at all).
+
+        ``seq_len`` re-sizes the group's KV allocation (see _fork_prefix).
         """
+        kv_src = self._fork_kv(s["kv"], seq_len)
         state = {
-            "kv": {k: jnp.repeat(v, batch, axis=1) for k, v in s["kv"].items()},
+            "kv": {k: jnp.repeat(v, batch, axis=1) for k, v in kv_src.items()},
             "frame": jnp.repeat(s["frame"], batch, axis=0),
             "pos": jnp.repeat(s["pos"], batch, axis=0),
             "prev": jnp.repeat(s["prev"], batch, axis=0),
@@ -420,14 +471,12 @@ class GenerationEngine:
         if use_cached_prefix:
             # Only the target-text suffix needs encoding + prefilling.
             enc = self._encode_suffix(text)
-            state = self._fork_prefix(prefix_snap)
-            prompt_len = int(state["pos"][0]) + enc.values.shape[1]
+            prompt_len = int(prefix_snap["pos"][0]) + enc.values.shape[1]
         else:
             enc = build_prompt(
                 self.tokenizer, text, cfg.num_codebooks,
                 prompt_texts=prompt_text, prompt_codes=prompt_tokens,
             )
-            state = self._init_state(batch=1)
             prompt_len = enc.values.shape[1]
 
         # Reserve room for generation (reference hard-codes 2048,
@@ -444,6 +493,24 @@ class GenerationEngine:
         else:
             max_new = max_length - prompt_len
 
+        padded, T = self._pad_prompt(enc.values)
+        prefix_len = prompt_len - T if use_cached_prefix else 0
+        # KV-cache allocation bucket: worst-case decode extent (prompt +
+        # budget + dispatch overshoot: up to chunk-1 rounding frames plus one
+        # speculative chunk) and never below the padded prefill write extent
+        # (prefill scatters the whole prompt bucket).  Smaller allocations
+        # decode faster — see decode.resize_cache.
+        alloc = _cache_bucket(
+            max(prompt_len + max_new + 2 * self._large_chunk,
+                prefix_len + padded.shape[-1] + 1),
+            max_length,
+        )
+        state = (
+            self._fork_prefix(prefix_snap, seq_len=alloc)
+            if use_cached_prefix
+            else self._init_state(batch=1, seq_len=alloc)
+        )
+
         t_dev = jnp.float32(temperature)
         p_dev = jnp.float32(top_p)
         r_dev = jnp.float32(repetition_penalty)
@@ -453,8 +520,6 @@ class GenerationEngine:
         # so the first vocoder input should exist after a single round trip.
         # n0 == 0 when the prefill frame alone fills the budget (max_new <= 1).
         n0 = max(0, min(ecfg.first_chunk - 1, ecfg.decode_chunk, max_new - 1))
-        padded, T = self._pad_prompt(enc.values)
-        prefix_len = prompt_len - T if use_cached_prefix else 0
         kv_pre = (
             0 if prefix_len == 0
             else _kv_bucket(prefix_len, ecfg.kv_bucket_step, cfg.max_seq_len)
@@ -470,9 +535,11 @@ class GenerationEngine:
             cfg=cfg, ids=self.ids, num_frames=n0,
             top_k=ecfg.sample_top_k, approx=ecfg.approx_top_k,
             kv_bucket_prefill=kv_pre,
-            kv_bucket=_kv_bucket(
+            # read windows clamp to the allocation (alloc covers the whole
+            # decode extent; bucket-step rounding may overshoot it)
+            kv_bucket=min(alloc, _kv_bucket(
                 prompt_len + n0, ecfg.kv_bucket_step, cfg.max_seq_len
-            ),
+            )),
             fast_kernel=self._fast_kernel,
         )
 
@@ -503,10 +570,10 @@ class GenerationEngine:
                     t_dev, p_dev, r_dev,
                     cfg=cfg, ids=self.ids, num_frames=n,
                     top_k=ecfg.sample_top_k, approx=ecfg.approx_top_k,
-                    kv_bucket=_kv_bucket(
+                    kv_bucket=min(alloc, _kv_bucket(
                         prompt_len + dispatched + n,
                         ecfg.kv_bucket_step, cfg.max_seq_len,
-                    ),
+                    )),
                     fast_kernel=self._fast_kernel,
                     early_exit=not streaming,
                 )
@@ -767,6 +834,15 @@ class GenerationEngine:
                 _pick_bucket(ecfg.prompt_buckets, int(n), cap), []
             ).append(i)
 
+        # shared KV allocation bucket (groups are concatenated after prefill,
+        # so every group allocates the same length): worst-case decode extent
+        # across streams, never below any group's padded prefill write extent
+        alloc = _cache_bucket(
+            max(max_len + max_new + 2 * self._large_chunk,
+                prefix_len + max(by_bucket.keys()) + 1),
+            cfg.max_seq_len,
+        )
+
         order: list[int] = []
         group_states, group_firsts = [], []
         with self.metrics.span("prefill"):
@@ -777,9 +853,9 @@ class GenerationEngine:
                 for row, i in enumerate(idxs):
                     padded[row, :, : lengths[i]] = encs[i].values
                 state_g = (
-                    self._fork_prefix_batch(prefix_snap, Bg)
+                    self._fork_prefix_batch(prefix_snap, Bg, seq_len=alloc)
                     if use_cached_prefix
-                    else self._init_state(batch=Bg)
+                    else self._init_state(batch=Bg, seq_len=alloc)
                 )
                 t_g, p_g, r_g = group_params(idxs)
                 state_g, first_g = decode_mod.prefill(
@@ -845,10 +921,10 @@ class GenerationEngine:
                 t_dev, p_dev, r_dev,
                 cfg=cfg, ids=self.ids, num_frames=n,
                 top_k=ecfg.sample_top_k, approx=ecfg.approx_top_k,
-                kv_bucket=_kv_bucket(
+                kv_bucket=min(alloc, _kv_bucket(
                     max_len + dispatched + n,
                     ecfg.kv_bucket_step, cfg.max_seq_len,
-                ),
+                )),
                 fast_kernel=self._fast_kernel,
                 # post-EOS steps inside a chunk skip the model: implied by
                 # B>1, but B=1 generate_batch with large chunks needs it too

@@ -57,7 +57,7 @@ import numpy as np
 
 from fish_tts_tpu.engine import decode as decode_mod
 from fish_tts_tpu.engine.generate import (
-    GenerationEngine, _kv_bucket, _pick_bucket,
+    GenerationEngine, _cache_bucket, _kv_bucket, _pick_bucket,
 )
 
 logger = logging.getLogger(__name__)
@@ -228,8 +228,14 @@ class ContinuousBatcher:
         self._n_expired = 0  # lifetime deadline expiries (driver thread only)
         self._ids = itertools.count()
         self._slot_req: list[_Request | None] = [None] * slots
-        # pool state: free slots are done=True so decode holds them
-        state = engine._init_state(slots)
+        # pool state: free slots are done=True so decode holds them.  The KV
+        # allocation starts at the smallest bucket and is re-sized per round
+        # to the live workload's extent (_pool_resize) — decode cost is
+        # ~linear in the ALLOCATED cache length (decode.resize_cache), so a
+        # full-context pool would tax every request with the longest
+        # possible request's cost.  Mesh pools stay full-size (no sharded
+        # resize path).
+        state = engine._init_state(slots, seq_len=self._pool_floor())
         self._state = _mark_done(state, jnp.ones((slots,), bool))
         # slots retired at dispatch time (predictive budget retirement):
         # the device state is still mid-decode on the request's final chunk
@@ -251,6 +257,27 @@ class ContinuousBatcher:
         # host's per-chunk fetch round trip (the same pipelining the
         # single-stream engine uses).
         self._pending = None
+
+    # -- pool cache allocation ----------------------------------------------
+
+    def _pool_floor(self) -> int | None:
+        """Initial pool KV allocation: the smallest cache bucket (None =
+        full context on a mesh, where resize is not plumbed)."""
+        if self.engine.mesh is not None:
+            return None
+        return _cache_bucket(1, self.engine.cfg.max_seq_len)
+
+    def _pool_resize(self, min_rows: int, grow_only: bool = False) -> None:
+        """Re-allocate the pool cache to the bucket of ``min_rows`` (the
+        caller's live-extent bound: every live slot's rows must sit below
+        it).  Admission passes ``grow_only`` — its bound covers only the
+        incoming prompts, and live streams may reach further."""
+        if self.engine.mesh is not None:
+            return
+        alloc = _cache_bucket(min_rows, self.engine.cfg.max_seq_len)
+        cur = self._state["kv"]["k"].shape[3]
+        if alloc > cur or (alloc < cur and not grow_only):
+            self._state = decode_mod.resize_cache(self._state, new_len=alloc)
 
     # -- submission --------------------------------------------------------
 
@@ -502,6 +529,11 @@ class ContinuousBatcher:
             kv_pre + bucket + 1, ecfg.kv_bucket_step, cfg.max_seq_len
         )
 
+        # the install scatter writes [:rows] into every admitted slot: grow
+        # the pool allocation first (live streams may already reach further,
+        # so never shrink here — step()'s full-extent bound handles that)
+        self._pool_resize(rows + 1, grow_only=True)
+
         padded = np.zeros((G, 1 + cfg.num_codebooks, bucket), np.int32)
         lengths = np.ones((G,), np.int32)
         slots_arr = np.full((G,), self.slots, np.int32)  # sentinel: dropped
@@ -656,6 +688,17 @@ class ContinuousBatcher:
                 for i in live
             ) + self.chunk  # +1 extra chunk: results land one round late
             kv_b = _kv_bucket(need, ecfg.kv_bucket_step, cfg.max_seq_len)
+            # allocation bucket follows the same live extent: grows as
+            # streams lengthen (one O(cache) copy per bucket crossing),
+            # shrinks back when long streams retire.  ``need`` bounds every
+            # live slot's rows incl. this chunk, so a shrink drops only
+            # dead rows; the kv_bucket read window always fits (a power-of-
+            # two round-up is >= the 256-step round-up of the same bound).
+            self._pool_resize(need)
+            # the read window never exceeds the allocation (alloc >= need
+            # covers every live row; kv_bucket_step rounding can overshoot
+            # a small allocation when the floor is below the step)
+            kv_b = min(kv_b, int(self._state["kv"]["k"].shape[3]))
             if self._dev_cache is None:
                 self._dev_cache = (
                     jnp.stack(self._keys), jnp.asarray(self._t),
@@ -761,7 +804,8 @@ class ContinuousBatcher:
         self._dirty.clear()
         self._dev_cache = None
         self._state = _mark_done(
-            self.engine._init_state(self.slots), jnp.ones((self.slots,), bool)
+            self.engine._init_state(self.slots, seq_len=self._pool_floor()),
+            jnp.ones((self.slots,), bool),
         )
         logger.warning(
             "serve: pool state rebuilt after step failure (%d request(s) "

@@ -616,3 +616,102 @@ def test_generate_batch_per_stream_budgets(tiny_tokenizer):
     # stream's budget
     assert batch[1].shape[1] < batch[0].shape[1]
     assert batch[0].shape[1] == solo_short.shape[1]
+
+
+# ---------------------------------------------------------------------------
+# Cache allocation bucketing (decode.resize_cache / generate._cache_bucket)
+# ---------------------------------------------------------------------------
+
+
+def test_decode_invariant_to_cache_allocation(setup):
+    """Frames are bit-identical whether the KV cache is allocated at the
+    full context or at a small bucket covering the request extent — the
+    allocation length is storage, never math (reads go through the
+    kv_bucket window, writes land below the extent)."""
+    params, rope = setup
+    prompt, lengths = _prompt(12)
+    outs = []
+    for S in (CFG.max_seq_len, 32):
+        state = decode.init_state(params, CFG, batch=1, max_seq_len=S)
+        state, first = decode.prefill(
+            params, rope, state, prompt, lengths, jax.random.PRNGKey(1),
+            _scalar(0.7), _scalar(0.8), _scalar(1.1), cfg=CFG, ids=IDS,
+            kv_bucket=0,
+        )
+        state, frames, _ = decode.decode_chunk(
+            params, rope, state, jax.random.PRNGKey(2),
+            _scalar(0.7), _scalar(0.8), _scalar(1.1),
+            cfg=CFG, ids=IDS, num_frames=6, kv_bucket=32,
+        )
+        outs.append((np.asarray(first), np.asarray(frames)))
+    np.testing.assert_array_equal(outs[0][0], outs[1][0])
+    np.testing.assert_array_equal(outs[0][1], outs[1][1])
+
+
+def test_resize_cache_grow_shrink(setup):
+    """Growing pads zeros above the live rows; shrinking drops only the
+    rows at and above the new length.  Non-KV fields pass through."""
+    params, rope = setup
+    state = decode.init_state(params, CFG, batch=2, max_seq_len=32)
+    rng = np.random.RandomState(0)
+    k0 = rng.randn(*state["kv"]["k"].shape).astype(np.float32)
+    state["kv"]["k"] = jnp.asarray(k0)
+    state["pos"] = jnp.asarray([7, 3], jnp.int32)
+
+    grown = decode.resize_cache(state, new_len=64)
+    assert grown["kv"]["k"].shape[3] == 64
+    np.testing.assert_array_equal(np.asarray(grown["kv"]["k"])[:, :, :, :32], k0)
+    assert float(jnp.abs(grown["kv"]["k"][:, :, :, 32:]).max()) == 0.0
+    np.testing.assert_array_equal(np.asarray(grown["pos"]), [7, 3])
+
+    shrunk = decode.resize_cache(grown, new_len=16)
+    assert shrunk["kv"]["k"].shape[3] == 16
+    np.testing.assert_array_equal(
+        np.asarray(shrunk["kv"]["k"]), k0[:, :, :, :16]
+    )
+
+
+def test_cache_bucket_helper():
+    from fish_tts_tpu.engine.generate import CACHE_FLOOR, _cache_bucket
+
+    cap = 4096
+    assert _cache_bucket(1, cap) == CACHE_FLOOR
+    assert _cache_bucket(CACHE_FLOOR, cap) == CACHE_FLOOR
+    assert _cache_bucket(CACHE_FLOOR + 1, cap) == 2 * CACHE_FLOOR
+    assert _cache_bucket(4000, cap) == 4096
+    assert _cache_bucket(9999, cap) == 4096  # over-cap callers clamp
+    # small test configs: the cap wins over the floor (full-size states,
+    # so tiny-config behavior is unchanged by allocation bucketing)
+    assert _cache_bucket(1, 128) == 128
+    assert _cache_bucket(200, 128) == 128
+
+
+def test_generation_invariant_to_cache_floor(tiny_tokenizer, monkeypatch):
+    """Full generations are bit-identical whether states are allocated at
+    tiny buckets (grown per request extent) or at the full context."""
+    from fish_tts_tpu.config import EngineConfig
+    from fish_tts_tpu.engine import generate as generate_mod
+    from fish_tts_tpu.engine.generate import GenerationEngine
+
+    params = dual_ar.init_params(jax.random.PRNGKey(3), CFG, dtype=jnp.float32)
+
+    def run(floor):
+        monkeypatch.setattr(generate_mod, "CACHE_FLOOR", floor)
+        eng = GenerationEngine(
+            params, CFG, tiny_tokenizer,
+            engine_cfg=EngineConfig(kv_bucket_step=16, decode_chunk=8,
+                                    first_chunk=4),
+            seed=11,
+        )
+        outs = []
+        for resp in eng.generate_long(
+            "cross the bucket boundary", max_new_tokens=24,
+            temperature=0.7, top_p=0.8, repetition_penalty=1.1,
+        ):
+            if resp.action == "sample":
+                outs.append(resp.codes)
+        return np.concatenate(outs, axis=1)
+
+    small = run(8)                 # request state at a sub-context bucket
+    full = run(CFG.max_seq_len)    # full-context allocation
+    np.testing.assert_array_equal(small, full)

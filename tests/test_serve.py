@@ -664,3 +664,33 @@ def test_pool_pcm_matches_host_path():
     )
     expect = to_pcm_bytes(np.asarray(audio, dtype=np.float32))
     assert np.asarray(pcm).tobytes() == expect
+
+
+def test_pool_cache_grows_and_shrinks_with_load(engine, monkeypatch):
+    """With a tiny CACHE_FLOOR the pool KV allocation starts small, grows
+    as a stream's extent crosses bucket boundaries, shrinks back after it
+    retires — and the served codes stay bit-identical to the solo run
+    (allocation length is storage, never math)."""
+    from fish_tts_tpu.engine import generate as generate_mod
+
+    monkeypatch.setattr(generate_mod, "CACHE_FLOOR", 8)
+    solo = _solo_codes(engine, "grow the pool", seed=9, max_new=24)
+
+    srv = ContinuousBatcher(engine, slots=2)
+    sizes = [srv._state["kv"]["k"].shape[3]]
+    assert sizes[0] < TINY_CONFIG.max_seq_len  # started at a small bucket
+    rid = srv.submit(
+        "grow the pool", max_new_tokens=24, seed=9,
+        temperature=0.7, top_p=0.8, repetition_penalty=1.1,
+    )
+    events = []
+    while srv.busy:
+        events += srv.step()
+        sizes.append(srv._state["kv"]["k"].shape[3])
+    codes, done = _collect(events)
+    assert rid in done
+    np.testing.assert_array_equal(codes[rid], solo)
+    assert max(sizes) > sizes[0]  # grew with the live extent
+    # idle rounds after retirement shrink the allocation back down
+    srv.step()
+    assert srv._state["kv"]["k"].shape[3] <= max(sizes)
